@@ -1,13 +1,262 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import pageplus.data.PagesFromDocuments
+import pageplus.spark.Pipeline
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query takes (spark, sfDir) and reads only the driver's parquet tables in
+  * sfDir. PAGE-XML queries first lift `documents` into the input_hint `pages`
+  * shape deterministically ([[PagesFromDocuments]]), so each has a plain-SQL
+  * DuckDB oracle. Numeric aggregate outputs avoid float-sum order sensitivity by
+  * rounding per ROW to integer cents and summing BIGINTs (identical IEEE per-row
+  * arithmetic in Spark and DuckDB).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesFromDocuments.clean(spark, "/root/testdata/sf0.001").toDF()
+    Pipeline.fulltext(pages, saltPartitions = 8).toDF()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- PAGE-XML extraction path (SURVEY §2.8 export fulltext / §2.4 stats) ----
+    "fulltext_extract" -> ((s, dir) => {
+      Pipeline.fulltext(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = 0).toDF()
+    }),
+    "fulltext_ro_lastwins" -> ((s, dir) => {
+      // reading_order=True literal semantics: only the LAST reading-order region
+      // survives (models/page.py:144-147)
+      Pipeline.fulltext(PagesFromDocuments.twoRegion(s, dir).toDF(), ro = true).toDF()
+    }),
+    "page_stats" -> ((s, dir) => {
+      Pipeline.pageStats(PagesFromDocuments.clean(s, dir).toDF()).toDF()
+    }),
+    "corpus_stats" -> ((s, dir) => {
+      Pipeline.pageStats(PagesFromDocuments.clean(s, dir).toDF()).toDF()
+        .agg(
+          count(lit(1)).as("pages"),
+          sum("textregions").as("textregions"),
+          sum("tableregions").as("tableregions"),
+          sum("textlines").as("textlines"),
+          sum("words").as("words"),
+          sum("glyphs").as("glyphs"))
+    }),
+
+    // ---- relational surface (SURVEY §2.4/§2.9/§2.11 equivalents on TPC-H-ish data) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_price_cents"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("sum_disc_price_cents"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q3_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q4_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey").as("first_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_orderdate"))
+    }),
+    "q5_multijoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q6_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q7_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+    }),
+    "q8_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+    "q10_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    }),
+
+    // ---- training-data ops over documents (builder-prompt first-class set) ----
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+    }),
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(filter(split(col("text"), " ", -1),
+            w => w === "the" || w === "a")).cast("long").as("n_stopwords"))
+        .withColumn("stop_ratio",
+          round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+    }),
+    "lang_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("total_tokens"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "fulltext_extract" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "fulltext_ro_lastwins" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string(lines[len(lines)//2 + 1 :], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id,
+        |             [array_to_string(words[i:i+7], ' ')
+        |              for i in range(1, len(words)+1, 8)] AS lines
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin,
+    "page_stats" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       1::BIGINT AS textregions, 0::BIGINT AS tableregions, 0::BIGINT AS tablecells,
+        |       CAST(ceil(nw / 8.0) AS BIGINT) AS textlines,
+        |       nw AS words,
+        |       nc - (CAST(ceil(nw / 8.0) AS BIGINT) - 1) AS glyphs
+        |FROM (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nw,
+        |             CAST(length(text) AS BIGINT) AS nc FROM documents)""".stripMargin,
+    "corpus_stats" ->
+      """SELECT count(*) AS pages,
+        |       count(*)::BIGINT AS textregions, 0::BIGINT AS tableregions,
+        |       CAST(sum(ceil(len(string_split(text,' ')) / 8.0)) AS BIGINT) AS textlines,
+        |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS words,
+        |       CAST(sum(length(text) - ceil(len(string_split(text,' ')) / 8.0) + 1) AS BIGINT) AS glyphs
+        |FROM documents""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """SELECT o_custkey, first_orderkey, first_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers_with_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q8_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q10_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS n_stopwords,
+        |       round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS DOUBLE)
+        |             / len(string_split(text,' ')), 6) AS stop_ratio
+        |FROM documents""".stripMargin,
+    "lang_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin
+  )
 }

@@ -1,0 +1,129 @@
+package pageplus.data
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import pageplus.model._
+import pageplus.xml.PageXmlWriter
+
+/** Deterministically lifts the driver's `documents` table (doc_id, text, lang, …)
+  * into the BASELINE.json input_hint shape `pages(url, warc_ts, html, text, lang)`:
+  * each document's text is chunked into PAGE-XML TextLines of [[WordsPerLine]]
+  * words inside one TextRegion, with valid synthetic geometry. Pure function of
+  * (doc_id, text, lang) — no randomness, no wall clock — so the DuckDB oracle can
+  * recompute every downstream answer from the raw table (SURVEY §5.2.4).
+  */
+object PagesFromDocuments {
+
+  val WordsPerLine = 8
+  val Ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15"
+
+  def url(docId: Long): String = s"doc://$docId"
+
+  /** Text -> chunks of [[WordsPerLine]] single-space-joined words. */
+  def lineTexts(text: String): Seq[String] =
+    if (text == null || text.isEmpty) Nil
+    else text.split(" ", -1).grouped(WordsPerLine).map(_.mkString(" ")).toSeq
+
+  private def lineGeom(i: Int): (Seq[Pt], Seq[Pt]) = {
+    val y0 = 100 + 60 * i
+    val rect = Seq(Pt(100, y0), Pt(900, y0), Pt(900, y0 + 50), Pt(100, y0 + 50))
+    val baseline = Seq(Pt(120, y0 + 40), Pt(880, y0 + 40))
+    (rect, baseline)
+  }
+
+  private def mkLine(id: String, i: Int, text: String): LineT = {
+    val (rect, baseline) = lineGeom(i)
+    LineT(id, hasCoords = true, rect, hasBaseline = true, baseline,
+      texts = Seq(TextEquivT(0, text)), words = Nil,
+      unicodes = if (text.nonEmpty) Seq(text) else Nil)
+  }
+
+  private def regionCoords(nLines: Int): Seq[Pt] = {
+    val yMax = 100 + 60 * math.max(nLines - 1, 0) + 50
+    Seq(Pt(50, 50), Pt(950, 50), Pt(950, yMax + 10), Pt(50, yMax + 10))
+  }
+
+  /** Clean single-region document. */
+  def cleanDoc(docId: Long, text: String): PageDoc = {
+    val lines = lineTexts(text).zipWithIndex.map { case (t, i) => mkLine(s"r0l$i", i, t) }
+    val region = RegionT("r0", "text", hasCoords = true, regionCoords(lines.size), Nil, lines, Nil)
+    PageDoc(url(docId), Ns, 2000, 100 + 60 * lines.size + 60, s"p$docId.png",
+      readingOrder = Nil, docOrderRegionIds = Seq("r0"), regions = Seq(region),
+      parseOk = true, parseError = "")
+  }
+
+  /** Two-region document with an explicit ReadingOrder [r0, r1]; r0 holds the
+    * first n/2 lines, r1 the rest — exercises the literal last-region-wins
+    * `reading_order=True` semantics (models/page.py:144-147). */
+  def twoRegionDoc(docId: Long, text: String): PageDoc = {
+    val lts = lineTexts(text)
+    val half = lts.size / 2
+    def mk(rid: String, ts: Seq[String], off: Int): RegionT = {
+      val lines = ts.zipWithIndex.map { case (t, i) => mkLine(s"${rid}l${i + off}", i + off, t) }
+      RegionT(rid, "text", hasCoords = true, regionCoords(lts.size), Nil, lines, Nil)
+    }
+    val r0 = mk("r0", lts.take(half), 0)
+    val r1 = mk("r1", lts.drop(half), half)
+    PageDoc(url(docId), Ns, 2000, 100 + 60 * lts.size + 60, s"p$docId.png",
+      readingOrder = Seq("r0", "r1"), docOrderRegionIds = Seq("r0", "r1"),
+      regions = Seq(r0, r1), parseOk = true, parseError = "")
+  }
+
+  /** Planted-defect document for validate/repair, defect class = doc_id % 5 on
+    * line 0, plus an empty-text line when doc_id % 7 == 0. The defects are pure
+    * doc_id arithmetic so the validation-report oracle is plain SQL:
+    *   m=1 -> line 0 coords are a self-intersecting bow-tie AND baseline removed
+    *   m=2 -> line 0 coords have 3 points (validate_region needs >=4)
+    *   m=3 -> line 0 baseline removed
+    *   m=4 -> line 0 baseline disjoint from its polygon
+    *   m=0 -> clean
+    */
+  def corruptDoc(docId: Long, text: String): PageDoc = {
+    val base = cleanDoc(docId, text)
+    val m = (docId % 5).toInt
+    val region = base.regions.head
+    val lines0 = region.lines
+    val mutated =
+      if (lines0.isEmpty) lines0
+      else {
+        val l0 = lines0.head
+        val l0m = m match {
+          case 1 => l0.copy(coords = Seq(Pt(200, 100), Pt(300, 150), Pt(200, 150), Pt(300, 100)),
+                            hasBaseline = false, baseline = Nil)
+          case 2 => l0.copy(coords = Seq(Pt(100, 100), Pt(900, 100), Pt(500, 150)),
+                            baseline = Seq(Pt(400, 130), Pt(600, 130)))
+          case 3 => l0.copy(hasBaseline = false, baseline = Nil)
+          case 4 => l0.copy(baseline = Seq(Pt(120, 500), Pt(880, 500)))
+          case _ => l0
+        }
+        l0m +: lines0.tail
+      }
+    val withEmpty =
+      if (docId % 7 == 0) {
+        val i = mutated.size
+        val (rect, bl) = lineGeom(i)
+        mutated :+ LineT(s"r0lE", hasCoords = true, rect, hasBaseline = true, bl,
+          texts = Seq(TextEquivT(0, "")), words = Nil, unicodes = Nil)
+      } else mutated
+    base.copy(regions = Seq(region.copy(lines = withEmpty)))
+  }
+
+  // ---- DataFrame lifters ----------------------------------------------------
+
+  private def lift(spark: SparkSession, sfDir: String)(build: (Long, String) => PageDoc): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, lang) =>
+        val doc = build(id, if (text == null) "" else text)
+        PageRow(url(id), new java.sql.Timestamp(id * 3600 * 1000L),
+          PageXmlWriter.write(doc).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text, lang)
+      })
+  }
+
+  def clean(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(cleanDoc)
+  def twoRegion(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(twoRegionDoc)
+  def corrupt(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(corruptDoc)
+}

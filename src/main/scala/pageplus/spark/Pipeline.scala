@@ -1,0 +1,57 @@
+package pageplus.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import pageplus.model._
+import pageplus.text.{FullText, Stats}
+import pageplus.xml.StaxPageParser
+
+/** The Spark lifecycle of the reference's per-file loop (SURVEY §3.1):
+  * narrow projection -> optional salted repartition -> fused parse+transform in
+  * one `mapPartitions` pass (no intermediate PageDoc ser/de on the hot path) ->
+  * typed output. Column pruning keeps the scan at (url, html) even though the
+  * pages table carries text/lang.
+  */
+object Pipeline {
+
+  final case class Extracted(url: String, extracted_text: String)
+
+  /** Explicit url-hash salted repartition (north_rule): spreads giant-document
+    * skew across partitions deterministically. No-op when `partitions <= 0`. */
+  def saltByUrl(df: DataFrame, partitions: Int): DataFrame =
+    if (partitions <= 0) df
+    else df.repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+
+  /** pages(url, warc_ts, html, text, lang) -> (url, extracted_text).
+    * The fused hot path: one StAX parse + extraction per row. */
+  def fulltext(pages: DataFrame, dehyphenate: Boolean = false, ro: Boolean = false,
+               saltPartitions: Int = 0): Dataset[Extracted] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) =>
+        val doc = StaxPageParser.parse(url, html)
+        Extracted(url, FullText.extract(doc, dehyphenate = dehyphenate, readingOrder = ro))
+      })
+  }
+
+  /** pages -> full typed [[PageDoc]] Dataset, for multi-step transforms. */
+  def parse(pages: DataFrame, saltPartitions: Int = 0): Dataset[PageDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) => StaxPageParser.parse(url, html) })
+  }
+
+  /** pages -> per-page element counts (fused parse+count, one pass). */
+  def pageStats(pages: DataFrame): Dataset[Stats.PageCounts] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select("url", "html")
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) => Stats.count(StaxPageParser.parse(url, html)) })
+  }
+}

@@ -1,0 +1,83 @@
+package pageplus.xml
+
+import pageplus.model._
+
+/** PageDoc -> PAGE-XML serializer (the XML sink side of io/writer.py:4-15 /
+  * models/page.py:94-103). Deterministic element order: Metadata-free skeleton,
+  * ReadingOrder first, then regions in document order; coordinates written through
+  * [[PointCodec.format]] after the reference's dedup+unclose write normalization.
+  */
+object PageXmlWriter {
+
+  private def esc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def writeTexts(sb: java.lang.StringBuilder, texts: Seq[TextEquivT], pad: String): Unit =
+    texts.foreach { t =>
+      sb.append(pad).append(s"""<TextEquiv index="${t.index}"><Unicode>${esc(t.unicode)}</Unicode></TextEquiv>""").append('\n')
+    }
+
+  private def writeLine(sb: java.lang.StringBuilder, l: LineT, pad: String): Unit = {
+    sb.append(pad).append(s"""<TextLine id="${esc(l.id)}">""").append('\n')
+    if (l.hasCoords)
+      sb.append(pad).append(s"""  <Coords points="${PointCodec.format(l.coords)}"/>""").append('\n')
+    if (l.hasBaseline)
+      sb.append(pad).append(s"""  <Baseline points="${PointCodec.format(l.baseline)}"/>""").append('\n')
+    l.words.foreach { w =>
+      sb.append(pad).append(s"""  <Word id="${esc(w.id)}">""").append('\n')
+      if (w.hasCoords)
+        sb.append(pad).append(s"""    <Coords points="${PointCodec.format(w.coords)}"/>""").append('\n')
+      writeTexts(sb, w.texts, pad + "    ")
+      sb.append(pad).append("  </Word>").append('\n')
+    }
+    writeTexts(sb, l.texts, pad + "  ")
+    sb.append(pad).append("</TextLine>").append('\n')
+  }
+
+  def write(doc: PageDoc): String = {
+    val sb = new java.lang.StringBuilder(4096)
+    sb.append("""<?xml version="1.0" encoding="utf-8" standalone="yes"?>""").append('\n')
+    sb.append(s"""<PcGts xmlns="${doc.ns}">""").append('\n')
+    sb.append(s""" <Page imageFilename="${esc(doc.imageFilename)}" imageWidth="${doc.width}" imageHeight="${doc.height}">""").append('\n')
+    if (doc.readingOrder.nonEmpty) {
+      sb.append("""  <ReadingOrder><OrderedGroup id="ro1">""").append('\n')
+      doc.readingOrder.zipWithIndex.foreach { case (ref, i) =>
+        sb.append(s"""   <RegionRefIndexed index="$i" regionRef="${esc(ref)}"/>""").append('\n')
+      }
+      sb.append("  </OrderedGroup></ReadingOrder>").append('\n')
+    }
+    doc.regions.foreach { reg =>
+      val tag = if (reg.kind == "table") "TableRegion" else "TextRegion"
+      sb.append(s"""  <$tag id="${esc(reg.id)}">""").append('\n')
+      if (reg.hasCoords)
+        sb.append(s"""   <Coords points="${PointCodec.format(reg.coords)}"/>""").append('\n')
+      reg.lines.foreach(writeLine(sb, _, "   "))
+      reg.cells.foreach { c =>
+        sb.append(s"""   <TableCell id="${esc(c.id)}">""").append('\n')
+        if (c.hasCoords)
+          sb.append(s"""    <Coords points="${PointCodec.format(c.coords)}"/>""").append('\n')
+        c.lines.foreach(writeLine(sb, _, "    "))
+        writeTexts(sb, c.texts, "    ")
+        sb.append("   </TableCell>").append('\n')
+      }
+      writeTexts(sb, reg.texts, "   ")
+      sb.append(s"  </$tag>").append('\n')
+    }
+    sb.append(" </Page>").append('\n')
+    sb.append("</PcGts>")
+    sb.toString
+  }
+}

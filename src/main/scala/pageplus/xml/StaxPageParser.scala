@@ -1,0 +1,313 @@
+package pageplus.xml
+
+import java.io.ByteArrayInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import pageplus.model._
+
+/** StAX pull-parser: PAGE-XML bytes -> [[PageDoc]], one call per row.
+  *
+  * Spark-first replacement of the reference's per-file lxml DOM load
+  * (io/parser.py:5-20): designed to run inside `mapPartitions` with the
+  * `XMLInputFactory` reused per thread, no DOM materialization, single pass
+  * (the reference parses every file twice — sniff io/utils.py:36-44 + load).
+  *
+  * Faithfulness notes:
+  *  - namespace is discovered from the root element (dynamic per file, like
+  *    `tree.xpath('namespace-uri(.)')`), and a non-PAGE namespace or malformed
+  *    XML yields `parseOk=false` instead of the reference's silent file drop
+  *    (io/utils.py:42-47).
+  *  - reading order: last OrderedGroup wins, refs sorted by int(@index), stable
+  *    (models/page.py:45-57).
+  *  - `Unicode` text is the concatenation of all character data in the element
+  *    (itertext-equivalent; the corpus has no nested elements under Unicode).
+  */
+object StaxPageParser {
+
+  val PageNsPrefix = "http://schema.primaresearch.org/PAGE/gts/pagecontent/"
+
+  private val factories = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+      f
+    }
+  }
+
+  private def empty(url: String, ok: Boolean, err: String): PageDoc =
+    PageDoc(url, "", 0, 0, "", Nil, Nil, Nil, ok, err)
+
+  def parse(url: String, bytes: Array[Byte]): PageDoc = {
+    var r: XMLStreamReader = null
+    try {
+      r = factories.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
+      while (r.hasNext && r.getEventType != XMLStreamConstants.START_ELEMENT) r.next()
+      if (r.getEventType != XMLStreamConstants.START_ELEMENT)
+        return empty(url, ok = false, "xml_parse_error: no root element")
+      val ns = Option(r.getNamespaceURI).getOrElse("")
+      if (!ns.startsWith(PageNsPrefix))
+        return empty(url, ok = false, s"not_page_xml: root namespace '$ns'")
+      parseRoot(url, ns, r)
+    } catch {
+      case e: Exception =>
+        empty(url, ok = false, s"xml_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      if (r != null) try r.close() catch { case _: Exception => }
+    }
+  }
+
+  // ---- internals -----------------------------------------------------------
+
+  private def attr(r: XMLStreamReader, name: String): String = {
+    var i = 0
+    val n = r.getAttributeCount
+    while (i < n) {
+      if (r.getAttributeLocalName(i) == name) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  private def intAttr(r: XMLStreamReader, name: String, dflt: Int): Int = {
+    val v = attr(r, name)
+    if (v == null) dflt else try v.trim.toDouble.toInt catch { case _: NumberFormatException => dflt }
+  }
+
+  /** Skip the remainder of the current element (reader is ON its START_ELEMENT). */
+  private def skipElement(r: XMLStreamReader): Unit = {
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT   => depth -= 1
+        case _                                =>
+      }
+    }
+  }
+
+  /** Collect all character data until the current element ends (itertext-join). */
+  private def readText(r: XMLStreamReader): String = {
+    val sb = new java.lang.StringBuilder
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT   => depth -= 1
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          sb.append(r.getText)
+        case _ =>
+      }
+    }
+    sb.toString
+  }
+
+  private def parsePoints(r: XMLStreamReader): (Boolean, Seq[Pt]) = {
+    val s = attr(r, "points")
+    skipElement(r)
+    if (s == null) (false, Nil)
+    else
+      try (true, PointCodec.parse(s))
+      catch { case _: NumberFormatException => (false, Nil) }
+  }
+
+  private def parseTextEquiv(r: XMLStreamReader, ns: String, unicodeSink: Seq[String] => Unit): TextEquivT = {
+    val idxRaw = attr(r, "index")
+    val idx = if (idxRaw == null) 0 else try idxRaw.trim.toInt catch { case _: NumberFormatException => Int.MinValue }
+    var unicode: String = null
+    val collected = Seq.newBuilder[String]
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          if (r.getLocalName == "Unicode" && ns == r.getNamespaceURI) {
+            val t = readText(r) // consumes up to </Unicode>
+            if (unicode == null) unicode = t
+            if (t.nonEmpty) collected += t
+          } else depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    unicodeSink(collected.result())
+    TextEquivT(idx, if (unicode == null) "" else unicode)
+  }
+
+  private def parseWord(r: XMLStreamReader, ns: String, unicodeSink: Seq[String] => Unit): WordT = {
+    val id = Option(attr(r, "id")).getOrElse("")
+    var hasCoords = false
+    var coords: Seq[Pt] = Nil
+    val texts = Seq.newBuilder[TextEquivT]
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "Coords" =>
+              val (h, c) = parsePoints(r); hasCoords = h; coords = c
+            case "TextEquiv" =>
+              texts += parseTextEquiv(r, ns, unicodeSink)
+            case _ => depth += 1
+          }
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    WordT(id, hasCoords, coords, texts.result())
+  }
+
+  private def parseLine(r: XMLStreamReader, ns: String): LineT = {
+    val id = Option(attr(r, "id")).getOrElse("")
+    var hasCoords = false
+    var coords: Seq[Pt] = Nil
+    var hasBaseline = false
+    var baseline: Seq[Pt] = Nil
+    val texts = Seq.newBuilder[TextEquivT]
+    val words = Seq.newBuilder[WordT]
+    val unicodes = Seq.newBuilder[String]
+    val sink: Seq[String] => Unit = ss => unicodes ++= ss
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "Coords" =>
+              val (h, c) = parsePoints(r); hasCoords = h; coords = c
+            case "Baseline" =>
+              val (h, c) = parsePoints(r); hasBaseline = h; baseline = c
+            case "TextEquiv" =>
+              texts += parseTextEquiv(r, ns, sink)
+            case "Word" =>
+              words += parseWord(r, ns, sink)
+            case _ => depth += 1
+          }
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    LineT(id, hasCoords, coords, hasBaseline, baseline, texts.result(), words.result(), unicodes.result())
+  }
+
+  private def parseCell(r: XMLStreamReader, ns: String): CellT = {
+    val id = Option(attr(r, "id")).getOrElse("")
+    var hasCoords = false
+    var coords: Seq[Pt] = Nil
+    val texts = Seq.newBuilder[TextEquivT]
+    val lines = Seq.newBuilder[LineT]
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "Coords"    => val (h, c) = parsePoints(r); hasCoords = h; coords = c
+            case "TextLine"  => lines += parseLine(r, ns)
+            case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
+            case _           => depth += 1
+          }
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    CellT(id, hasCoords, coords, texts.result(), lines.result())
+  }
+
+  private def parseRegion(r: XMLStreamReader, ns: String, kind: String): RegionT = {
+    val id = Option(attr(r, "id")).getOrElse("")
+    var hasCoords = false
+    var coords: Seq[Pt] = Nil
+    val texts = Seq.newBuilder[TextEquivT]
+    val lines = Seq.newBuilder[LineT]
+    val cells = Seq.newBuilder[CellT]
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "Coords"    => val (h, c) = parsePoints(r); hasCoords = h; coords = c
+            case "TextLine"  => lines += parseLine(r, ns)
+            case "TableCell" => cells += parseCell(r, ns)
+            case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
+            case _           => depth += 1
+          }
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    RegionT(id, kind, hasCoords, coords, texts.result(), lines.result(), cells.result())
+  }
+
+  /** ReadingOrder: every OrderedGroup reassigns the id list; direct-child
+    * RegionRefIndexed sorted by int(@index) — stable, like Python sorted
+    * (models/page.py:48-57). */
+  private def parseReadingOrder(r: XMLStreamReader, ns: String): Seq[String] = {
+    var result: Seq[String] = Nil
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          if (r.getLocalName == "OrderedGroup") {
+            val refs = Seq.newBuilder[(Int, String)]
+            var gd = 1
+            while (gd > 0) {
+              r.next() match {
+                case XMLStreamConstants.START_ELEMENT =>
+                  if (gd == 1 && r.getLocalName == "RegionRefIndexed") {
+                    val idx = intAttr(r, "index", 0)
+                    val ref = Option(attr(r, "regionRef")).getOrElse("")
+                    refs += ((idx, ref))
+                  }
+                  gd += 1
+                case XMLStreamConstants.END_ELEMENT => gd -= 1
+                case _ =>
+              }
+            }
+            // the OrderedGroup END_ELEMENT was consumed by the inner loop: depth unchanged
+            result = refs.result().sortBy(_._1).map(_._2)
+          } else depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    result
+  }
+
+  private def parseRoot(url: String, ns: String, r: XMLStreamReader): PageDoc = {
+    var width = 0
+    var height = 0
+    var imageFilename = ""
+    var readingOrder: Seq[String] = Nil
+    val regions = Seq.newBuilder[RegionT]
+    val docOrderIds = Seq.newBuilder[String]
+    // reader is on the root START_ELEMENT
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "Page" =>
+              width = intAttr(r, "imageWidth", 0)
+              height = intAttr(r, "imageHeight", 0)
+              val f = attr(r, "imageFilename")
+              if (f != null) imageFilename = f
+              depth += 1
+            case "ReadingOrder" =>
+              readingOrder = parseReadingOrder(r, ns)
+            case "TextRegion" =>
+              val reg = parseRegion(r, ns, "text")
+              if (reg.id.nonEmpty) docOrderIds += reg.id
+              regions += reg
+            case "TableRegion" =>
+              val reg = parseRegion(r, ns, "table")
+              if (reg.id.nonEmpty) docOrderIds += reg.id
+              regions += reg
+            case _ => depth += 1
+          }
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+    PageDoc(url, ns, width, height, imageFilename, readingOrder, docOrderIds.result(),
+      regions.result(), parseOk = true, parseError = "")
+  }
+}

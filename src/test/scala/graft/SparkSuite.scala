@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all Spark-backed suites. */
+object SparkSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("pageplusspark-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class ExtractionPipelineSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def chunks(text: String): Seq[String] =
+    text.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+
+  lazy val docs: Map[Long, String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+  }
+
+  test("fulltext_extract matches per-doc chunk recomputation byte for byte") {
+    val got = SparkEntry.queries("fulltext_extract")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == docs.size)
+    docs.foreach { case (id, text) =>
+      assert(got(s"doc://$id") == chunks(text).mkString("\n"), s"doc $id")
+    }
+  }
+
+  test("fulltext is invariant under salted repartition and partition count (determinism half of scaling)") {
+    import pageplus.data.PagesFromDocuments
+    import pageplus.spark.Pipeline
+    val pages = PagesFromDocuments.clean(spark, sf).toDF()
+    val a = Pipeline.fulltext(pages, saltPartitions = 0).collect().map(e => e.url -> e.extracted_text).toMap
+    val b = Pipeline.fulltext(pages, saltPartitions = 3).collect().map(e => e.url -> e.extracted_text).toMap
+    val c = Pipeline.fulltext(pages.repartition(17), saltPartitions = 0).collect().map(e => e.url -> e.extracted_text).toMap
+    assert(a == b && a == c)
+  }
+
+  test("fulltext_ro_lastwins returns only the last reading-order region's lines") {
+    val got = SparkEntry.queries("fulltext_ro_lastwins")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val ls = chunks(text)
+      assert(got(s"doc://$id") == ls.drop(ls.size / 2).mkString("\n"), s"doc $id")
+    }
+  }
+
+  test("page_stats matches reference counter semantics recomputed") {
+    val got = SparkEntry.queries("page_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    docs.foreach { case (id, text) =>
+      val ls = chunks(text)
+      val words = ls.map(_.split(" ").count(_.nonEmpty)).sum.toLong
+      val glyphs = ls.map(_.length.toLong).sum
+      assert(got(s"doc://$id") == ((1L, 0L, 0L, ls.size.toLong, words, glyphs)), s"doc $id")
+    }
+  }
+
+  test("malformed and non-page rows survive as error rows, good rows unaffected") {
+    import spark.implicits._
+    import pageplus.spark.Pipeline
+    val rows = Seq(
+      ("ok", pageplus.xml.PageXmlWriter.write(pageplus.data.PagesFromDocuments.cleanDoc(1, "a b")).getBytes("UTF-8")),
+      ("bad", "<PcGts".getBytes("UTF-8")),
+      ("notpage", """<r xmlns="http://x/"/>""".getBytes("UTF-8")))
+      .toDF("url", "html")
+    val docs = Pipeline.parse(rows).collect().map(d => d.url -> d).toMap
+    assert(docs("ok").parseOk)
+    assert(!docs("bad").parseOk && docs("bad").parseError.startsWith("xml_parse_error"))
+    assert(!docs("notpage").parseOk && docs("notpage").parseError.startsWith("not_page_xml"))
+  }
+
+  test("entry smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
+
+class QueriesSmokeSpec extends AnyFunSuite {
+  import SparkSuite._
+  test("every declared query runs on sf0.001 and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  }
+}
