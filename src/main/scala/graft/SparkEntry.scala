@@ -52,6 +52,124 @@ object SparkEntry {
           sum("glyphs").as("glyphs"))
     }),
 
+    "fulltext_columnar" -> ((s, dir) => {
+      // Catalyst/codegen variant of extraction: explode regions -> lines ->
+      // unicodes, deterministic array_sort reassembly (SURVEY §2.8)
+      val parsed = Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF()).toDF()
+      parsed
+        .select(col("url"), posexplode(col("regions")).as(Seq("ridx", "region")))
+        .select(col("url"), col("ridx"), posexplode(col("region.lines")).as(Seq("lidx", "line")))
+        .select(col("url"), col("ridx"), col("lidx"), posexplode(col("line.unicodes")).as(Seq("uidx", "txt")))
+        .groupBy("url")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ridx"), col("lidx"), col("uidx"), col("txt")))),
+            x => x.getField("txt")),
+          "\n").as("extracted_text"))
+    }),
+    "fulltext_with_words" -> ((s, dir) => {
+      // word-level Unicode is included by `.//Unicode` extraction (models/page.py:149-150)
+      Pipeline.fulltext(PagesFromDocuments.withWords(s, dir).toDF()).toDF()
+    }),
+    "validation_report" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF())
+        .flatMap(pageplus.ops.Validate.page _)
+        .select(col("url"), col("elementId").as("element_id"), col("rule"))
+    }),
+    "repair_summary" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF())
+        .flatMap(d => pageplus.ops.Repair.page(d)._2)
+        .groupBy("url")
+        .agg(
+          sum(when(col("rule") === "hull_applied", 1L).otherwise(0L)).as("n_hull"),
+          sum(when(col("rule") === "baseline_missing", 1L).otherwise(0L)).as("n_baseline_missing"),
+          sum(when(col("rule") === "baseline_outside", 1L).otherwise(0L)).as("n_baseline_outside"))
+        .filter(col("n_hull") + col("n_baseline_missing") + col("n_baseline_outside") > 0)
+    }),
+    "repair_extract" -> ((s, dir) => {
+      // repair never touches text: extraction after repair stays byte-identical
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF())
+        .map(d => pageplus.ops.Repair.page(d)._1)
+        .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
+        .toDF()
+    }),
+    "dsv_export" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+        .flatMap(pageplus.text.Dsv.rows _)
+        .toDF()
+    }),
+    "extend_lines" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+        .map(d => pageplus.ops.Extend.extendLines(d)._1)
+        .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
+          val poly = pageplus.geo.Geo.polygon(l.coords)
+          val sides = pageplus.geo.Geo.sideLengths(pageplus.geo.Geo.mrr(poly))
+          (d.url, l.id, poly.getArea.toLong, sides.head.toLong, sides.last.toLong)
+        })
+        .toDF("url", "id", "area", "width", "length")
+    }),
+    "sort_and_merge" -> ((s, dir) => {
+      // split lines reassemble to the exact clean extraction (SURVEY §2.7)
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.splitLines(s, dir).toDF())
+        .map(d => pageplus.ops.Merge.sortAndMerge(d)._1)
+        .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
+        .toDF()
+    }),
+    "delete_words" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.withWords(s, dir).toDF())
+        .map(pageplus.ops.Delete.words _)
+        .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
+        .toDF()
+    }),
+    "delete_line_textequiv" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.withWords(s, dir).toDF())
+        .map(pageplus.ops.Delete.lineTextEquiv _)
+        .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
+        .toDF()
+    }),
+    "delete_textlines" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+        .map(pageplus.ops.Delete.textlines _)
+        .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
+        .toDF()
+    }),
+    "pseudo_literal_report" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+        .flatMap(d => pageplus.ops.Baseline.pseudoLinePolygonLiteral(d)._2)
+        .select(col("url"), col("elementId").as("element_id"), col("rule"))
+    }),
+    "pseudo_intended" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+        .map(d => pageplus.ops.Baseline.pseudoLinePolygonIntended(d)._1)
+        .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
+          val poly = pageplus.geo.Geo.polygon(l.coords)
+          val sides = pageplus.geo.Geo.sideLengths(pageplus.geo.Geo.mrr(poly))
+          (d.url, l.id, l.baseline.head.x, l.baseline.head.y, l.baseline.last.x, l.baseline.last.y,
+            poly.getArea.toLong, sides.head.toLong, sides.last.toLong)
+        })
+        .toDF("url", "id", "bl_sx", "bl_sy", "bl_ex", "bl_ey", "area", "width", "length")
+    }),
+    "extend_baseline" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+        .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
+          val bl = pageplus.ops.Baseline.extendBaseline(l).getOrElse(l.baseline)
+          (d.url, l.id, bl.head.x, bl.head.y, bl.last.x, bl.last.y)
+        })
+        .toDF("url", "id", "bl_sx", "bl_sy", "bl_ex", "bl_ey")
+    }),
+
     // ---- relational surface (SURVEY §2.4/§2.9/§2.11 equivalents on TPC-H-ish data) ----
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -192,6 +310,86 @@ object SparkEntry {
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS words,
         |       CAST(sum(length(text) - ceil(len(string_split(text,' ')) / 8.0) + 1) AS BIGINT) AS glyphs
         |FROM documents""".stripMargin,
+    "fulltext_columnar" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "fulltext_with_words" ->
+      """SELECT 'doc://'||doc_id AS url,
+        |  array_to_string(flatten([[words[(i-1)*8+1],
+        |                            array_to_string(words[(i-1)*8+1:(i-1)*8+8],' ')]
+        |                           for i in range(1, CAST(ceil(len(words)/8.0) AS BIGINT)+1)]), chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)""".stripMargin,
+    "validation_report" ->
+      """WITH d AS (SELECT doc_id, 'doc://'||doc_id AS url, doc_id % 5 AS m FROM documents)
+        |SELECT url, 'r0l0' AS element_id, 'ring_not_valid' AS rule FROM d WHERE m = 1
+        |UNION ALL SELECT url, 'r0l0', 'baseline_missing' FROM d WHERE m = 1
+        |UNION ALL SELECT url, 'r0l0', 'insufficient_points' FROM d WHERE m = 2
+        |UNION ALL SELECT url, 'r0l0', 'baseline_missing' FROM d WHERE m = 3
+        |UNION ALL SELECT url, 'r0l0', 'baseline_outside' FROM d WHERE m = 4
+        |UNION ALL SELECT url, 'r0lE', 'text_empty' FROM d WHERE doc_id % 7 = 0""".stripMargin,
+    "repair_summary" ->
+      """SELECT 'doc://'||doc_id AS url,
+        |       CAST(CASE WHEN doc_id%5 IN (1,2) THEN 1 ELSE 0 END AS BIGINT) AS n_hull,
+        |       CAST(CASE WHEN doc_id%5 IN (1,3) THEN 1 ELSE 0 END AS BIGINT) AS n_baseline_missing,
+        |       CAST(CASE WHEN doc_id%5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_baseline_outside
+        |FROM documents WHERE doc_id%5 IN (1,2,3,4)""".stripMargin,
+    "repair_extract" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "dsv_export" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+        |     l AS (SELECT doc_id, words, CAST(ceil(len(words)/8.0) AS BIGINT) AS nl FROM d)
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       array_to_string(words[(i-1)*8+1:(i-1)*8+8], ' ') AS text,
+        |       0 AS region,
+        |       120 AS start_x, 100+60*(i-1)+40 AS start_y,
+        |       500 AS mean_x, 100+60*(i-1)+40 AS mean_y,
+        |       880 AS end_x, 100+60*(i-1)+40 AS end_y,
+        |       40000 AS area, 50 AS width, 800 AS length
+        |FROM l, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
+    "extend_lines" ->
+      """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents),
+        |     g AS (SELECT doc_id, nl, i,
+        |                  CASE WHEN nl = 1 THEN 76 WHEN i = 1 THEN 71 WHEN i = nl THEN 65 ELSE 60 END AS h
+        |           FROM d, UNNEST(generate_series(1, nl)) AS t(i))
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       CAST(832*h AS BIGINT) AS area, CAST(h AS BIGINT) AS width, CAST(832 AS BIGINT) AS length
+        |FROM g""".stripMargin,
+    "sort_and_merge" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "delete_words" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "delete_line_textequiv" ->
+      """SELECT 'doc://'||doc_id AS url,
+        |  array_to_string([words[(i-1)*8+1] for i in range(1, CAST(ceil(len(words)/8.0) AS BIGINT)+1)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)""".stripMargin,
+    "delete_textlines" ->
+      """SELECT 'doc://'||doc_id AS url, '' AS extracted_text FROM documents""".stripMargin,
+    "pseudo_literal_report" ->
+      """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS element_id, 'pseudo_error' AS rule
+        |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
+    "pseudo_intended" ->
+      """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       104 AS bl_sx, 100+60*(i-1)+50 AS bl_sy, 896 AS bl_ex, 100+60*(i-1)+50 AS bl_ey,
+        |       CAST(25344 AS BIGINT) AS area, CAST(32 AS BIGINT) AS width, CAST(792 AS BIGINT) AS length
+        |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
+    "extend_baseline" ->
+      """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       100 AS bl_sx, 100+60*(i-1)+40 AS bl_sy, 900 AS bl_ex, 100+60*(i-1)+40 AS bl_ey
+        |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -108,6 +108,54 @@ object PagesFromDocuments {
     base.copy(regions = Seq(region.copy(lines = withEmpty)))
   }
 
+  /** Lines carry a Word element for their FIRST word (word-level Unicode comes
+    * before the line TextEquiv in document order), so `.//Unicode` extraction
+    * sees [word1, lineText] per line (models/page.py:149-150 semantics). */
+  def wordDoc(docId: Long, text: String): PageDoc = {
+    val base = cleanDoc(docId, text)
+    val region = base.regions.head
+    val lines = region.lines.zipWithIndex.map { case (l, i) =>
+      val w1 = l.getText.takeWhile(_ != ' ')
+      val y0 = 100 + 60 * i
+      val word = WordT(s"${l.id}w0", hasCoords = true,
+        Seq(Pt(120, y0 + 20), Pt(200, y0 + 20), Pt(200, y0 + 45), Pt(120, y0 + 45)),
+        Seq(TextEquivT(0, w1)))
+      l.copy(words = Seq(word), unicodes = Seq(w1, l.getText))
+    }
+    base.copy(regions = Seq(region.copy(lines = lines)))
+  }
+
+  /** Every FULL 8-word chunk is split into two adjacent TextLines (5 + 3 words)
+    * whose baselines leave a (50, 0) gap — under merge_splitted_lines'
+    * (64, 12) thresholds — so `sort_and_merge` must reassemble exactly the
+    * clean extraction (models/text_elements.py:138-207). Partial trailing
+    * chunks stay single lines. */
+  def splitLinesDoc(docId: Long, text: String): PageDoc = {
+    val words = if (text == null || text.isEmpty) Array.empty[String] else text.split(" ", -1)
+    val chunks = words.grouped(WordsPerLine).toSeq
+    val lines = chunks.zipWithIndex.flatMap { case (chunk, i) =>
+      val y0 = 100 + 60 * i
+      if (chunk.length == WordsPerLine) {
+        val (a, b) = (chunk.take(5).mkString(" "), chunk.drop(5).mkString(" "))
+        Seq(
+          LineT(s"r0l${i}a", hasCoords = true,
+            Seq(Pt(100, y0), Pt(480, y0), Pt(480, y0 + 50), Pt(100, y0 + 50)),
+            hasBaseline = true, Seq(Pt(120, y0 + 40), Pt(460, y0 + 40)),
+            Seq(TextEquivT(0, a)), Nil, Seq(a)),
+          LineT(s"r0l${i}b", hasCoords = true,
+            Seq(Pt(500, y0), Pt(900, y0), Pt(900, y0 + 50), Pt(500, y0 + 50)),
+            hasBaseline = true, Seq(Pt(510, y0 + 40), Pt(890, y0 + 40)),
+            Seq(TextEquivT(0, b)), Nil, Seq(b)))
+      } else {
+        val t = chunk.mkString(" ")
+        Seq(mkLine(s"r0l$i", i, t))
+      }
+    }
+    val region = RegionT("r0", "text", hasCoords = true, regionCoords(chunks.size), Nil, lines, Nil)
+    PageDoc(url(docId), Ns, 2000, 100 + 60 * chunks.size + 60, s"p$docId.png",
+      Nil, Seq("r0"), Seq(region), parseOk = true, parseError = "")
+  }
+
   // ---- DataFrame lifters ----------------------------------------------------
 
   private def lift(spark: SparkSession, sfDir: String)(build: (Long, String) => PageDoc): Dataset[PageRow] = {
@@ -126,4 +174,6 @@ object PagesFromDocuments {
   def clean(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(cleanDoc)
   def twoRegion(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(twoRegionDoc)
   def corrupt(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(corruptDoc)
+  def withWords(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(wordDoc)
+  def splitLines(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(splitLinesDoc)
 }

@@ -1,0 +1,49 @@
+package pageplus.text
+
+import org.locationtech.jts.geom.{LineString, Polygon}
+
+import pageplus.geo.Geo
+import pageplus.model._
+
+/** `export dsv` line-grain rows (cli/export.py:97-126).
+  *
+  * Literal semantics: only TEXT regions (table cells excluded); `region` is the
+  * index of the textregion in document order; start/end are baseline BOUNDS
+  * (minx,miny)/(maxx,maxy), not endpoints; mean is the baseline centroid;
+  * area/width/length come from the coords minimum rotated rectangle (shortest /
+  * longest side); -1 sentinels when baseline / coords are unusable; the
+  * reference's `if line.get_text is None` compares a bound method and never
+  * skips, so textless lines still emit (cli/export.py:102).
+  */
+object Dsv {
+
+  final case class DsvRow(
+      url: String, id: String, text: String, region: Int,
+      start_x: Int, start_y: Int, mean_x: Int, mean_y: Int, end_x: Int, end_y: Int,
+      area: Int, width: Int, length: Int)
+
+  def rows(doc: PageDoc): Seq[DsvRow] =
+    doc.textRegions.zipWithIndex.flatMap { case (r, rid) =>
+      r.lines.map { line =>
+        val (sx, sy, mx, my, ex, ey) =
+          if (line.hasBaseline && line.baseline.size >= 2) {
+            val bl: LineString = Geo.lineString(line.baseline)
+            val env = bl.getEnvelopeInternal
+            val c = bl.getCentroid
+            (env.getMinX.toInt, env.getMinY.toInt, c.getX.toInt, c.getY.toInt,
+              env.getMaxX.toInt, env.getMaxY.toInt)
+          } else (-1, -1, -1, -1, -1, -1)
+        val (area, width, len) =
+          if (line.hasCoords && line.coords.size >= 3) {
+            Geo.mrr(Geo.polygon(line.coords)) match {
+              case p: Polygon =>
+                val sides = Geo.sideLengths(p)
+                (p.getArea.toInt, sides.head.toInt, sides.last.toInt)
+              case _ => (-1, -1, -1) // degenerate mrr: reference would crash; engine contains
+            }
+          } else (-1, -1, -1)
+        DsvRow(doc.url, line.id, Option(line.getText).getOrElse(""), rid,
+          sx, sy, mx, my, ex, ey, area, width, len)
+      }
+    }
+}
