@@ -277,6 +277,90 @@ object SparkEntry {
           sum(size(split(col("text"), " ", -1)).cast("long")).as("total_tokens"),
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"))
+    }),
+    "token_count_regex" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(graft.textops.TextHash.TokenRegex), lit(0)))
+          .cast("long").as("n_regex_tokens"))
+    }),
+    "multimodal_features" -> ((s, dir) => {
+      graft.textops.Multimodal.extractFeatures(
+        graft.textops.Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
+    }),
+
+    // ---- dedup / similarity / ANN (rows-only checks; ScalaTest asserts content) ----
+    "minhash_neardup" -> ((s, dir) => {
+      graft.textops.Dedup.minhashPairs(
+        graft.textops.Dedup.planted(t(s, dir, "documents")), threshold = 0.8)
+    }),
+    "simhash_neardup" -> ((s, dir) => {
+      graft.textops.Dedup.simhashPairs(
+        graft.textops.Dedup.plantedTail(t(s, dir, "documents")), maxHamming = 12)
+    }),
+    "ngram_jaccard" -> ((s, dir) => {
+      graft.textops.Dedup.ngramJaccardPairs(
+        graft.textops.Dedup.planted(t(s, dir, "documents")), threshold = 0.8)
+    }),
+    "embedding_neardup" -> ((s, dir) => {
+      graft.textops.Ann.nearDupPairs(
+        graft.textops.Ann.plantedEmbeddings(t(s, dir, "embeddings")), threshold = 0.999)
+    }),
+    "ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      graft.textops.Ann.bruteForceTopK(emb, queries, k = 5)
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      graft.textops.Ann.lshTopK(emb, queries, k = 5)
+    }),
+    "lang_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val (lang, score) = graft.textops.TextHash.langId(text)
+          (id, lang, math.rint(score * 1e4) / 1e4)
+        }
+        .toDF("doc_id", "lang_pred", "score")
+    }),
+    // ---- scale plumbing: streaming / checkpoint-resume / lineage ----
+    "stream_extract" -> ((s, dir) => {
+      // same transforms under Structured Streaming; must equal the batch answer
+      pageplus.streaming.StreamingExtract.extractOnce(s, dir)
+    }),
+    "checkpoint_resume" -> ((s, dir) => {
+      // commit the even-doc_id half, then resume: only the odd half is pending
+      val manifestDir = java.nio.file.Files
+        .createTempDirectory("graft_manifest_").toString
+      val pages = PagesFromDocuments.clean(s, dir).toDF()
+      val docIdFromUrl = expr("CAST(substring(url, 7) AS LONG)")
+      pageplus.spark.Checkpoint.commit(
+        pages.filter(docIdFromUrl % 2 === 0).select("url"), manifestDir)
+      val pending = pageplus.spark.Checkpoint.pending(pages, manifestDir)
+      Pipeline.fulltext(pending).toDF()
+    }),
+    "lineage_metrics" -> ((s, dir) => {
+      // per-partition lineage over the salted layout; totals are checked by test
+      val salted = Pipeline.saltByUrl(
+        PagesFromDocuments.clean(s, dir).toDF().select("url", "html"), 8)
+      salted
+        .select(spark_partition_id().as("partition_id"),
+          length(col("html")).cast("long").as("bytes"))
+        .groupBy("partition_id")
+        .agg(count(lit(1)).as("docs"), sum("bytes").as("bytes"))
+    }),
+    "doc_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val (grams, fp) = graft.textops.TextHash.winnow(text)
+          (id, fp, grams.size.toLong)
+        }
+        .toDF("doc_id", "fingerprint", "n_grams")
     })
   )
 
@@ -455,6 +539,27 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+    "stream_extract" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "checkpoint_resume" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |WHERE doc_id % 2 = 1""".stripMargin,
+    "token_count_regex" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
+        |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, 'fake-image' AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(list_sum([ascii(c) for c in string_split(text,'')]) AS BIGINT) AS sum_bytes,
+        |       CAST(list_max([ascii(c) for c in string_split(text,'')]) AS INT) AS max_byte
+        |FROM documents""".stripMargin
   )
 }

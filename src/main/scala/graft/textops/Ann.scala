@@ -1,0 +1,173 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding: array<float>, label)`).
+  *
+  * Brute-force baseline: broadcast the (small) query set, compute per-partition
+  * top-k heaps map-side, merge per query — the shuffle carries only
+  * numPartitions x numQueries x k rows, never the corpus. The scale path is a
+  * multi-table random-hyperplane LSH (L tables of b sign bits, 1-bit multiprobe
+  * per table), exact rerank of candidates only.
+  */
+object Ann {
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Per-query top-k merge, deterministic tie-break (sim desc, id asc). */
+  private def mergeTopK(k: Int, xs: Seq[(Long, Double)], ys: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    (xs ++ ys).sortBy { case (id, sim) => (-sim, id) }.take(k)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, sim). Self-matches excluded. */
+  def bruteForceTopK(embeddings: DataFrame, queries: Map[Long, Array[Float]], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries.toSeq.sortBy(_._1))
+    val partial = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+        it.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.size) {
+            val (qid, qv) = qs(qi)
+            if (qid != id) {
+              val sim = cosine(qv, v)
+              val h = heaps(qi)
+              h += ((id, sim))
+              if (h.size > 4 * k) {
+                val kept = h.sortBy { case (i2, s) => (-s, i2) }.take(k)
+                h.clear(); h ++= kept
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.indices.iterator.map { qi =>
+          (qs(qi)._1, heaps(qi).sortBy { case (i2, s) => (-s, i2) }.take(k).toSeq)
+        }
+      }
+      .groupByKey(_._1)
+      .reduceGroups((x, y) => (x._1, mergeTopK(k, x._2, y._2)))
+      .map(_._2)
+    partial.flatMap { case (qid, tops) =>
+      tops.zipWithIndex.map { case ((nid, sim), r) => (qid, nid, r + 1, math.rint(sim * 1e6) / 1e6) }
+    }.toDF("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  // ---- random-hyperplane LSH ---------------------------------------------------
+
+  /** Multi-table random-hyperplane LSH: L independent tables of `bits` sign
+    * bits each, plus 1-bit multiprobe per table. Tune `bits` up for bigger
+    * corpora (target ~corpus/2^bits vectors per bucket: ~20 bits at 10^9
+    * vectors) and `tables` up for recall. */
+  val LshBits = 6
+  val LshTables = 4
+  private val MaxBits = 32
+  private val Dim = 64
+
+  /** Fixed pseudo-random hyperplanes per (table, bit), seeded constants. */
+  private lazy val hyperplanes: Array[Array[Array[Double]]] =
+    Array.tabulate(LshTables) { t =>
+      Array.tabulate(MaxBits) { b =>
+        Array.tabulate(Dim) { d =>
+          val u = TextHash.splitmix64(0xA11CE000L + t * 7919L * MaxBits + b * 1009L + d)
+          u.toDouble / Long.MaxValue.toDouble // roughly uniform [-1,1]
+        }
+      }
+    }
+
+  /** Sign-bit bucket of `v` in one table; key carries the table id. */
+  def lshBucket(v: Array[Float], table: Int = 0, bits: Int = LshBits): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      val h = hyperplanes(table)(b)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(Dim, v.length)
+      while (d < n) { dot += h(d) * v(d); d += 1 }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    (table.toLong << 32) | bucket
+  }
+
+  /** All tables' buckets for an indexed vector. */
+  def indexBuckets(v: Array[Float], bits: Int = LshBits, tables: Int = LshTables): Seq[Long] =
+    (0 until tables).map(t => lshBucket(v, t, bits))
+
+  /** Per-table bucket + 1-bit-flip probes for a query vector. */
+  def probeBuckets(v: Array[Float], bits: Int = LshBits, tables: Int = LshTables): Seq[Long] =
+    (0 until tables).flatMap { t =>
+      val b0 = lshBucket(v, t, bits)
+      b0 +: (0 until bits).map(b => b0 ^ (1L << b))
+    }
+
+  /** LSH-bucketed ANN: candidates from the query's probe buckets, exact rerank.
+    * Same output shape as [[bruteForceTopK]]. */
+  def lshTopK(embeddings: DataFrame, queries: Map[Long, Array[Float]], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .flatMap { case (id, v) => indexBuckets(v).map(b => (id, v, b)) }
+      .toDF("vec_id", "embedding", "bucket")
+    val queryBuckets = queries.toSeq.flatMap { case (qid, v) =>
+      probeBuckets(v).map(b => (qid, b))
+    }.toDF("query_id", "bucket")
+    val bc = spark.sparkContext.broadcast(queries)
+    bucketed.join(broadcast(queryBuckets), "bucket")
+      .select(col("query_id"), col("vec_id"), col("embedding"))
+      .distinct() // a candidate may match in several tables
+      .as[(Long, Long, Array[Float])]
+      .flatMap { case (qid, id, v) =>
+        if (qid == id) None
+        else Some((qid, id, cosine(bc.value(qid), v)))
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH bucket self-join + exact cosine
+    * threshold. Planted twins (same vector, id + offset) land in the same
+    * bucket by construction. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.999): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, lshBucket(v)) }
+      .toDF("vec_id", "embedding", "bucket")
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.embedding").as("va"), col("y.embedding").as("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (a, b, va, vb) => (a, b, math.rint(cosine(va, vb) * 1e6) / 1e6) }
+      .toDF("a", "b", "cos")
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Plant exact-duplicate embeddings (vec_id + offset, identical vector). */
+  def plantedEmbeddings(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val twin = embeddings.select((col("vec_id") + Dedup.PlantOffset).as("vec_id"), col("embedding"))
+    base.unionByName(twin)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id, text, ...)` table:
+  * exact (hash group-by), MinHash+LSH (shingle -> minhash -> band -> bucket
+  * self-join -> exact-Jaccard verify), SimHash (chunk-key candidates -> hamming),
+  * and n-gram Jaccard rerank.
+  *
+  * Scale notes (100 TB shape): signatures are computed map-side with zero
+  * shuffle; the only shuffles are the band-key self-join (keys are uniform
+  * 64-bit hashes — exact-duplicate clusters are the one skew source, handled by
+  * AQE skew-join at scale) and the final candidate->text verify joins, which
+  * touch only candidate rows, not the corpus.
+  */
+object Dedup {
+
+  /** Deterministically plant near-duplicates: every doc gets a twin
+    * (doc_id + PlantOffset) with the first word dropped — word-shingle Jaccard
+    * (n-3)/(n-2), well above threshold for realistic docs. */
+  val PlantOffset = 1000000L
+
+  def planted(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val twin = docs.select(
+      (col("doc_id") + PlantOffset).as("doc_id"),
+      // drop first word: substring after the first space (docs are single-spaced)
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    base.unionByName(twin)
+  }
+
+  /** Same but perturbing the tail (for SimHash). */
+  def plantedTail(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val twin = docs.select(
+      (col("doc_id") + PlantOffset).as("doc_id"),
+      expr("substring(text, 1, length(text) - instr(reverse(text), ' '))").as("text"))
+    base.unionByName(twin)
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (a, b, jaccard) with a < b and jaccard >= threshold. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val sig = TextHash.minHashSignature(TextHash.wordShingles(t))
+        TextHash.bandKeys(sig).map(b => (id, b))
+      })
+      .toDF("doc_id", "band")
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(docs, candidates, threshold)
+  }
+
+  /** Exact word-shingle Jaccard for candidate pairs (join back to texts —
+    * touches only candidates, not the corpus). */
+  def verifyJaccard(docs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ta = docs.select(col("doc_id").as("a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("b"), col("text").as("text_b"))
+    candidates.join(ta, "a").join(tb, "b")
+      .select(col("a"), col("b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, x, y) =>
+        (a, b, TextHash.jaccard(TextHash.wordShingles(x), TextHash.wordShingles(y)))
+      }
+      .toDF("a", "b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
+  /** SimHash near-duplicate pairs: 16-bit chunk keys for candidates, hamming
+    * distance filter. Returns (a, b, hamming). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextHash.simHash(t)) })
+      .toDF("doc_id", "sim")
+    val chunks = sigs.as[(Long, Long)]
+      .flatMap { case (id, h) => TextHash.simHashChunks(h).map(c => (id, h, c)) }
+      .toDF("doc_id", "sim", "chunk")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (a, b, ha, hb) => (a, b, TextHash.hamming(ha, hb)) }
+      .toDF("a", "b", "hamming")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact char n-gram Jaccard rerank of MinHash candidates. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        TextHash.bandKeys(TextHash.minHashSignature(TextHash.wordShingles(t))).map(b => (id, b))
+      }).toDF("doc_id", "band")
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val ta = docs.select(col("doc_id").as("a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("b"), col("text").as("text_b"))
+    candidates.join(ta, "a").join(tb, "b")
+      .select(col("a"), col("b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, x, y) =>
+        (a, b, TextHash.jaccard(TextHash.charShingles(x, n), TextHash.charShingles(y, n)))
+      }
+      .toDF("a", "b", "ngram_jaccard")
+      .filter(col("ngram_jaccard") >= threshold)
+      .withColumn("ngram_jaccard", round(col("ngram_jaccard"), 6))
+  }
+}

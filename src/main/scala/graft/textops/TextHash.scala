@@ -1,0 +1,193 @@
+package graft.textops
+
+import pageplus.model.PyStr
+
+/** Deterministic hashing + text-analysis primitives for the large-scale
+  * training-data operators (dedup, similarity, fingerprinting, language id).
+  * Everything is a pure function of its inputs — no wall clock, no per-run
+  * randomness (permutation seeds are fixed constants), so results are stable
+  * across partitionings and cluster sizes.
+  */
+object TextHash {
+
+  /** 64-bit FNV-1a over UTF-8 bytes — stable scalar string hash. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 — used to derive per-permutation constants from a fixed seed. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Word k-shingles hashed to Long (k consecutive tokens joined). */
+  def wordShingles(text: String, k: Int = 3): Set[Long] = {
+    val toks = PyStr.split(text)
+    if (toks.size < k) Set(fnv64(toks.mkString(" ")))
+    else toks.sliding(k).map(w => fnv64(w.mkString(" "))).toSet
+  }
+
+  /** Character n-gram shingles hashed to Long. */
+  def charShingles(text: String, n: Int = 3): Set[Long] = {
+    if (text.length < n) return Set(fnv64(text))
+    (0 to text.length - n).iterator.map(i => fnv64(text.substring(i, i + n))).toSet
+  }
+
+  // ---- MinHash ---------------------------------------------------------------
+
+  val MinHashPerms = 64
+  val MinHashBands = 16
+  val MinHashRows: Int = MinHashPerms / MinHashBands // 4
+
+  private val permA: Array[Long] =
+    Array.tabulate(MinHashPerms)(i => splitmix64(0x5eed0001L + i) | 1L) // odd multipliers
+  private val permB: Array[Long] =
+    Array.tabulate(MinHashPerms)(i => splitmix64(0x5eed1001L + i))
+
+  /** MinHash signature over a shingle set: h_i(x) = a_i*x + b_i (mod 2^64),
+    * min per permutation. */
+  def minHashSignature(shingles: Set[Long]): Array[Long] = {
+    val sig = Array.fill(MinHashPerms)(Long.MaxValue)
+    shingles.foreach { s =>
+      var i = 0
+      while (i < MinHashPerms) {
+        val h = permA(i) * s + permB(i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys: hash of each band's rows — equal band key => candidate pair. */
+  def bandKeys(sig: Array[Long]): Array[Long] =
+    Array.tabulate(MinHashBands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < MinHashRows) {
+        h ^= sig(b * MinHashRows + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      h
+    }
+
+  def estimateJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  def jaccard(a: Set[Long], b: Set[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val inter = a.intersect(b).size
+    inter.toDouble / (a.size + b.size - inter)
+  }
+
+  // ---- SimHash ---------------------------------------------------------------
+
+  /** 64-bit SimHash over word-unigram hashes. */
+  def simHash(text: String): Long = {
+    val counts = new Array[Int](64)
+    PyStr.split(text).foreach { tok =>
+      val h = fnv64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** 4 x 16-bit chunk keys for SimHash candidate generation (pigeonhole: any
+    * pair within hamming distance 3 shares at least one chunk; wider distances
+    * are still usually caught because token edits perturb few bits). */
+  def simHashChunks(h: Long): Array[Long] =
+    Array.tabulate(4)(c => (c.toLong << 32) | ((h >>> (16 * c)) & 0xffffL))
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---- Winnowing fingerprint ---------------------------------------------------
+
+  /** Document fingerprint via winnowing (k-gram hashes, window minima).
+    * Returns (set of selected hashes, combined fingerprint). */
+  def winnow(text: String, k: Int = 8, window: Int = 4): (Set[Long], Long) = {
+    if (text.length < k) {
+      val h = fnv64(text)
+      return (Set(h), h)
+    }
+    val grams = Array.tabulate(text.length - k + 1)(i => fnv64(text.substring(i, i + k)))
+    val selected = scala.collection.mutable.LinkedHashSet[Long]()
+    var i = 0
+    while (i + window <= grams.length) {
+      var min = grams(i)
+      var j = i + 1
+      while (j < i + window) { if (grams(j) < min) min = grams(j); j += 1 }
+      selected += min
+      i += 1
+    }
+    var combined = 0xcbf29ce484222325L
+    selected.toSeq.sorted.foreach { h => combined ^= h; combined *= 0x100000001b3L }
+    (selected.toSet, combined)
+  }
+
+  // ---- Language identification (n-gram + stopword heuristic) -------------------
+
+  private val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Set("le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"),
+    "es" -> Set("el", "los", "las", "y", "es", "una", "por", "para", "con", "del"),
+    "zh" -> Set.empty)
+
+  private val TrigramProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "ing", "ion", "and", "ent"),
+    "de" -> Set("sch", "ich", "ein", "cht", "und"),
+    "fr" -> Set("ent", "les", "ion", "que", "eur"),
+    "es" -> Set("ent", "los", "cio", "ado", "que"))
+
+  /** Deterministic language guess: stopword hits (weight 3) + trigram hits;
+    * CJK codepoint share short-circuits to zh; ties broken lexicographically. */
+  def langId(text: String): (String, Double) = {
+    val cps = text.codePoints().toArray
+    if (cps.nonEmpty) {
+      val cjk = cps.count(c => c >= 0x4e00 && c <= 0x9fff)
+      if (cjk.toDouble / cps.length > 0.2) return ("zh", cjk.toDouble / cps.length)
+    }
+    val toks = PyStr.split(text.toLowerCase)
+    if (toks.isEmpty) return ("und", 0.0)
+    val tris = charShinglesStr(text.toLowerCase, 3)
+    val scores = Profiles.keys.filter(_ != "zh").map { lang =>
+      val stop = toks.count(Profiles(lang))
+      val tri = tris.count(TrigramProfiles(lang))
+      lang -> (3.0 * stop + tri) / toks.size
+    }.toSeq.sortBy { case (l, s) => (-s, l) }
+    val (lang, score) = scores.head
+    if (score == 0.0) ("und", 0.0) else (lang, score)
+  }
+
+  private def charShinglesStr(text: String, n: Int): Seq[String] =
+    if (text.length < n) Seq(text)
+    else (0 to text.length - n).map(i => text.substring(i, i + n))
+
+  // ---- Quality ---------------------------------------------------------------
+
+  /** BPE-ish token count: alnum runs + single non-space symbols. */
+  val TokenRegex = "[a-z0-9]+"
+}

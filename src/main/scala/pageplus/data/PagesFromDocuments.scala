@@ -158,9 +158,11 @@ object PagesFromDocuments {
 
   // ---- DataFrame lifters ----------------------------------------------------
 
-  private def lift(spark: SparkSession, sfDir: String)(build: (Long, String) => PageDoc): Dataset[PageRow] = {
+  /** Works on both batch and streaming DataFrames (pure mapPartitions). */
+  def liftDf(docs: DataFrame)(build: (Long, String) => PageDoc): Dataset[PageRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    docs
       .select("doc_id", "text", "lang")
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, lang) =>
@@ -170,6 +172,9 @@ object PagesFromDocuments {
           text, lang)
       })
   }
+
+  private def lift(spark: SparkSession, sfDir: String)(build: (Long, String) => PageDoc): Dataset[PageRow] =
+    liftDf(spark.read.parquet(s"$sfDir/documents.parquet"))(build)
 
   def clean(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(cleanDoc)
   def twoRegion(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(twoRegionDoc)

@@ -17,11 +17,14 @@ object Pipeline {
 
   final case class Extracted(url: String, extracted_text: String)
 
-  /** Explicit url-hash salted repartition (north_rule): spreads giant-document
-    * skew across partitions deterministically. No-op when `partitions <= 0`. */
+  /** Explicit url-hash repartition (north_rule's salted layout): spreads
+    * giant-document skew across partitions deterministically. Hashing url
+    * directly (HashPartitioning on the key) beats a pmod(xxhash64) pre-salt,
+    * which double-hashes into fewer distinct partitions. No-op when
+    * `partitions <= 0`. */
   def saltByUrl(df: DataFrame, partitions: Int): DataFrame =
     if (partitions <= 0) df
-    else df.repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+    else df.repartition(partitions, col("url"))
 
   /** pages(url, warc_ts, html, text, lang) -> (url, extracted_text).
     * The fused hot path: one StAX parse + extraction per row. */

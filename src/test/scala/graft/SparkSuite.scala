@@ -89,6 +89,47 @@ class ExtractionPipelineSpec extends AnyFunSuite {
   }
 }
 
+class ScalePlumbingSpec extends AnyFunSuite {
+  import SparkSuite._
+  import org.apache.spark.sql.functions._
+
+  test("streaming extraction equals batch extraction exactly") {
+    val batch = SparkEntry.queries("fulltext_extract")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val stream = SparkEntry.queries("stream_extract")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stream == batch)
+  }
+
+  test("checkpoint resume processes exactly the uncommitted half, then nothing") {
+    import pageplus.spark.Checkpoint
+    val manifestDir = java.nio.file.Files.createTempDirectory("graft_ckpt_test_").toString
+    val pages = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF()
+    val half = pages.filter(expr("CAST(substring(url, 7) AS LONG) % 2 = 0"))
+    Checkpoint.commit(half.select("url"), manifestDir)
+    val pending1 = Checkpoint.pending(pages, manifestDir)
+    assert(pending1.count() == pages.count() - half.count())
+    // committing the remainder leaves nothing pending (idempotent re-run)
+    Checkpoint.commit(pending1.select("url"), manifestDir)
+    assert(Checkpoint.pending(pages, manifestDir).count() == 0)
+  }
+
+  test("lineage metrics totals are exact and invariant under salt partition count") {
+    import pageplus.spark.Pipeline
+    val pages = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF().select("url", "html")
+    val directBytes = pages.select(sum(length(col("html")).cast("long"))).collect()(0).getLong(0)
+    for (parts <- Seq(3, 8)) {
+      val m = Pipeline.saltByUrl(pages, parts)
+        .select(spark_partition_id().as("pid"), length(col("html")).cast("long").as("b"))
+        .groupBy("pid").agg(count(lit(1)).as("docs"), sum("b").as("bytes"))
+        .collect()
+      assert(m.map(_.getLong(1)).sum == 500L, s"parts=$parts docs")
+      assert(m.map(_.getLong(2)).sum == directBytes, s"parts=$parts bytes")
+      assert(m.length == parts, s"parts=$parts used")
+    }
+  }
+}
+
 class QueriesSmokeSpec extends AnyFunSuite {
   import SparkSuite._
   test("every declared query runs on sf0.001 and returns rows") {

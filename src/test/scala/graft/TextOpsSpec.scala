@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.textops._
+
+class TextHashSpec extends AnyFunSuite {
+  test("jaccard of planted variant (drop first word) is (n-3)/(n-2) for distinct shingles") {
+    val words = (1 to 20).map("w" + _)
+    val t1 = words.mkString(" ")
+    val t2 = words.drop(1).mkString(" ")
+    val j = TextHash.jaccard(TextHash.wordShingles(t1), TextHash.wordShingles(t2))
+    assert(math.abs(j - 17.0 / 18.0) < 1e-9)
+  }
+  test("minhash estimate approximates true jaccard") {
+    val t1 = (1 to 50).map("w" + _).mkString(" ")
+    val t2 = (3 to 50).map("w" + _).mkString(" ")
+    val est = TextHash.estimateJaccard(
+      TextHash.minHashSignature(TextHash.wordShingles(t1)),
+      TextHash.minHashSignature(TextHash.wordShingles(t2)))
+    val truth = TextHash.jaccard(TextHash.wordShingles(t1), TextHash.wordShingles(t2))
+    assert(math.abs(est - truth) < 0.25, s"est=$est truth=$truth")
+  }
+  test("band keys collide for identical signatures and docs share bands at high sim") {
+    val sig = TextHash.minHashSignature(TextHash.wordShingles("a b c d e f"))
+    assert(TextHash.bandKeys(sig).sameElements(TextHash.bandKeys(sig.clone())))
+  }
+  test("simhash hamming small for near-identical, large for unrelated") {
+    val a = (1 to 40).map("w" + _).mkString(" ")
+    val b = (1 to 39).map("w" + _).mkString(" ") // drop last word
+    val c = (100 to 140).map("x" + _).mkString(" ")
+    assert(TextHash.hamming(TextHash.simHash(a), TextHash.simHash(b)) <= 12)
+    assert(TextHash.hamming(TextHash.simHash(a), TextHash.simHash(c)) > 12)
+  }
+  test("winnow fingerprint deterministic and locally stable") {
+    val (g1, f1) = TextHash.winnow("the quick brown fox jumps over the lazy dog")
+    val (g2, f2) = TextHash.winnow("the quick brown fox jumps over the lazy dog")
+    assert(f1 == f2 && g1 == g2 && g1.nonEmpty)
+  }
+  test("langId picks the profile language deterministically") {
+    assert(TextHash.langId("the cat and the dog of the house")._1 == "en")
+    assert(TextHash.langId("der hund und die katze ist nicht da")._1 == "de")
+    assert(TextHash.langId("")._1 == "und")
+  }
+}
+
+class AnnUnitSpec extends AnyFunSuite {
+  test("cosine basics") {
+    assert(Ann.cosine(Array(1f, 0f), Array(1f, 0f)) == 1.0)
+    assert(math.abs(Ann.cosine(Array(1f, 0f), Array(0f, 1f))) < 1e-12)
+    assert(Ann.cosine(Array(2f, 0f), Array(1f, 0f)) == 1.0) // scale invariant
+  }
+  test("lsh bucket identical for identical vectors, probes include base bucket") {
+    val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    assert(Ann.lshBucket(v) == Ann.lshBucket(v.clone()))
+    assert(Ann.probeBuckets(v).head == Ann.lshBucket(v))
+    assert(Ann.probeBuckets(v).size == Ann.LshTables * (Ann.LshBits + 1))
+  }
+}
+
+class DedupSparkSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("minhash_neardup finds every planted pair with jaccard >= 0.8") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = textops.Dedup.minhashPairs(textops.Dedup.planted(docs), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = docs.count()
+    val planted = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + textops.Dedup.PlantOffset)).toSet
+    val found = planted.intersect(pairs)
+    assert(found.size >= (nDocs * 0.98).toInt, s"recall ${found.size}/$nDocs")
+  }
+
+  test("simhash_neardup finds planted tail-variant pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = textops.Dedup.simhashPairs(textops.Dedup.plantedTail(docs), 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + textops.Dedup.PlantOffset)).toSet
+    val recall = planted.intersect(pairs).size.toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall") // whole-word edits can flip >12 of 64 bits on short docs
+  }
+
+  test("embedding_neardup finds all planted identical-vector pairs at cos 1.0") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = textops.Ann.nearDupPairs(textops.Ann.plantedEmbeddings(emb), 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = emb.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + textops.Dedup.PlantOffset)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${(planted -- pairs).take(3)}")
+  }
+
+  test("ann brute force matches a local recompute; lsh recall is reasonable") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = all.toSeq.sortBy(_._1).take(5).toMap
+    val got = textops.Ann.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // local oracle
+    queries.foreach { case (qid, qv) =>
+      val expect = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, textops.Ann.cosine(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      expect.zipWithIndex.foreach { case (nid, i) =>
+        assert(got((qid, i + 1)) == nid, s"q=$qid rank=${i + 1}")
+      }
+    }
+    val lsh = textops.Ann.lshTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = got.map { case ((q, _), n) => (q, n) }.toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.4, s"lsh recall $recall") // 1-bit multiprobe over 6 bits on 500 vecs
+  }
+}
