@@ -31,12 +31,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- PAGE-XML extraction path (SURVEY §2.8 export fulltext / §2.4 stats) ----
     "fulltext_extract" -> ((s, dir) => {
-      Pipeline.fulltext(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = 0).toDF()
+      Pipeline.fulltext(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
     "fulltext_ro_lastwins" -> ((s, dir) => {
       // reading_order=True literal semantics: only the LAST reading-order region
       // survives (models/page.py:144-147)
-      Pipeline.fulltext(PagesFromDocuments.twoRegion(s, dir).toDF(), ro = true).toDF()
+      Pipeline.fulltext(PagesFromDocuments.twoRegion(s, dir).toDF(), ro = true, saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
     "page_stats" -> ((s, dir) => {
       Pipeline.pageStats(PagesFromDocuments.clean(s, dir).toDF()).toDF()
@@ -55,7 +55,7 @@ object SparkEntry {
     "fulltext_columnar" -> ((s, dir) => {
       // Catalyst/codegen variant of extraction: explode regions -> lines ->
       // unicodes, deterministic array_sort reassembly (SURVEY §2.8)
-      val parsed = Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF()).toDF()
+      val parsed = Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism).toDF()
       parsed
         .select(col("url"), posexplode(col("regions")).as(Seq("ridx", "region")))
         .select(col("url"), col("ridx"), posexplode(col("region.lines")).as(Seq("lidx", "line")))
@@ -69,17 +69,17 @@ object SparkEntry {
     }),
     "fulltext_with_words" -> ((s, dir) => {
       // word-level Unicode is included by `.//Unicode` extraction (models/page.py:149-150)
-      Pipeline.fulltext(PagesFromDocuments.withWords(s, dir).toDF()).toDF()
+      Pipeline.fulltext(PagesFromDocuments.withWords(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
     "validation_report" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .flatMap(pageplus.ops.Validate.page _)
         .select(col("url"), col("elementId").as("element_id"), col("rule"))
     }),
     "repair_summary" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .flatMap(d => pageplus.ops.Repair.page(d)._2)
         .groupBy("url")
         .agg(
@@ -91,20 +91,20 @@ object SparkEntry {
     "repair_extract" -> ((s, dir) => {
       // repair never touches text: extraction after repair stays byte-identical
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .map(d => pageplus.ops.Repair.page(d)._1)
         .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
         .toDF()
     }),
     "dsv_export" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .flatMap(pageplus.text.Dsv.rows _)
         .toDF()
     }),
     "extend_lines" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .map(d => pageplus.ops.Extend.extendLines(d)._1)
         .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
           val poly = pageplus.geo.Geo.polygon(l.coords)
@@ -116,41 +116,41 @@ object SparkEntry {
     "sort_and_merge" -> ((s, dir) => {
       // split lines reassemble to the exact clean extraction (SURVEY §2.7)
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.splitLines(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.splitLines(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .map(d => pageplus.ops.Merge.sortAndMerge(d)._1)
         .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
         .toDF()
     }),
     "delete_words" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.withWords(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.withWords(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .map(pageplus.ops.Delete.words _)
         .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
         .toDF()
     }),
     "delete_line_textequiv" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.withWords(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.withWords(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .map(pageplus.ops.Delete.lineTextEquiv _)
         .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
         .toDF()
     }),
     "delete_textlines" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .map(pageplus.ops.Delete.textlines _)
         .map(d => Pipeline.Extracted(d.url, pageplus.text.FullText.extract(d)))
         .toDF()
     }),
     "pseudo_literal_report" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .flatMap(d => pageplus.ops.Baseline.pseudoLinePolygonLiteral(d)._2)
         .select(col("url"), col("elementId").as("element_id"), col("rule"))
     }),
     "pseudo_intended" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .map(d => pageplus.ops.Baseline.pseudoLinePolygonIntended(d)._1)
         .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
           val poly = pageplus.geo.Geo.polygon(l.coords)
@@ -162,7 +162,7 @@ object SparkEntry {
     }),
     "extend_baseline" -> ((s, dir) => {
       import s.implicits._
-      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF())
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
         .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
           val bl = pageplus.ops.Baseline.extendBaseline(l).getOrElse(l.baseline)
           (d.url, l.id, bl.head.x, bl.head.y, bl.last.x, bl.last.y)
