@@ -71,6 +71,41 @@ object SparkEntry {
       // word-level Unicode is included by `.//Unicode` extraction (models/page.py:149-150)
       Pipeline.fulltext(PagesFromDocuments.withWords(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
+    "fulltext_dehyphenate" -> ((s, dir) => {
+      // literal dehyphe over a corpus with planted isolated trailing hyphens
+      Pipeline.fulltext(PagesFromDocuments.hyphenated(s, dir).toDF(), dehyphenate = true,
+        saltPartitions = s.sparkContext.defaultParallelism).toDF()
+    }),
+    "xml_roundtrip" -> ((s, dir) => {
+      // PAGE-XML sink fidelity: parse -> serialize -> reparse -> extract
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .map { d =>
+          val xml = pageplus.xml.PageXmlWriter.write(d)
+          val re = pageplus.xml.StaxPageParser.parse(d.url, xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Pipeline.Extracted(d.url, pageplus.text.FullText.extract(re))
+        }.toDF()
+    }),
+    "split_region" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.twoColumn(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .flatMap { d =>
+          d.textRegions.flatMap { r =>
+            pageplus.ops.SplitRegion.split(r).zipWithIndex.map { case (g, i) =>
+              (d.url, i, g.lines.size.toLong,
+                pageplus.geo.Geo.polygon(g.ring).getArea.toLong)
+            }
+          }
+        }.toDF("url", "side", "n_lines", "area")
+    }),
+    "word_freq_top20" -> ((s, dir) => {
+      // SubCounter equivalent (analytics/counter.py:39-52): merge + most_common
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)
+    }),
     "validation_report" -> ((s, dir) => {
       import s.implicits._
       Pipeline.parse(PagesFromDocuments.corrupt(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
@@ -405,6 +440,35 @@ object SparkEntry {
         |                            array_to_string(words[(i-1)*8+1:(i-1)*8+8],' ')]
         |                           for i in range(1, CAST(ceil(len(words)/8.0) AS BIGINT)+1)]), chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)""".stripMargin,
+    "fulltext_dehyphenate" ->
+      """SELECT 'doc://'||doc_id AS url,
+        |  array_to_string([
+        |    CASE
+        |      WHEN (j-1)%3=2 AND j < nl THEN array_to_string(words[(j-1)*8+1:(j-1)*8+8],' ') || words[j*8+1]
+        |      WHEN (j-1)%3=0 AND j > 1 THEN coalesce(array_to_string(words[(j-1)*8+2:(j-1)*8+8],' '), '')
+        |      ELSE array_to_string(words[(j-1)*8+1:(j-1)*8+8],' ')
+        |    END
+        |    for j in range(1, nl+1)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, words, CAST(ceil(len(words)/8.0) AS BIGINT) AS nl
+        |      FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents))""".stripMargin,
+    "xml_roundtrip" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "split_region" ->
+      """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
+        |SELECT 'doc://'||doc_id AS url, 0 AS side, CAST(nl//2 AS BIGINT) AS n_lines,
+        |       CAST(300*(60*(nl//2 - 1)+50) AS BIGINT) AS area
+        |FROM d WHERE nl >= 3
+        |UNION ALL
+        |SELECT 'doc://'||doc_id, 1, CAST((nl+1)//2 AS BIGINT),
+        |       CAST(300*(60*((nl+1)//2 - 1)+50) AS BIGINT)
+        |FROM d WHERE nl >= 3""".stripMargin,
+    "word_freq_top20" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
     "validation_report" ->
       """WITH d AS (SELECT doc_id, 'doc://'||doc_id AS url, doc_id % 5 AS m FROM documents)
         |SELECT url, 'r0l0' AS element_id, 'ring_not_valid' AS rule FROM d WHERE m = 1

@@ -156,6 +156,40 @@ object PagesFromDocuments {
       Nil, Seq("r0"), Seq(region), parseOk = true, parseError = "")
   }
 
+  /** Chunks alternate between a left column (x 100..400) and a right column
+    * (x 700..1000) — outer tercile means 600 apart, over the
+    * split_region_by_textlinecoords 500 threshold. Even chunk -> left. */
+  def twoColumnDoc(docId: Long, text: String): PageDoc = {
+    val lts = lineTexts(text)
+    val lines = lts.zipWithIndex.map { case (t, i) =>
+      val row = i / 2
+      val y0 = 100 + 60 * row
+      val (x0, x1) = if (i % 2 == 0) (100, 400) else (700, 1000)
+      LineT(s"r0l$i", hasCoords = true,
+        Seq(Pt(x0, y0), Pt(x1, y0), Pt(x1, y0 + 50), Pt(x0, y0 + 50)),
+        hasBaseline = true, Seq(Pt(x0 + 20, y0 + 40), Pt(x1 - 20, y0 + 40)),
+        Seq(TextEquivT(0, t)), Nil, if (t.nonEmpty) Seq(t) else Nil)
+    }
+    val region = RegionT("r0", "text", hasCoords = true, regionCoords(lts.size), Nil, lines, Nil)
+    PageDoc(url(docId), Ns, 2000, 100 + 60 * lts.size + 60, s"p$docId.png",
+      Nil, Seq("r0"), Seq(region), parseOk = true, parseError = "")
+  }
+
+  /** Every chunk with index i%3==2 that is not the last gets a trailing ASCII
+    * hyphen — isolated hyphen lines (no chains), so the dehyphe transformation
+    * is locally computable and the oracle stays plain SQL. All words are
+    * lowercase, so the merge branch always fires (models/page.py:125-129). */
+  def hyphenatedDoc(docId: Long, text: String): PageDoc = {
+    val lts0 = lineTexts(text)
+    val lts = lts0.zipWithIndex.map { case (t, i) =>
+      if (i % 3 == 2 && i < lts0.size - 1) t + "-" else t
+    }
+    val lines = lts.zipWithIndex.map { case (t, i) => mkLine(s"r0l$i", i, t) }
+    val region = RegionT("r0", "text", hasCoords = true, regionCoords(lines.size), Nil, lines, Nil)
+    PageDoc(url(docId), Ns, 2000, 100 + 60 * lines.size + 60, s"p$docId.png",
+      Nil, Seq("r0"), Seq(region), parseOk = true, parseError = "")
+  }
+
   // ---- DataFrame lifters ----------------------------------------------------
 
   /** Works on both batch and streaming DataFrames (pure mapPartitions). */
@@ -181,4 +215,6 @@ object PagesFromDocuments {
   def corrupt(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(corruptDoc)
   def withWords(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(wordDoc)
   def splitLines(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(splitLinesDoc)
+  def twoColumn(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(twoColumnDoc)
+  def hyphenated(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(hyphenatedDoc)
 }

@@ -78,6 +78,62 @@ object Validate {
     }
   }
 
+  /** validate_baseline(update=True): computes nearest-point replacements for
+    * points outside the polygon, but PERSISTS ONLY THE DEDUPED ORIGINAL tuples
+    * — the reference writes `baseline_tuples`, not `new_baseline_tuples`
+    * (models/text_elements.py:374). The computed replacement is returned for
+    * the opt-in intended behavior. Persist happens only when the checks get
+    * past the early-return failures. */
+  def validateBaselineUpdate(url: String, line: LineT, parentId: String): (LineT, Seq[Pt], Seq[Report]) = {
+    if (!line.hasBaseline || line.baseline.isEmpty)
+      return (line, Nil, Seq(Report(url, line.id, "baseline_missing", "warning", s"${line.id}: Missing baseline")))
+    val deduped = {
+      val b = line.baseline
+      b.head +: b.zip(b.tail).collect { case (prev, cur) if cur != prev => cur }
+    }
+    if (deduped.size == 1)
+      return (line, Nil, Seq(Report(url, line.id, "baseline_one_point", "warning", s"${line.id}: Baseline has just one point")))
+    try {
+      if (!line.hasCoords || line.coords.size < 3)
+        throw new IllegalStateException("textline polygon unavailable")
+      val poly = Geo.polygon(line.coords)
+      if (!poly.intersects(Geo.lineString(deduped)))
+        return (line, Nil, Seq(Report(url, line.id, "baseline_outside", "warning",
+          s"${line.id}: Baseline is outside of the textregion $parentId.")))
+      // compute the intended replacement (returned, never persisted — parity)
+      val replaced = Seq.newBuilder[Pt]
+      var prevKept: Option[Pt] = None
+      val reports = Seq.newBuilder[Report]
+      var anyOutside = false
+      deduped.zipWithIndex.foreach { case (p, idx) =>
+        var point = p
+        if (!poly.covers(Geo.point(p))) {
+          anyOutside = true
+          val ptDist = poly.distance(Geo.point(p))
+          val predDist = prevKept.map(q => Geo.point(q).distance(Geo.point(p))).getOrElse(Double.PositiveInfinity)
+          val succDist = if (idx != deduped.size - 1)
+            Geo.point(deduped(idx + 1)).distance(Geo.point(p)) else Double.PositiveInfinity
+          if (ptDist < predDist && ptDist < succDist) {
+            val nearest = org.locationtech.jts.operation.distance.DistanceOp
+              .nearestPoints(Geo.point(p), poly)(1)
+            point = Pt(nearest.x.toInt, nearest.y.toInt)
+          }
+        }
+        replaced += point
+        prevKept = Some(point)
+      }
+      if (anyOutside)
+        reports += Report(url, line.id, "baseline_pts_outside", "warning",
+          s"${line.id}: Some points of the baseline are outside of the textregion $parentId.")
+      // literal persist: the deduped ORIGINAL tuples
+      (line.copy(baseline = deduped), replaced.result(), reports.result())
+    } catch {
+      case _: org.locationtech.jts.geom.TopologyException =>
+        (line, Nil, Seq(Report(url, line.id, "baseline_or_parent_invalid", "warning",
+          s"${line.id}: Baseline or parentregion $parentId is invalid.")))
+    }
+  }
+
   private def validateLines(url: String, parentId: String, parentHasCoords: Boolean,
                             parentCoords: Seq[Pt], lines: Seq[LineT]): Seq[Report] = {
     val out = Seq.newBuilder[Report]

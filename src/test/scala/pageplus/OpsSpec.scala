@@ -159,6 +159,61 @@ class DeleteDsvSpec extends AnyFunSuite {
   }
 }
 
+class SplitRegionSpec extends AnyFunSuite {
+  test("arraySplit matches np.array_split chunking") {
+    assert(SplitRegion.arraySplit(Seq(1, 2, 3, 4, 5), 3) == Seq(Seq(1, 2), Seq(3, 4), Seq(5)))
+    assert(SplitRegion.arraySplit(Seq(1, 2, 3), 3) == Seq(Seq(1), Seq(2), Seq(3)))
+    assert(SplitRegion.arraySplit(Seq(1, 2, 3, 4, 5, 6, 7), 3) == Seq(Seq(1, 2, 3), Seq(4, 5), Seq(6, 7)))
+  }
+  test("two-column region splits into right (idx 0) / left (idx 1) hulls") {
+    val doc = PagesFromDocuments.twoColumnDoc(0, (1 to 40).map("w" + _).mkString(" ")) // 5 chunks
+    val groups = SplitRegion.split(doc.regions.head)
+    assert(groups.size == 2)
+    assert(groups(0).lines.size == 2 && groups(1).lines.size == 3) // right=floor, left=ceil
+    assert(Geo.polygon(groups(1).ring).getArea.toLong == 300L * (60 * 2 + 50)) // left hull
+    assert(Geo.polygon(groups(0).ring).getArea.toLong == 300L * (60 * 1 + 50)) // right hull
+  }
+  test("fewer than 3 lines or close columns yield the reference's empty result") {
+    val doc = PagesFromDocuments.twoColumnDoc(0, (1 to 16).map("w" + _).mkString(" ")) // 2 chunks
+    assert(SplitRegion.split(doc.regions.head).isEmpty)
+    val clean = PagesFromDocuments.cleanDoc(0, (1 to 40).map("w" + _).mkString(" "))
+    assert(SplitRegion.split(clean.regions.head).isEmpty) // all centers 500 -> distance 0 < 500
+  }
+}
+
+class DehypheCorpusSpec extends AnyFunSuite {
+  test("hyphenated corpus dehyphenates to the local transformation") {
+    val text = (1 to 60).map("w" + _).mkString(" ") // 8 chunks: hyphens on 2, 5
+    val doc = PagesFromDocuments.hyphenatedDoc(0, text)
+    val got = pageplus.text.FullText.extract(doc, dehyphenate = true)
+    val cs = PagesFromDocuments.lineTexts(text)
+    val expected = cs.indices.map { i =>
+      if (i % 3 == 2 && i < cs.size - 1) cs(i) + cs(i + 1).takeWhile(_ != ' ')
+      else if (i % 3 == 0 && i > 0) {
+        val rest = cs(i).dropWhile(_ != ' ')
+        if (rest.isEmpty) "" else rest.tail
+      } else cs(i)
+    }.mkString("\n")
+    assert(got == expected)
+  }
+}
+
+class ValidateUpdateSpec extends AnyFunSuite {
+  test("validate_baseline(update=True) persists ONLY the deduped original tuples") {
+    val line = LineT("l", hasCoords = true,
+      Seq(Pt(0, 0), Pt(100, 0), Pt(100, 50), Pt(0, 50)),
+      hasBaseline = true,
+      Seq(Pt(10, 40), Pt(10, 40), Pt(50, 40), Pt(50, 200)), // dup + point far outside
+      Seq(TextEquivT(0, "t")), Nil, Seq("t"))
+    val (updated, replaced, reports) = Validate.validateBaselineUpdate("u", line, "r")
+    // persisted baseline = deduped original (the quirk), NOT the replacement
+    assert(updated.baseline == Seq(Pt(10, 40), Pt(50, 40), Pt(50, 200)))
+    // the computed (never persisted) replacement pulls the outside point to the polygon
+    assert(replaced == Seq(Pt(10, 40), Pt(50, 40), Pt(50, 50)))
+    assert(reports.map(_.rule) == Seq("baseline_pts_outside"))
+  }
+}
+
 class BaselineOpsSpec extends AnyFunSuite {
   test("computeBaseline is the mrr midline ordered by y") {
     val bl = Baseline.computeBaseline(Seq(Pt(100, 100), Pt(900, 100), Pt(900, 150), Pt(100, 150)))
