@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions (SURVEY §4.2): these lock in the Catalyst behaviors
+  * the 100 TB design depends on — column pruning to (url, html) before object
+  * mode, predicate pushdown into the parquet scan, broadcast for small dims,
+  * partial aggregation, and no shuffle on the fused extraction path.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimizedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val plan = executedPlan(SparkEntry.queries("q1_agg")(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"no pushed filter in:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected partial+final hash aggregation")
+  }
+
+  test("q6: selective filters pushed, scan reads only needed columns") {
+    val df = SparkEntry.queries("q6_filter")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("l_discount"))
+    // column pruning: scan schema must not include unused columns like l_partkey
+    val scanSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanSchema.contains("l_partkey") && !scanSchema.contains("l_returnflag"),
+      s"scan not pruned: $scanSchema")
+  }
+
+  test("q5: nation and region join as broadcasts") {
+    val plan = executedPlan(SparkEntry.queries("q5_multijoin")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected >=2 broadcast joins in:\n$plan")
+  }
+
+  test("extraction pipeline scans only url and html (column pruning before object mode)") {
+    import pageplus.data.PagesFromDocuments
+    import pageplus.spark.Pipeline
+    // prune check on a real parquet-backed pages table
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_pages_").toString
+    PagesFromDocuments.clean(spark, sf).toDF().write.mode("overwrite").parquet(tmp)
+    val pages = spark.read.parquet(tmp)
+    val df = Pipeline.fulltext(pages).toDF()
+    val scanSchema = executedPlan(df).linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scanSchema.contains("url") && scanSchema.contains("html"))
+    assert(!scanSchema.contains("warc_ts") && !scanSchema.contains("lang"),
+      s"pages scan not pruned to (url, html): $scanSchema")
+    // no shuffle on the unsalted hot path
+    assert(!executedPlan(df).contains("Exchange"),
+      "fused extraction should have no shuffle without salting")
+  }
+
+  test("checkpoint pending anti-join plans as a join, not a cartesian") {
+    import pageplus.spark.Checkpoint
+    val manifestDir = java.nio.file.Files.createTempDirectory("graft_plan_ckpt_").toString
+    val pages = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF()
+    Checkpoint.commit(pages.limit(10).select("url"), manifestDir)
+    val plan = executedPlan(Checkpoint.pending(pages, manifestDir))
+    assert(plan.contains("LeftAnti"), s"expected anti join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup band join is an equi-join on the band key") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = optimizedPlan(graft.textops.Dedup.minhashPairs(docs, 0.8))
+    assert(plan.contains("Join Inner") && plan.contains("band"),
+      s"expected band equi-join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
