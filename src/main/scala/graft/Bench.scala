@@ -64,6 +64,27 @@ object Bench {
     (agg.getLong(0), sec)
   }
 
+  /** Codegen'd Catalyst-Expression variant of the same extraction. */
+  private def timeExtractionExpr(spark: SparkSession, pagesPath: String): (Long, Double) = {
+    graft.expr.PageFulltextExpr.register(spark)
+    spark.read.parquet(pagesPath).createOrReplaceTempView("graft_bench_pages")
+    val t0 = System.nanoTime()
+    val agg = spark.sql(
+      "SELECT count(1) AS n, sum(length(page_fulltext(html))) AS chars FROM graft_bench_pages")
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (agg.getLong(0), sec)
+  }
+
+  private def bestExprDocsPerSec(spark: SparkSession, pagesPath: String, runs: Int): Double = {
+    timeExtractionExpr(spark, pagesPath) // warm-up
+    (1 to runs).map { _ =>
+      val (n, sec) = timeExtractionExpr(spark, pagesPath)
+      System.err.println(s"[bench] expr run $n docs in $sec s")
+      n / sec
+    }.max
+  }
+
   private def bestDocsPerSec(spark: SparkSession, pagesPath: String, runs: Int): Double = {
     // adaptive warm-up: JIT (C2) takes several runs to compile the parser hot
     // loops; keep warming until the time stops improving by >10% (cap 6 runs)
@@ -132,6 +153,11 @@ object Bench {
     }
     val tpLow = pairs.map(_._1).max
     val tpHigh = pairs.map(_._2).max
+
+    // codegen'd Expression variant, one session at high parallelism
+    spark = freshSession(cpusHigh)
+    val tpExpr = bestExprDocsPerSec(spark, pagesPath, runs)
+    spark.stop()
     // efficiency: median of per-round PAIRED ratios — robust to a single
     // throttled window that would otherwise make the ratio sub- or super-linear
     val ratio = cpusHigh.toDouble / cpusLow
@@ -145,6 +171,7 @@ object Bench {
     val scaling =
       s"""{"cores_low":$cpusLow,"cores_high":$cpusHigh,"docs_per_sec_low":${f(tpLow)},""" +
       s""""docs_per_sec_high":${f(tpHigh)},"efficiency":${f(efficiency)},"replicate":$replicate,""" +
+      s""""docs_per_sec_expr_high":${f(tpExpr)},""" +
       s""""rounds":[${pairs.map { case (l, h) => s"[${f(l)},${f(h)}]" }.mkString(",")}]}"""
     println(
       s"""{"metric":"extraction_throughput","value":${f(tpHigh)},"unit":"docs/sec",""" +
@@ -163,6 +190,7 @@ object Bench {
            ||---|---|
            || local[$cpusLow] | ${f(tpLow)} |
            || local[$cpusHigh] | ${f(tpHigh)} |
+           || local[$cpusHigh], codegen Expression path | ${f(tpExpr)} |
            |
            |Scaling efficiency local[$cpusLow] -> local[$cpusHigh]
            |(median of per-round paired (tp_high/tp_low)/(${cpusHigh / cpusLow}x cores)

@@ -71,6 +71,13 @@ object SparkEntry {
       // word-level Unicode is included by `.//Unicode` extraction (models/page.py:149-150)
       Pipeline.fulltext(PagesFromDocuments.withWords(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
+    "fulltext_sql_expr" -> ((s, dir) => {
+      // codegen'd Catalyst Expression path, registered for SQL — the whole
+      // scan -> extract pipeline stays inside WholeStageCodegen
+      graft.expr.PageFulltextExpr.register(s)
+      PagesFromDocuments.clean(s, dir).toDF().createOrReplaceTempView("graft_pages_tmp")
+      s.sql("SELECT url, page_fulltext(html) AS extracted_text FROM graft_pages_tmp")
+    }),
     "fulltext_dehyphenate" -> ((s, dir) => {
       // literal dehyphe over a corpus with planted isolated trailing hyphens
       Pipeline.fulltext(PagesFromDocuments.hyphenated(s, dir).toDF(), dehyphenate = true,
@@ -440,6 +447,11 @@ object SparkEntry {
         |                            array_to_string(words[(i-1)*8+1:(i-1)*8+8],' ')]
         |                           for i in range(1, CAST(ceil(len(words)/8.0) AS BIGINT)+1)]), chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)""".stripMargin,
+    "fulltext_sql_expr" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
     "fulltext_dehyphenate" ->
       """SELECT 'doc://'||doc_id AS url,
         |  array_to_string([

@@ -56,6 +56,33 @@ class PlanSpec extends AnyFunSuite {
       "fused extraction should have no shuffle without salting")
   }
 
+  test("page_fulltext Expression equals the typed pipeline and stays in WholeStageCodegen") {
+    import pageplus.data.PagesFromDocuments
+    val typed = SparkEntry.queries("fulltext_extract")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val df = SparkEntry.queries("fulltext_sql_expr")(spark, sf)
+    val viaExpr = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaExpr == typed)
+    // over a parquet-backed pages table the whole scan->extract stage is one
+    // codegen stage with no object mode (the '*' markers denote WholeStageCodegen)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_expr_").toString
+    PagesFromDocuments.clean(spark, sf).toDF().write.mode("overwrite").parquet(tmp)
+    graft.expr.PageFulltextExpr.register(spark)
+    spark.read.parquet(tmp).createOrReplaceTempView("graft_pages_parquet")
+    val pq = spark.sql("SELECT url, page_fulltext(html) AS extracted_text FROM graft_pages_parquet")
+    val plan = executedPlan(pq)
+    assert(plan.contains("*(1) Project") && plan.contains("page_fulltext"),
+      s"expression fell out of codegen:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), "expression path must not enter object mode")
+    assert(pq.collect().map(r => r.getString(0) -> r.getString(1)).toMap == typed)
+    // Column-API form too
+    val viaCol = PagesFromDocuments.clean(spark, sf).toDF()
+      .select(org.apache.spark.sql.functions.col("url"),
+        graft.expr.PageFulltextExpr.pageFulltext(org.apache.spark.sql.functions.col("html")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaCol == typed)
+  }
+
   test("checkpoint pending anti-join plans as a join, not a cartesian") {
     import pageplus.spark.Checkpoint
     val manifestDir = java.nio.file.Files.createTempDirectory("graft_plan_ckpt_").toString
