@@ -374,6 +374,11 @@ object SparkEntry {
       // same transforms under Structured Streaming; must equal the batch answer
       pageplus.streaming.StreamingExtract.extractOnce(s, dir)
     }),
+    "stream_events_window" -> ((s, dir) => {
+      // watermark + tumbling-window aggregation under Structured Streaming;
+      // must equal the batch q10 answer
+      pageplus.streaming.StreamingExtract.eventsWindowedOnce(s, dir)
+    }),
     "checkpoint_resume" -> ((s, dir) => {
       // commit the even-doc_id half, then resume: only the odd half is pending
       val manifestDir = java.nio.file.Files
@@ -621,6 +626,11 @@ object SparkEntry {
         |       array_to_string([array_to_string(words[i:i+7], ' ')
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "stream_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "checkpoint_resume" ->
       """SELECT 'doc://' || doc_id AS url,
         |       array_to_string([array_to_string(words[i:i+7], ' ')

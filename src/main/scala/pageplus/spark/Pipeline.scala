@@ -49,6 +49,46 @@ object Pipeline {
       .mapPartitions(_.map { case (url, html) => StaxPageParser.parse(url, html) })
   }
 
+  /** Skew-aware extraction (SURVEY §4.2, north_star): documents above
+    * `bigDocBytes` are NOT processed as one task-blocking row — they are parsed
+    * once, split into per-region text chunks (explode), shuffled across the
+    * cluster, and reassembled in document order with a deterministic
+    * array_sort. Small documents take the fused single-pass path. Byte-equal
+    * to [[fulltext]] (the chunk boundaries are region boundaries, and document
+    * order is (regionIdx, unicodeIdx)).
+    *
+    * At 100 TB this bounds the longest task by the largest REGION, not the
+    * largest document (one 500 MB page no longer stalls a partition). */
+  def fulltextSkewAware(pages: DataFrame, bigDocBytes: Long = 8L * 1024 * 1024,
+                        saltPartitions: Int = 0): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val sized = saltByUrl(pages.select("url", "html"), saltPartitions)
+      .withColumn("bytes", length(col("html")).cast("long"))
+    val small = fulltext(sized.filter(col("bytes") <= bigDocBytes).drop("bytes")).toDF()
+    // big docs: region-grain chunks -> shuffle -> ordered reassembly
+    val bigChunks = sized.filter(col("bytes") > bigDocBytes).drop("bytes")
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        val doc = StaxPageParser.parse(url, html)
+        val regionLines: Seq[(Int, String)] = doc.regions.zipWithIndex.map { case (r, i) =>
+          val lines = if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines
+          (i, lines.flatMap(_.unicodes).mkString("\n"))
+        }
+        if (regionLines.isEmpty) Seq((url, 0, "")) else regionLines.map { case (i, t) => (url, i, t) }
+      }
+      .toDF("url", "ridx", "chunk")
+    val big = bigChunks
+      .repartition(col("url")) // spread the chunks, then regroup
+      .groupBy("url")
+      .agg(array_join(
+        filter(
+          transform(array_sort(collect_list(struct(col("ridx"), col("chunk")))), x => x.getField("chunk")),
+          c => length(c) > 0),
+        "\n").as("extracted_text"))
+    small.unionByName(big)
+  }
+
   /** pages -> per-page element counts (fused parse+count, one pass). */
   def pageStats(pages: DataFrame): Dataset[Stats.PageCounts] = {
     val spark = pages.sparkSession

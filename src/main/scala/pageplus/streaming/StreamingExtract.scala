@@ -41,4 +41,39 @@ object StreamingExtract {
     finally q.stop()
     spark.table(name)
   }
+
+  /** Streaming windowed aggregation over the events table: event-time watermark
+    * + 1-hour tumbling windows (the Structured Streaming shape the engine
+    * offers for incremental corpora metrics). Drained synchronously; complete
+    * mode so every window is emitted for the batch-equivalence oracle. */
+  def eventsWindowedOnce(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      // parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (UTC session
+      // makes the cast value-preserving)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("value_cents"))
+    val name = s"stream_events_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
 }

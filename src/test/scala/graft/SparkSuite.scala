@@ -114,6 +114,38 @@ class ScalePlumbingSpec extends AnyFunSuite {
     assert(Checkpoint.pending(pages, manifestDir).count() == 0)
   }
 
+  test("catalog seam: same pipeline runs off a catalog table or a parquet path") {
+    import pageplus.spark.{CatalogPages, PagesSource, ParquetPages}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_pages_").toString
+    pageplus.data.PagesFromDocuments.clean(spark, sf).toDF().write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("graft_catalog_pages")
+    val viaPath = pageplus.spark.Pipeline.fulltext(ParquetPages(tmp).pages(spark))
+      .collect().map(e => e.url -> e.extracted_text).toMap
+    val viaTable = pageplus.spark.Pipeline.fulltext(CatalogPages("graft_catalog_pages").pages(spark))
+      .collect().map(e => e.url -> e.extracted_text).toMap
+    assert(viaPath == viaTable && viaPath.nonEmpty)
+    spark.conf.set("graft.pages.table", "graft_catalog_pages")
+    assert(PagesSource.fromConf(spark).isInstanceOf[CatalogPages])
+    spark.conf.set("graft.pages.table", "")
+    spark.conf.set("graft.pages.path", tmp)
+    assert(PagesSource.fromConf(spark) == ParquetPages(tmp))
+  }
+
+  test("skew-aware extraction is byte-equal to the fused path, incl. mega-docs") {
+    import spark.implicits._
+    import pageplus.spark.Pipeline
+    val mega = pageplus.data.SyntheticCorpus.megaDoc(0).getBytes("UTF-8")
+    val small = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF()
+      .select("url", "html")
+    val withMega = small.unionByName(Seq(("mega://0", mega)).toDF("url", "html"))
+    val plain = Pipeline.fulltext(withMega).collect().map(e => e.url -> e.extracted_text).toMap
+    // threshold low enough that the mega doc takes the region-split path
+    val skew = Pipeline.fulltextSkewAware(withMega, bigDocBytes = 10000)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(skew == plain)
+    assert(mega.length > 10000, "mega doc must exceed the threshold")
+  }
+
   test("lineage metrics totals are exact and invariant under salt partition count") {
     import pageplus.spark.Pipeline
     val pages = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF().select("url", "html")
