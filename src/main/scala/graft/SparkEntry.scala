@@ -283,6 +283,32 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))
     }),
+    "q11_sessionize" -> ((s, dir) => {
+      // gap-based sessionization: new session when >30 min since the previous
+      // event of the same user (window lag + conditional cumulative sum)
+      val w = Window.partitionBy("user_id").orderBy(col("sec").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("sec", col("ts").cast("timestamp").cast("long")) // floor seconds, UTC
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    "q12_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"), col("total_cents"), col("gid"))
+    }),
     "q10_events_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(
@@ -600,6 +626,27 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "q11_sessionize" ->
+      """SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, sec, event_id,
+        |           CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |                  OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |                THEN 1 ELSE 0 END AS new_session
+        |    FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)))
+        |GROUP BY user_id""".stripMargin,
+    "q12_rollup" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |       coalesce(o_orderpriority, '<all>') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q10_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |       count(*) AS n,

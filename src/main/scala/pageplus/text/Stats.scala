@@ -35,6 +35,28 @@ object Stats {
     (lines.size.toLong, words, glyphs)
   }
 
+  final case class CorpusCounts(
+      pages: Long, textregions: Long, tableregions: Long, tablecells: Long,
+      textlines: Long, words: Long, glyphs: Long)
+
+  /** Typed single-pass multi-counter (SURVEY §2.11): one Aggregator instead of
+    * six separate sums — partial aggregation happens map-side like any Spark
+    * agg, the buffer is just one case class. */
+  object CorpusAggregator extends org.apache.spark.sql.expressions.Aggregator[PageCounts, CorpusCounts, CorpusCounts] {
+    override def zero: CorpusCounts = CorpusCounts(0, 0, 0, 0, 0, 0, 0)
+    override def reduce(b: CorpusCounts, p: PageCounts): CorpusCounts =
+      CorpusCounts(b.pages + 1, b.textregions + p.textregions, b.tableregions + p.tableregions,
+        b.tablecells + p.tablecells, b.textlines + p.textlines, b.words + p.words, b.glyphs + p.glyphs)
+    override def merge(a: CorpusCounts, b: CorpusCounts): CorpusCounts =
+      CorpusCounts(a.pages + b.pages, a.textregions + b.textregions, a.tableregions + b.tableregions,
+        a.tablecells + b.tablecells, a.textlines + b.textlines, a.words + b.words, a.glyphs + b.glyphs)
+    override def finish(r: CorpusCounts): CorpusCounts = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CorpusCounts] =
+      org.apache.spark.sql.Encoders.product[CorpusCounts]
+    override def outputEncoder: org.apache.spark.sql.Encoder[CorpusCounts] =
+      org.apache.spark.sql.Encoders.product[CorpusCounts]
+  }
+
   def count(doc: PageDoc): PageCounts = {
     val countedRegions: Seq[Seq[LineT]] =
       doc.textRegions.map(_.lines) ++ doc.tableRegions.flatMap(_.cells.map(_.lines))

@@ -70,6 +70,17 @@ class ExtractionPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("typed CorpusAggregator equals the column-wise corpus_stats") {
+    import spark.implicits._
+    import pageplus.text.Stats
+    val counts = pageplus.spark.Pipeline.pageStats(
+      pageplus.data.PagesFromDocuments.clean(spark, sf).toDF())
+    val agg = counts.select(Stats.CorpusAggregator.toColumn).collect()(0)
+    val ref = SparkEntry.queries("corpus_stats")(spark, sf).collect()(0)
+    assert((agg.pages, agg.textregions, agg.tableregions, agg.textlines, agg.words, agg.glyphs) ==
+      ((ref.getLong(0), ref.getLong(1), ref.getLong(2), ref.getLong(3), ref.getLong(4), ref.getLong(5))))
+  }
+
   test("malformed and non-page rows survive as error rows, good rows unaffected") {
     import spark.implicits._
     import pageplus.spark.Pipeline
