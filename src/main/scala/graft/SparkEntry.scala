@@ -386,6 +386,18 @@ object SparkEntry {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
       graft.textops.Ann.lshTopK(emb, queries, k = 5)
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      graft.textops.Ann.ivfTopK(emb, queries, k = 5)
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      // frame-sample plumbing: explode payload into frames, count per doc
+      graft.textops.Multimodal.frameSample(
+        graft.textops.Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), max("frame_idx").as("last_frame"))
+    }),
     "lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
@@ -688,6 +700,13 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
         |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT) AS n_total
+        |           FROM documents)
+        |SELECT doc_id, (n_total + 1) // 2 AS n_frames,
+        |       CAST(((n_total - 1) // 2) * 2 AS INT) AS last_frame
+        |FROM d""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, 'fake-image' AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -164,6 +164,80 @@ object Ann {
       .filter(col("cos") >= threshold)
   }
 
+  // ---- IVF (inverted-file) variant ----------------------------------------
+
+  /** Deterministic coarse quantizer: centroids seeded by id-stride sampling,
+    * refined with a fixed number of Lloyd iterations driver-side over a
+    * bounded sample (at 10^9+ vectors the sample is what fits the driver; the
+    * ASSIGNMENT pass below is the distributed part). */
+  def trainCentroids(embeddings: DataFrame, k: Int, iterations: Int = 5, sampleCap: Int = 10000): Array[Array[Float]] = {
+    import org.apache.spark.sql.functions.col
+    val sample = embeddings.select("vec_id", "embedding")
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors")
+    var centroids = Array.tabulate(k)(i => sample(i * (sample.length / k)).clone())
+    for (_ <- 1 to iterations) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(centroids(c).length)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosine(v, centroids(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF ANN: assign vectors to their nearest centroid map-side, probe the
+    * query's `nprobe` nearest lists, exact rerank. Same output shape as
+    * [[bruteForceTopK]]. */
+  def ivfTopK(embeddings: DataFrame, queries: Map[Long, Array[Float]], k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val bq = spark.sparkContext.broadcast(queries)
+    val assigned = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
+      .toDF("vec_id", "embedding", "list")
+    val queryLists = queries.toSeq.flatMap { case (qid, v) =>
+      centroids.indices.map(c => (c, cosine(v, centroids(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(nprobe)
+        .map { case (c, _) => (qid, c) }
+    }.toDF("query_id", "list")
+    assigned.join(broadcast(queryLists), "list")
+      .select(col("query_id"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .flatMap { case (qid, id, v) =>
+        if (qid == id) None else Some((qid, id, cosine(bq.value(qid), v)))
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Plant exact-duplicate embeddings (vec_id + offset, identical vector). */
   def plantedEmbeddings(embeddings: DataFrame): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))

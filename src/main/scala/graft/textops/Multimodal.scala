@@ -56,4 +56,31 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
   }
+
+  /** ==== RESIZE STUB ==== A real implementation would decode + rescale the
+    * image; the stub keeps every `stride`-th byte, preserving the payload
+    * schema so downstream plumbing (metadata update included) is real. */
+  def resize(media: Dataset[MediaRow], stride: Int = 4): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val out = Array.tabulate(m.payload.length / stride)(i => m.payload(i * stride))
+      m.copy(payload = out, meta_width = out.length)
+    })
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** ==== FRAME-SAMPLE STUB ==== For video-like payloads: split the payload
+    * into fixed-size "frames" and keep every `everyK`-th one (explode to frame
+    * grain — the real op's schema and fan-out shape). */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 64, everyK: Int = 2): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (f, i) if i % everyK == 0 => Frame(m.doc_id, i, f)
+      }
+    }
+  }
 }

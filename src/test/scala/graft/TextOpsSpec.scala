@@ -111,5 +111,19 @@ class DedupSparkSpec extends AnyFunSuite {
     val bf = got.map { case ((q, _), n) => (q, n) }.toSet
     val recall = bf.intersect(lsh).size.toDouble / bf.size
     assert(recall >= 0.4, s"lsh recall $recall") // 1-bit multiprobe over 6 bits on 500 vecs
+    val ivf = textops.Ann.ivfTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(ivfRecall >= 0.4, s"ivf recall $ivfRecall") // 4-of-16 lists probed
+  }
+
+  test("multimodal resize and frame-sample keep the schema shape deterministic") {
+    import textops.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark.read.parquet(s"$sf/documents.parquet"))
+    val resized = Multimodal.resize(media, stride = 4).collect()
+    assert(resized.forall(m => m.meta_width == m.payload.length))
+    val frames = Multimodal.frameSample(media).collect()
+    assert(frames.nonEmpty && frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.forall(_.frame.length <= 64))
   }
 }
