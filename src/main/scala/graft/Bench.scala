@@ -138,7 +138,7 @@ object Bench {
     // ---- throughput: ALTERNATE low/high sessions so host-level noise (CPU
     // steal on a shared box) hits both parallelism levels, then take the best
     // per level across rounds ----
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "4").toInt
     // measure in adjacent low/high PAIRS so both levels see the same host-noise
     // window; report the pair with the best high-core throughput
     val pairs = (1 to rounds).map { r =>
