@@ -71,6 +71,12 @@ object SparkEntry {
       // word-level Unicode is included by `.//Unicode` extraction (models/page.py:149-150)
       Pipeline.fulltext(PagesFromDocuments.withWords(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
+    "fulltext_skew_aware" -> ((s, dir) => {
+      // region-split path for big docs must stay byte-identical; threshold low
+      // enough that many documents take the split path at this scale
+      Pipeline.fulltextSkewAware(PagesFromDocuments.clean(s, dir).toDF(),
+        bigDocBytes = 2000, saltPartitions = s.sparkContext.defaultParallelism)
+    }),
     "fulltext_sql_expr" -> ((s, dir) => {
       // codegen'd Catalyst Expression path, registered for SQL — the whole
       // scan -> extract pipeline stays inside WholeStageCodegen
@@ -490,6 +496,11 @@ object SparkEntry {
         |                            array_to_string(words[(i-1)*8+1:(i-1)*8+8],' ')]
         |                           for i in range(1, CAST(ceil(len(words)/8.0) AS BIGINT)+1)]), chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)""".stripMargin,
+    "fulltext_skew_aware" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
     "fulltext_sql_expr" ->
       """SELECT 'doc://' || doc_id AS url,
         |       array_to_string([array_to_string(words[i:i+7], ' ')

@@ -159,6 +159,70 @@ class DeleteDsvSpec extends AnyFunSuite {
   }
 }
 
+class AccessorsSpec extends AnyFunSuite {
+  private val outer = Seq(Pt(0, 0), Pt(100, 0), Pt(100, 100), Pt(0, 100))
+  private val inner = Seq(Pt(10, 10), Pt(20, 10), Pt(20, 20), Pt(10, 20))
+  test("withinParent true for contained, false for escape or bad geometry") {
+    assert(Accessors.withinParent(inner, outer))
+    assert(!Accessors.withinParent(outer, inner))
+    assert(!Accessors.withinParent(Seq(Pt(0, 0)), outer)) // exception -> false
+  }
+  test("overlaps by ratio (basic_elements.py:152-161)") {
+    val half = Seq(Pt(0, 0), Pt(50, 0), Pt(50, 100), Pt(0, 100))
+    assert(Accessors.overlaps(outer, half, ratio = 0.3))  // 50% > 30%
+    assert(!Accessors.overlaps(outer, half, ratio = 0.6)) // 50% < 60%
+    assert(!Accessors.overlaps(outer, Seq(Pt(200, 200), Pt(210, 200), Pt(210, 210)), 0.3))
+  }
+  test("pageCoords rectangle string (models/page.py:157-176)") {
+    val d = pageplus.data.PagesFromDocuments.cleanDoc(0, "a b")
+    assert(Accessors.pageCoordsString(d) == s"0,0 ${d.width},0 ${d.width},${d.height} 0,${d.height}")
+    assert(Accessors.pagePolygon(d).getArea == d.width.toDouble * d.height)
+  }
+  test("containsTextline") {
+    val d = pageplus.data.PagesFromDocuments.cleanDoc(0, "a b c d e f g h i")
+    assert(Accessors.containsTextline(d.regions.head, "r0l0"))
+    assert(!Accessors.containsTextline(d.regions.head, "nope"))
+  }
+}
+
+object RepairRobustnessProps extends org.scalacheck.Properties("RepairRobustness") {
+  import org.scalacheck.{Gen, Prop}
+
+  private val ptGen = for { x <- Gen.chooseNum(-50, 2050); y <- Gen.chooseNum(-50, 3050) } yield Pt(x, y)
+
+  private val lineGen = for {
+    n <- Gen.choose(0, 7)
+    pts <- Gen.listOfN(n, ptGen)
+    blN <- Gen.choose(0, 4)
+    bl <- Gen.listOfN(blN, ptGen)
+    t <- Gen.alphaNumStr.map(_.take(20))
+  } yield LineT("l", hasCoords = pts.nonEmpty, pts, hasBaseline = bl.nonEmpty, bl,
+    Seq(TextEquivT(0, t)), Nil, if (t.nonEmpty) Seq(t) else Nil)
+
+  private def mkDoc(lines: List[LineT]): PageDoc =
+    PageDoc("u", pageplus.data.PagesFromDocuments.Ns, 2000, 3000, "f", Nil, Seq("r"),
+      Seq(RegionT("r", "text", hasCoords = true,
+        Seq(Pt(0, 0), Pt(2000, 0), Pt(2000, 3000), Pt(0, 3000)), Nil,
+        lines.zipWithIndex.map { case (l, i) => l.copy(id = s"l$i") }, Nil)),
+      parseOk = true, parseError = "")
+
+  private val docGen = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, lineGen)).map(mkDoc)
+
+  property("repair never throws and preserves extracted text") = Prop.forAll(docGen) { doc =>
+    val (repaired, _) = Repair.page(doc)
+    pageplus.text.FullText.extract(repaired) == pageplus.text.FullText.extract(doc)
+  }
+
+  property("extend_lines never throws and preserves extracted text") = Prop.forAll(docGen) { doc =>
+    val (ext, _) = Extend.extendLines(doc)
+    pageplus.text.FullText.extract(ext) == pageplus.text.FullText.extract(doc)
+  }
+
+  property("validate never throws") = Prop.forAll(docGen) { doc =>
+    Validate.page(doc) != null
+  }
+}
+
 class SplitRegionSpec extends AnyFunSuite {
   test("arraySplit matches np.array_split chunking") {
     assert(SplitRegion.arraySplit(Seq(1, 2, 3, 4, 5), 3) == Seq(Seq(1, 2), Seq(3, 4), Seq(5)))
