@@ -53,6 +53,9 @@ object Bench {
     out
   }
 
+  @volatile private var corpusBytes = 0L
+  @volatile private var corpusDocs = 0L
+
   /** Force full extraction; returns (docs, seconds). */
   private def timeExtraction(spark: SparkSession, pagesPath: String): (Long, Double) = {
     val pages = spark.read.parquet(pagesPath)
@@ -61,6 +64,10 @@ object Bench {
       .agg(count(lit(1)).as("n"), sum(length(col("extracted_text"))).as("chars"))
       .collect()(0)
     val sec = (System.nanoTime() - t0) / 1e9
+    if (corpusBytes == 0L) {
+      corpusBytes = pages.agg(sum(length(col("html")).cast("long"))).collect()(0).getLong(0)
+      corpusDocs = agg.getLong(0)
+    }
     (agg.getLong(0), sec)
   }
 
@@ -171,7 +178,8 @@ object Bench {
     val scaling =
       s"""{"cores_low":$cpusLow,"cores_high":$cpusHigh,"docs_per_sec_low":${f(tpLow)},""" +
       s""""docs_per_sec_high":${f(tpHigh)},"efficiency":${f(efficiency)},"replicate":$replicate,""" +
-      s""""docs_per_sec_expr_high":${f(tpExpr)},""" +
+      s""""docs_per_sec_expr_high":${f(tpExpr)},"corpus_mb":${f(corpusBytes / 1e6)},""" +
+      s""""mb_per_sec_high":${f(if (corpusDocs > 0) tpHigh * (corpusBytes / 1e6) / corpusDocs else 0.0)},""" +
       s""""rounds":[${pairs.map { case (l, h) => s"[${f(l)},${f(h)}]" }.mkString(",")}]}"""
     println(
       s"""{"metric":"extraction_throughput","value":${f(tpHigh)},"unit":"docs/sec",""" +

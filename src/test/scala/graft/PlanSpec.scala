@@ -93,6 +93,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q3 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(SparkEntry.queries("q3_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("q4 window uses one shuffle on the partition key") {
+    val plan = executedPlan(SparkEntry.queries("q4_window")(spark, sf))
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle on o_custkey in:\n$plan")
+    assert(plan.contains("Window"), "expected a window operator")
+  }
+
   test("dedup band join is an equi-join on the band key") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = optimizedPlan(graft.textops.Dedup.minhashPairs(docs, 0.8))
