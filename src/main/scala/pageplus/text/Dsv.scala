@@ -22,6 +22,18 @@ object Dsv {
       start_x: Int, start_y: Int, mean_x: Int, mean_y: Int, end_x: Int, end_y: Int,
       area: Int, width: Int, length: Int)
 
+  /** DSV with the dehyphenate flag (cli/export.py:128-129): dehyphe is applied
+    * to the TEXT COLUMN ONLY, and because it drops exact-empty entries the
+    * column can get SHORTER than the others — the reference then writes
+    * `zip(*line_infos.values())`, which silently truncates every column to the
+    * shortest and mis-aligns texts after a dropped empty line. Reproduced
+    * literally (SURVEY §2.8 "length-mismatch hazard"). */
+  def rowsDehyphenated(doc: PageDoc): Seq[DsvRow] = {
+    val base = rows(doc)
+    val newTexts = Dehyphe(base.map(_.text))
+    base.zip(newTexts).map { case (r, t) => r.copy(text = t) } // zip = truncate to shortest
+  }
+
   def rows(doc: PageDoc): Seq[DsvRow] =
     doc.textRegions.zipWithIndex.flatMap { case (r, rid) =>
       r.lines.map { line =>

@@ -149,6 +149,20 @@ class DeleteDsvSpec extends AnyFunSuite {
     assert((r0.area, r0.width, r0.length) == ((40000, 50, 800)))
     assert(r0.region == 0 && r0.id == "r0l0")
   }
+  test("dsv dehyphenate: text column dehyphed, empty line drop truncates + misaligns (reference quirk)") {
+    val mk = (id: String, t: String) => LineT(id, hasCoords = false, Nil, hasBaseline = false, Nil,
+      Seq(TextEquivT(0, t)), Nil, if (t.nonEmpty) Seq(t) else Nil)
+    val doc = PageDoc("u", "ns", 10, 10, "f", Nil, Seq("r"),
+      Seq(RegionT("r", "text", hasCoords = false, Nil, Nil,
+        Seq(mk("a", "foo-"), mk("b", "bar baz"), mk("c", ""), mk("d", "tail")), Nil)),
+      parseOk = true, parseError = "")
+    val out = Dsv.rowsDehyphenated(doc)
+    // dehyphe input drops "" -> 3 texts; zip truncates to 3 rows; texts shift
+    assert(out.size == 3)
+    assert(out.map(r => (r.id, r.text)) ==
+      Seq(("a", "foobar"), ("b", "baz"), ("c", "tail"))) // 'tail' lands on line c!
+  }
+
   test("dsv sentinels for missing baseline / coords") {
     val line = LineT("x", hasCoords = false, Nil, hasBaseline = false, Nil,
       Seq(TextEquivT(0, "t")), Nil, Seq("t"))
