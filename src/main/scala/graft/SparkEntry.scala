@@ -208,6 +208,19 @@ object SparkEntry {
         })
         .toDF("url", "id", "bl_sx", "bl_sy", "bl_ex", "bl_ey", "area", "width", "length")
     }),
+    "translate_lines" -> ((s, dir) => {
+      // translate_textlinepolygon / translate_baseline by (+5, +7)
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .flatMap { d =>
+          d.textRegions.flatMap(_.lines).map { l0 =>
+            val l = pageplus.ops.Baseline.translateBaseline(
+              pageplus.ops.Baseline.translatePolygon(l0, 5, 7), 5, 7)
+            (d.url, l.id, l.coords.head.x, l.coords.head.y,
+              l.baseline.head.x, l.baseline.head.y, l.baseline.last.x, l.baseline.last.y)
+          }
+        }.toDF("url", "id", "poly_x0", "poly_y0", "bl_sx", "bl_sy", "bl_ex", "bl_ey")
+    }),
     "extend_baseline" -> ((s, dir) => {
       import s.implicits._
       Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
@@ -598,6 +611,12 @@ object SparkEntry {
         |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
         |       104 AS bl_sx, 100+60*(i-1)+50 AS bl_sy, 896 AS bl_ex, 100+60*(i-1)+50 AS bl_ey,
         |       CAST(25344 AS BIGINT) AS area, CAST(32 AS BIGINT) AS width, CAST(792 AS BIGINT) AS length
+        |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
+    "translate_lines" ->
+      """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       105 AS poly_x0, 100+60*(i-1)+7 AS poly_y0,
+        |       125 AS bl_sx, 100+60*(i-1)+47 AS bl_sy, 885 AS bl_ex, 100+60*(i-1)+47 AS bl_ey
         |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
     "extend_baseline" ->
       """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
