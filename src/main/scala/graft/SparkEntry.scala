@@ -726,6 +726,17 @@ object SparkEntry {
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         |WHERE doc_id % 2 = 1""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings ORDER BY vec_id LIMIT 5)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |                            ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+        |                                     e.vec_id) AS rank
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id)
+        |WHERE rank <= 5""".stripMargin,
     "token_count_regex" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
