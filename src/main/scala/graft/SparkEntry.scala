@@ -421,10 +421,10 @@ object SparkEntry {
       import s.implicits._
       t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
-          val (lang, score) = graft.textops.TextHash.langId(text)
-          (id, lang, math.rint(score * 1e4) / 1e4)
+          val (lang, num, n) = graft.textops.TextHash.langIdDetail(text)
+          (id, lang, num, n)
         }
-        .toDF("doc_id", "lang_pred", "score")
+        .toDF("doc_id", "lang_pred", "score_num", "n_tokens")
     }),
     // ---- scale plumbing: streaming / checkpoint-resume / lineage ----
     "stream_extract" -> ((s, dir) => {
@@ -726,6 +726,22 @@ object SparkEntry {
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         |WHERE doc_id % 2 = 1""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, [substring(lt, i, 3) for i in range(1, length(lt)-1)] AS tris FROM t),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) + len(list_filter(tris, g -> g IN ('the','ing','ion','and','ent'))) AS BIGINT) AS n_en,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) + len(list_filter(tris, g -> g IN ('sch','ich','ein','cht','und'))) AS BIGINT) AS n_de,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('le','la','et','les','des','un','une','est','pour','que'))) + len(list_filter(tris, g -> g IN ('ent','les','ion','que','eur'))) AS BIGINT) AS n_fr,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('el','los','las','y','es','una','por','para','con','del'))) + len(list_filter(tris, g -> g IN ('ent','los','cio','ado','que'))) AS BIGINT) AS n_es
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+        |       WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+        |       WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        |  CAST(greatest(n_de, n_en, n_es, n_fr) AS BIGINT) AS score_num, n_tokens
+        |FROM sc""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings ORDER BY vec_id LIMIT 5)

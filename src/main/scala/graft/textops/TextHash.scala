@@ -162,24 +162,32 @@ object TextHash {
     "fr" -> Set("ent", "les", "ion", "que", "eur"),
     "es" -> Set("ent", "los", "cio", "ado", "que"))
 
-  /** Deterministic language guess: stopword hits (weight 3) + trigram hits;
-    * CJK codepoint share short-circuits to zh; ties broken lexicographically. */
-  def langId(text: String): (String, Double) = {
+  /** Deterministic language guess, exact-integer scoring: numerator =
+    * 3*stopword hits + trigram hits (denominator = token count, shared per
+    * doc, so comparisons reduce to integer comparisons — no float rounding in
+    * the oracle). CJK codepoint share short-circuits to zh; ties broken
+    * lexicographically. Returns (lang, numerator, nTokens). */
+  def langIdDetail(text: String): (String, Long, Long) = {
     val cps = text.codePoints().toArray
     if (cps.nonEmpty) {
       val cjk = cps.count(c => c >= 0x4e00 && c <= 0x9fff)
-      if (cjk.toDouble / cps.length > 0.2) return ("zh", cjk.toDouble / cps.length)
+      if (cjk.toDouble / cps.length > 0.2) return ("zh", cjk.toLong, cps.length.toLong)
     }
     val toks = PyStr.split(text.toLowerCase)
-    if (toks.isEmpty) return ("und", 0.0)
+    if (toks.isEmpty) return ("und", 0L, 0L)
     val tris = charShinglesStr(text.toLowerCase, 3)
     val scores = Profiles.keys.filter(_ != "zh").map { lang =>
       val stop = toks.count(Profiles(lang))
       val tri = tris.count(TrigramProfiles(lang))
-      lang -> (3.0 * stop + tri) / toks.size
+      lang -> (3L * stop + tri)
     }.toSeq.sortBy { case (l, s) => (-s, l) }
-    val (lang, score) = scores.head
-    if (score == 0.0) ("und", 0.0) else (lang, score)
+    val (lang, num) = scores.head
+    if (num == 0L) ("und", 0L, toks.size.toLong) else (lang, num, toks.size.toLong)
+  }
+
+  def langId(text: String): (String, Double) = {
+    val (lang, num, n) = langIdDetail(text)
+    (lang, if (n == 0) 0.0 else num.toDouble / n)
   }
 
   private def charShinglesStr(text: String, n: Int): Seq[String] =
