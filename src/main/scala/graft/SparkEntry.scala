@@ -726,6 +726,30 @@ object SparkEntry {
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         |WHERE doc_id % 2 = 1""".stripMargin,
+    "minhash_neardup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+        |d AS (SELECT doc_id, string_split(text,' ') AS w FROM planted),
+        |sh AS (SELECT doc_id,
+        |              list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |       FROM d),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+        |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
+        |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
+        |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
+    "embedding_neardup" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |       round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |FROM all_v x, all_v y
+        |WHERE x.vec_id < y.vec_id AND list_cosine_similarity(x.v, y.v) >= 0.999""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
         |s AS (SELECT doc_id, toks, [substring(lt, i, 3) for i in range(1, length(lt)-1)] AS tris FROM t),

@@ -40,7 +40,9 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
-    * Returns (a, b, jaccard) with a < b and jaccard >= threshold. */
+    * Returns (a, b, inter, un) with a < b and inter/un >= threshold — the
+    * intersection/union sizes are exact integers so the DuckDB oracle needs no
+    * float rounding (threshold 4/5 becomes the filter 5*inter >= 4*un). */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -58,7 +60,8 @@ object Dedup {
   }
 
   /** Exact word-shingle Jaccard for candidate pairs (join back to texts —
-    * touches only candidates, not the corpus). */
+    * touches only candidates, not the corpus). Emits exact integer
+    * intersection/union sizes. */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -68,11 +71,13 @@ object Dedup {
       .select(col("a"), col("b"), col("text_a"), col("text_b"))
       .as[(Long, Long, String, String)]
       .map { case (a, b, x, y) =>
-        (a, b, TextHash.jaccard(TextHash.wordShingles(x), TextHash.wordShingles(y)))
+        val sa = TextHash.wordShingles(x)
+        val sb = TextHash.wordShingles(y)
+        val inter = sa.intersect(sb).size.toLong
+        (a, b, inter, sa.size + sb.size - inter)
       }
-      .toDF("a", "b", "jaccard")
-      .filter(col("jaccard") >= threshold)
-      .withColumn("jaccard", round(col("jaccard"), 6))
+      .toDF("a", "b", "inter", "un")
+      .filter(col("inter").cast("double") / col("un") >= threshold)
   }
 
   /** SimHash near-duplicate pairs: 16-bit chunk keys for candidates, hamming
@@ -114,10 +119,12 @@ object Dedup {
       .select(col("a"), col("b"), col("text_a"), col("text_b"))
       .as[(Long, Long, String, String)]
       .map { case (a, b, x, y) =>
-        (a, b, TextHash.jaccard(TextHash.charShingles(x, n), TextHash.charShingles(y, n)))
+        val sa = TextHash.charShingles(x, n)
+        val sb = TextHash.charShingles(y, n)
+        val inter = sa.intersect(sb).size.toLong
+        (a, b, inter, sa.size + sb.size - inter)
       }
-      .toDF("a", "b", "ngram_jaccard")
-      .filter(col("ngram_jaccard") >= threshold)
-      .withColumn("ngram_jaccard", round(col("ngram_jaccard"), 6))
+      .toDF("a", "b", "inter", "un")
+      .filter(col("inter").cast("double") / col("un") >= threshold)
   }
 }
