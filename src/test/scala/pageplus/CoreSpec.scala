@@ -51,6 +51,17 @@ class PyStrSpec extends AnyFunSuite {
   test("len counts code points") {
     assert(PyStr.len("a😀b") == 3) // a, emoji, b
   }
+  test("unicode whitespace parity with Python (NBSP, narrow NBSP, figure space, NEL)") {
+    // Python str.split() treats all of these as whitespace; Java regex \\s
+    // misses several: NBSP, FIGURE SPACE, NARROW NBSP, NEL, EM SPACE, IDEOGRAPHIC
+    for (ws <- Seq('\u00A0', '\u2007', '\u202F', '\u0085', '\u2003', '\u3000')) {
+      assert(PyStr.isSpace(ws), f"U+${ws.toInt}%04X should be Python whitespace")
+      assert(PyStr.split(s"a${ws}b") == Seq("a", "b"), f"split on U+${ws.toInt}%04X")
+      assert(PyStr.strip(s"${ws}x$ws") == "x", f"strip on U+${ws.toInt}%04X")
+    }
+    // ZERO WIDTH SPACE is NOT whitespace in Python
+    assert(!PyStr.isSpace('\u200B'))
+  }
 }
 
 class DehypheSpec extends AnyFunSuite {
