@@ -33,6 +33,49 @@ object Merge {
     region.copy(lines = sorted)
   }
 
+  /** sort_baselines (models/text_elements.py:51-96) is DEAD CODE in the
+    * reference: no CLI calls it and `_baselines_near_same_height` passes `x=`
+    * to affinity.translate, raising TypeError on first use. This is the
+    * INTENDED semantics (sans crash): initial sort by baseline centroid y
+    * (synthesized from the polygon when missing), then the literal bubble pass
+    * — lines "near the same height" (x-aligned buffered baselines intersect)
+    * are swapped UNCONDITIONALLY (the `_should_swap` check only gates a log
+    * line, models/text_elements.py:75-77). */
+  def sortBaselinesIntended(region: RegionT, tolerance: Double = 5.0): RegionT = {
+    val entries = region.lines.zipWithIndex.flatMap { case (l, idx) =>
+      val bl: Option[Seq[(Double, Double)]] =
+        if (l.hasBaseline && l.baseline.size >= 2)
+          Some(l.baseline.map(p => (p.x.toDouble, p.y.toDouble)))
+        else if (l.hasCoords && l.coords.size >= 3)
+          Some(pageplus.ops.Baseline.computeBaseline(l.coords))
+        else None
+      bl.map(b => (idx, b))
+    }
+    if (entries.size != region.lines.size) return region // a line had no geometry: keep order
+    val sorted = scala.collection.mutable.ArrayBuffer.from(
+      entries.sortBy { case (_, b) => b.map(_._2).sum / b.size }) // centroid y of the polyline pts
+    var i = 0
+    while (i < sorted.length - 1) {
+      var j = i + 1
+      while (j < sorted.length) {
+        val b1 = sorted(i)._2
+        val b2 = sorted(j)._2
+        // near same height: translate b2's x so centroids align, buffered intersect
+        val c1x = b1.map(_._1).sum / b1.size
+        val c2x = b2.map(_._1).sum / b2.size
+        val shift = c1x - c2x
+        val l1 = Geo.lineString(b1.map { case (x, y) => Pt(x.toInt, y.toInt) })
+        val l2 = Geo.lineString(b2.map { case (x, y) => Pt((x + shift).toInt, y.toInt) })
+        if (l1.buffer(tolerance).intersects(l2.buffer(tolerance))) {
+          val t = sorted(i); sorted(i) = sorted(j); sorted(j) = t // unconditional swap
+        }
+        j += 1
+      }
+      i += 1
+    }
+    region.copy(lines = sorted.map { case (idx, _) => region.lines(idx) }.toSeq)
+  }
+
   private def canMerge(prev: Seq[Pt], cur: Seq[Pt], maxX: Int, maxY: Int): Boolean =
     prev.nonEmpty && cur.nonEmpty &&
       math.abs(prev.last.x - cur.head.x) <= maxX &&

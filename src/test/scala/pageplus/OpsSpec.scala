@@ -108,6 +108,25 @@ class ExtendMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("sortBaselinesIntended orders by baseline y; same-height lines get the literal unconditional swap") {
+    def line(id: String, y: Int): LineT =
+      LineT(id, hasCoords = true, Seq(Pt(100, y - 40), Pt(900, y - 40), Pt(900, y + 10), Pt(100, y + 10)),
+        hasBaseline = true, Seq(Pt(120, y), Pt(880, y)), Seq(TextEquivT(0, id)), Nil, Seq(id))
+    val region = RegionT("r", "text", hasCoords = true,
+      Seq(Pt(0, 0), Pt(1000, 0), Pt(1000, 1000), Pt(0, 1000)), Nil,
+      Seq(line("c", 300), line("a", 100), line("b", 200)), Nil)
+    val sorted = Merge.sortBaselinesIntended(region)
+    assert(sorted.lines.map(_.id) == Seq("a", "b", "c"))
+    // two baselines at the SAME height: buffered intersect -> unconditional swap
+    val same = region.copy(lines = Seq(line("x", 100), line("y", 100)))
+    assert(Merge.sortBaselinesIntended(same).lines.map(_.id) == Seq("y", "x"))
+    // missing geometry anywhere: order preserved
+    val noGeom = region.copy(lines = Seq(
+      line("p", 200),
+      LineT("q", hasCoords = false, Nil, hasBaseline = false, Nil, Seq(TextEquivT(0, "q")), Nil, Seq("q"))))
+    assert(Merge.sortBaselinesIntended(noGeom).lines.map(_.id) == Seq("p", "q"))
+  }
+
   test("merge respects the gap thresholds (no merge beyond 64/12)") {
     val far = RegionT("r", "text", hasCoords = true,
       Seq(Pt(0, 0), Pt(1000, 0), Pt(1000, 500), Pt(0, 500)), Nil,
