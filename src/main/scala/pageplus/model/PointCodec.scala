@@ -10,12 +10,22 @@ package pageplus.model
   */
 object PointCodec {
 
+  private val SplitPattern = java.util.regex.Pattern.compile("[,\\s]")
+
   /** `convert_coordinates_str_to_tuples`. Throws NumberFormatException on garbage,
-    * matching the reference's ValueError (callers catch per element). */
+    * matching the reference's ValueError (callers catch per element).
+    * The pattern is precompiled — this runs once per Coords/Baseline element
+    * on the hot path. */
   def parse(s: String): Seq[Pt] = {
-    val vals = s.split("[,\\s]", -1).iterator.map(v => v.toDouble.toInt).toArray
-    val out = Seq.newBuilder[Pt]
+    val parts = SplitPattern.split(s, -1)
+    val vals = new Array[Int](parts.length)
     var i = 0
+    while (i < parts.length) {
+      vals(i) = parts(i).toDouble.toInt
+      i += 1
+    }
+    val out = Seq.newBuilder[Pt]
+    i = 0
     while (i + 1 < vals.length) {
       out += Pt(vals(i), vals(i + 1))
       i += 2
