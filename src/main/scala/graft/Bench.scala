@@ -84,7 +84,19 @@ object Bench {
   }
 
   private def bestExprDocsPerSec(spark: SparkSession, pagesPath: String, runs: Int): Double = {
-    timeExtractionExpr(spark, pagesPath) // warm-up
+    // same adaptive warm-up as the typed path: the generated whole-stage
+    // code is a fresh class, so it needs its own C2 compilation even when the
+    // parser hot loops are already warm from earlier rounds
+    var prev = Double.MaxValue
+    var w = 0
+    var converged = false
+    while (w < 6 && !converged) {
+      val (wn, wsec) = timeExtractionExpr(spark, pagesPath)
+      System.err.println(s"[bench] expr warmup $wn docs in $wsec s")
+      converged = wsec > prev * 0.9
+      prev = wsec
+      w += 1
+    }
     (1 to runs).map { _ =>
       val (n, sec) = timeExtractionExpr(spark, pagesPath)
       System.err.println(s"[bench] expr run $n docs in $sec s")

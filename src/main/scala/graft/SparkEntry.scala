@@ -382,8 +382,14 @@ object SparkEntry {
         graft.textops.Dedup.planted(t(s, dir, "documents")), threshold = 0.8)
     }),
     "simhash_neardup" -> ((s, dir) => {
+      // maxHamming = 3 is the guaranteed-recall regime: with 4 x 16-bit chunk
+      // keys, any pair within hamming distance 3 shares at least one chunk
+      // (pigeonhole), so the LSH candidate join is lossless and the output
+      // equals all-pairs hamming<=3 — which the DuckDB oracle recomputes
+      // bit-for-bit (FNV-1a + sign-bit majority in SQL). Wider radii trade
+      // recall for cost and are covered by the ScalaTest recall property.
       graft.textops.Dedup.simhashPairs(
-        graft.textops.Dedup.plantedTail(t(s, dir, "documents")), maxHamming = 12)
+        graft.textops.Dedup.plantedTail(t(s, dir, "documents")), maxHamming = 3)
     }),
     "ngram_jaccard" -> ((s, dir) => {
       graft.textops.Dedup.ngramJaccardPairs(
@@ -741,6 +747,99 @@ object SparkEntry {
         |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
         |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
         |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
+    // Exact char-3-gram Jaccard over the planted corpus. The Spark side
+    // reranks MinHash-LSH candidates; at >= 0.8 similarity the 64-perm /
+    // 16-band LSH recall is complete on this corpus, so the all-pairs oracle
+    // matches. Integer filter 5*inter >= 4*un == inter/un >= 0.8 exactly.
+    "ngram_jaccard" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS s
+        |       FROM planted),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+        |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
+        |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
+        |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
+    // Bit-exact SimHash recompute in SQL: FNV-1a(64) per token via a
+    // HUGEINT list_reduce (mod 2^64, xor on the low 7 ASCII bits), sign-bit
+    // majority per bit position, signed-BIGINT reassembly, all-pairs
+    // hamming <= 3 (the radius where the Spark chunk-key join is lossless).
+    "simhash_neardup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         substring(text, 1, length(text) - instr(reverse(text), ' '))
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(c)::HUGEINT for c in string_split(tok, '')]),
+        |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (th.h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, range(64) r(b)
+        |  GROUP BY doc_id, b),
+        |sims AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN v >= (1::HUGEINT << 63) THEN v - (1::HUGEINT << 64) ELSE v END AS BIGINT) AS sim
+        |  FROM (SELECT doc_id,
+        |               sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS v
+        |        FROM bits GROUP BY doc_id))
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+        |FROM sims x, sims y
+        |WHERE x.doc_id < y.doc_id AND bit_count(xor(x.sim, y.sim)) <= 3""".stripMargin,
+    // Bit-exact winnowing recompute: FNV-1a over each 8-gram, signed-Long
+    // window(4) minima, distinct + signed sort, FNV-style fold. The 128-bit
+    // xor identity: for 64-bit operands sign-extended to HUGEINT, the low 64
+    // bits of the xor are the 64-bit xor and the CASE +2^64 re-normalizes.
+    "doc_fingerprint" ->
+      """WITH gl AS (
+        |  SELECT doc_id, length(text) - 7 AS n,
+        |         [substring(text, i, 8) for i in range(1, length(text) - 6)] AS gs
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, n, i0 AS i,
+        |         CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT) AS g
+        |  FROM (SELECT doc_id, n, generate_subscripts(gs, 1) AS i0,
+        |               list_reduce(
+        |                 list_prepend(14695981039346656037::HUGEINT,
+        |                              [unicode(c)::HUGEINT for c in string_split(unnest(gs), '')]),
+        |                 (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
+        |                            * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
+        |        FROM gl) t0),
+        |minima AS (
+        |  SELECT doc_id, i, n,
+        |         min(g) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        |  FROM grams),
+        |sel AS (
+        |  SELECT doc_id, list_sort(list(DISTINCT m)) AS sels
+        |  FROM minima WHERE i + 4 <= n + 1
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN f >= (1::HUGEINT << 63) THEN f - (1::HUGEINT << 64) ELSE f END AS BIGINT) AS fingerprint,
+        |       CAST(len(sels) AS BIGINT) AS n_grams
+        |FROM (
+        |  SELECT doc_id, sels,
+        |         list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT, sels::HUGEINT[]),
+        |           (h, g) -> ((CASE WHEN xor(CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT), g) < 0
+        |                            THEN xor(CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT), g)::HUGEINT + (1::HUGEINT << 64)
+        |                            ELSE xor(CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT), g)::HUGEINT END)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS f
+        |  FROM sel) t1""".stripMargin,
     "embedding_neardup" ->
       """WITH all_v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
