@@ -423,6 +423,21 @@ object SparkEntry {
         graft.textops.Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), max("frame_idx").as("last_frame"))
     }),
+    // ---- HTML main-content extraction (north_rule: boilerplate strip, DOM
+    // heuristics). documents -> deterministic boilerplate-wrapped HTML pages
+    // -> parse + readability-style block scoring -> paragraph text. The
+    // oracle is byte-identity: the recovered main text must equal the
+    // original document text re-chunked into 24-word paragraphs. ----
+    "html_main_content" -> ((s, dir) => {
+      graft.webtext.WebText.mainContent(
+        graft.webtext.WebText.htmlPages(
+          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()).toDF()
+    }),
+    "html_block_stats" -> ((s, dir) => {
+      graft.webtext.WebText.blockStats(
+        graft.webtext.WebText.htmlPages(
+          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()).toDF()
+    }),
     "lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
@@ -849,6 +864,28 @@ object SparkEntry {
         |       round(list_cosine_similarity(x.v, y.v), 6) AS cos
         |FROM all_v x, all_v y
         |WHERE x.vec_id < y.vec_id AND list_cosine_similarity(x.v, y.v) >= 0.999""".stripMargin,
+    // main-content byte-identity: same word-chunk reassembly as the fulltext
+    // oracle, at the HTML generator's 24-word paragraph grain
+    "html_main_content" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+23], ' ')
+        |                        for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    // DOM statistics recomputed from the generator's arithmetic: nav links
+    // 4+id%4, sidebar 3+id%3, footer 2, inline anchors floor(P/3); paragraphs
+    // P + promo + copyright; comment divs 2+id%2; the chosen block is the
+    // article, so main_chars = length(text) - (P-1) separator spaces
+    "html_block_stats" ->
+      """WITH d AS (SELECT doc_id, length(text) AS tl,
+        |                  CAST(ceil(len(string_split(text,' '))/24.0) AS BIGINT) AS np
+        |           FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        |       CAST(9 + doc_id%4 + doc_id%3 + np//3 AS BIGINT) AS n_anchors,
+        |       CAST(np + 2 AS BIGINT) AS n_paragraphs,
+        |       CAST(2 + doc_id%2 AS BIGINT) AS n_comment_divs,
+        |       np AS main_paragraphs,
+        |       CAST(tl - (np - 1) AS BIGINT) AS main_chars
+        |FROM d""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
         |s AS (SELECT doc_id, toks, [substring(lt, i, 3) for i in range(1, length(lt)-1)] AS tris FROM t),

@@ -1,0 +1,116 @@
+package graft.webtext
+
+/** Deterministic synthetic web page around a document's text — the sandbox
+  * stand-in for a Common-Crawl HTML payload (north_rule input shape: the
+  * `html` column of `pages`). Everything that affects COUNTS is plain
+  * `doc_id` modular arithmetic so the DuckDB oracle can recompute block
+  * statistics in SQL; the article body is the document text chunked into
+  * paragraphs of [[ParaWords]] words, so the main-content oracle is the same
+  * word-chunk reassembly the fulltext oracle uses (stride 24 instead of 8).
+  *
+  * Boilerplate the extractor must strip: a nav link list, a sidebar (link
+  * list + short promo paragraph), a comments block, a footer (links +
+  * copyright line), plus head/script/style noise with `<`/`&` traps. Inline
+  * `<b>`/`<a>` markup INSIDE article paragraphs must be kept (text-identical).
+  */
+object HtmlGen {
+
+  val ParaWords = 24
+
+  // label pools: every boilerplate link label is >= 8 chars so the body
+  // block's link-density penalty separates it from the article even for the
+  // shortest documents (scoring margin analysis in MainContent)
+  private val NavLabels = Array("homepage", "politics", "business", "sciences",
+    "cultures", "archives", "weathers", "sportive", "contacts", "newsfeed", "features")
+  private val SideLabels = Array("trending now", "most shared", "editor desk",
+    "latest wire", "top stories", "deep dives")
+  private val Promos = Array("editors picks", "daily briefs", "fresh angles",
+    "field report", "morning wrap")
+  private val Comments = Array(
+    "great read thanks for sharing", "not sure i agree with this",
+    "came here from the newsletter", "typo in the third paragraph",
+    "bookmarking this for later on", "the charts could be clearer")
+
+  /** Words -> paragraphs of [[ParaWords]] words (single-space joined). */
+  def paragraphTexts(text: String): Seq[String] =
+    (if (text == null) "" else text).split(" ", -1).grouped(ParaWords).map(_.mkString(" ")).toSeq
+
+  /** The text a correct main-content extractor must recover, byte-identical:
+    * paragraphs joined with '\n', no trailing newline. */
+  def expectedMainText(text: String): String = paragraphTexts(text).mkString("\n")
+
+  def escape(s: String): String = {
+    if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) return s
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  }
+
+  /** One paragraph with deterministic inline markup: p%3==1 bolds the first
+    * word, p%3==2 wraps the last word in an inline anchor. Text content is
+    * unchanged by the markup. */
+  private def paragraphHtml(docId: Long, p: Int, para: String): String = {
+    val words = para.split(" ", -1)
+    val marked =
+      if (p % 3 == 1)
+        (("<b>" + escape(words.head) + "</b>") +: words.tail.map(escape)).mkString(" ")
+      else if (p % 3 == 2)
+        (words.init.map(escape) :+ (s"""<a href="/w/$docId/$p">""" + escape(words.last) + "</a>")).mkString(" ")
+      else words.map(escape).mkString(" ")
+    s"<p>$marked</p>"
+  }
+
+  /** Deterministic page. Counts (SQL-recomputable from doc_id + word count):
+    *   nav links       = 4 + doc_id % 4
+    *   sidebar links   = 3 + doc_id % 3
+    *   footer links    = 2
+    *   inline anchors  = floor(P / 3)   (paragraph indices p % 3 == 2)
+    *   paragraphs      = P (article) + 1 (sidebar promo) + 1 (footer (c))
+    *   comment divs    = 2 + doc_id % 2
+    * where P = ceil(words / 24). Article wrapped in <div id="content"> when
+    * doc_id % 2 == 1 (same extracted text either way — the wrapper ties with
+    * the article and pre-order tie-break picks the wrapper). */
+  def page(docId: Long, text: String): String = {
+    val sb = new java.lang.StringBuilder(2048 + 2 * (if (text == null) 0 else text.length))
+    val paras = paragraphTexts(text)
+    sb.append("<!DOCTYPE html>\n<html><head><title>document ").append(docId)
+      .append("</title>\n<meta charset=\"utf-8\">\n")
+      .append("<style>body{font:14px serif} .ad{display:none} a<b{}</style>\n")
+      .append("<script>var t={id:").append(docId)
+      .append("};if(1<2&&t.id>=0){/* <p>not text</p> & stays code */}</script>\n")
+      .append("</head>\n<body>\n<nav><ul>\n")
+    val navN = (4 + docId % 4).toInt
+    var k = 0
+    while (k < navN) {
+      sb.append("<li><a href=\"/nav/").append(k).append("\">")
+        .append(NavLabels(((docId + k) % NavLabels.length).toInt)).append("</a></li>\n")
+      k += 1
+    }
+    sb.append("</ul></nav>\n<div class=\"sidebar\"><h3>related</h3>\n")
+    val sideN = (3 + docId % 3).toInt
+    k = 0
+    while (k < sideN) {
+      sb.append("<a class=\"rel\" href=\"/rel/").append(k).append("\">")
+        .append(SideLabels(((docId + 2 * k) % SideLabels.length).toInt)).append("</a>\n")
+      k += 1
+    }
+    sb.append("<p class=\"promo\">").append(Promos((docId % Promos.length).toInt)).append("</p></div>\n")
+    val wrap = docId % 2 == 1
+    if (wrap) sb.append("<div id=\"content\">\n")
+    sb.append("<article><h1>document ").append(docId).append("</h1>\n")
+    paras.zipWithIndex.foreach { case (para, p) =>
+      sb.append(paragraphHtml(docId, p, para)).append('\n')
+    }
+    sb.append("</article>\n")
+    if (wrap) sb.append("</div>\n")
+    sb.append("<div class=\"comments\">\n")
+    val comN = (2 + docId % 2).toInt
+    k = 0
+    while (k < comN) {
+      sb.append("<div class=\"comment\">").append(Comments(((docId + k) % Comments.length).toInt))
+        .append("</div>\n")
+      k += 1
+    }
+    sb.append("</div>\n<footer><a href=\"/about\">about us!</a> <a href=\"/terms\">terms!!!</a>")
+      .append("<p>(c) 2026 example corp</p></footer>\n</body></html>\n")
+    sb.toString
+  }
+}

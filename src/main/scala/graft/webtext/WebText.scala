@@ -1,0 +1,60 @@
+package graft.webtext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import pageplus.model.PageRow
+import pageplus.spark.Pipeline
+
+/** Spark surface of the HTML main-content path: lift the driver's `documents`
+  * table into the north-rule pages shape with a synthetic-HTML payload, then
+  * extract per-row inside `mapPartitions` — identical execution pattern to the
+  * PAGE-XML path (narrow (url, html) projection -> optional salted
+  * repartition -> fused parse+score+extract, zero shuffles). */
+object WebText {
+
+  /** documents(doc_id, text, lang, …) -> pages(url, warc_ts, html, text, lang)
+    * with `html` = deterministic boilerplate-wrapped page bytes. */
+  def htmlPages(docs: DataFrame): Dataset[PageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, lang) =>
+        val t = if (text == null) "" else text
+        PageRow(pageplus.data.PagesFromDocuments.url(id),
+          new java.sql.Timestamp(id * 3600 * 1000L),
+          HtmlGen.page(id, t).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text, lang)
+      })
+  }
+
+  final case class Extracted(url: String, extracted_text: String)
+
+  /** pages -> (url, extracted_text): parse + block-score + paragraph join. */
+  def mainContent(pages: DataFrame, saltPartitions: Int = 0): Dataset[Extracted] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Pipeline.saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) =>
+        Extracted(url, MainContent.extract(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+      })
+  }
+
+  final case class BlockStats(url: String, n_anchors: Long, n_paragraphs: Long,
+                              n_comment_divs: Long, main_paragraphs: Long, main_chars: Long)
+
+  /** pages -> per-document DOM statistics (anchors, paragraphs, comment divs,
+    * chosen-block paragraph count and text mass). */
+  def blockStats(pages: DataFrame, saltPartitions: Int = 0): Dataset[BlockStats] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Pipeline.saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) =>
+        val s = MainContent.stats(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        BlockStats(url, s.n_anchors, s.n_paragraphs, s.n_comment_divs,
+          s.main_paragraphs, s.main_chars)
+      })
+  }
+}
