@@ -438,6 +438,14 @@ object SparkEntry {
         graft.webtext.WebText.htmlPages(
           t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()).toDF()
     }),
+    // ---- layout-text reading order (north_rule: PDF/layout parse): spans
+    // (page, x, y, text-run) in scrambled stream order -> column clustering
+    // -> (page, column, row) reading order -> byte-identical document text ----
+    "layout_reading_order" -> ((s, dir) => {
+      graft.layout.LayoutText.extract(
+        graft.layout.LayoutText.spansFromDocuments(
+          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))).toDF()
+    }),
     "lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
@@ -864,6 +872,12 @@ object SparkEntry {
         |       round(list_cosine_similarity(x.v, y.v), 6) AS cos
         |FROM all_v x, all_v y
         |WHERE x.vec_id < y.vec_id AND list_cosine_similarity(x.v, y.v) >= 0.999""".stripMargin,
+    // layout reconstruction must recover the document text exactly: the span
+    // generator is a bijective re-layout of the words, so the oracle is the
+    // raw text itself
+    "layout_reading_order" ->
+      """SELECT 'doc://' || doc_id AS url, text AS extracted_text
+        |FROM documents""".stripMargin,
     // main-content byte-identity: same word-chunk reassembly as the fulltext
     // oracle, at the HTML generator's 24-word paragraph grain
     "html_main_content" ->
