@@ -56,6 +56,53 @@ object Bench {
   @volatile private var corpusBytes = 0L
   @volatile private var corpusDocs = 0L
 
+  /** Replicated HTML pages table (north-rule main-content surface). */
+  private def benchHtmlPagesPath(spark: SparkSession, sfDir: String, replicate: Int): String = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_bench_html_${sfDir.hashCode.toHexString}_x$replicate"
+    val done = new java.io.File(s"$out/_SUCCESS")
+    if (!done.exists()) {
+      val base = graft.webtext.WebText.htmlPages(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)).toDF()
+      val copies = (0 until replicate).map { r =>
+        base.withColumn("url", concat(lit(s"rep$r/"), col("url")))
+      }
+      copies.reduce(_.unionByName(_))
+        .repartition(256)
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Force full HTML main-content extraction; returns (docs, seconds). */
+  private def timeHtmlExtraction(spark: SparkSession, pagesPath: String): (Long, Double) = {
+    val pages = spark.read.parquet(pagesPath)
+    val t0 = System.nanoTime()
+    val agg = graft.webtext.WebText.mainContent(pages).toDF()
+      .agg(count(lit(1)).as("n"), sum(length(col("extracted_text"))).as("chars"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (agg.getLong(0), sec)
+  }
+
+  private def bestHtmlDocsPerSec(spark: SparkSession, pagesPath: String, runs: Int): Double = {
+    var prev = Double.MaxValue
+    var w = 0
+    var converged = false
+    while (w < 6 && !converged) {
+      val (wn, wsec) = timeHtmlExtraction(spark, pagesPath)
+      System.err.println(s"[bench] html warmup $wn docs in $wsec s")
+      converged = wsec > prev * 0.9
+      prev = wsec
+      w += 1
+    }
+    (1 to runs).map { _ =>
+      val (n, sec) = timeHtmlExtraction(spark, pagesPath)
+      System.err.println(s"[bench] html run $n docs in $sec s")
+      n / sec
+    }.max
+  }
+
   /** Force full extraction; returns (docs, seconds). */
   private def timeExtraction(spark: SparkSession, pagesPath: String): (Long, Double) = {
     val pages = spark.read.parquet(pagesPath)
@@ -177,6 +224,12 @@ object Bench {
     spark = freshSession(cpusHigh)
     val tpExpr = bestExprDocsPerSec(spark, pagesPath, runs)
     spark.stop()
+
+    // HTML main-content extraction (north-rule surface), high parallelism
+    spark = freshSession(cpusHigh)
+    val htmlPath = benchHtmlPagesPath(spark, sfDir, replicate)
+    val tpHtml = bestHtmlDocsPerSec(spark, htmlPath, runs)
+    spark.stop()
     // efficiency: median of per-round PAIRED ratios — robust to a single
     // throttled window that would otherwise make the ratio sub- or super-linear
     val ratio = cpusHigh.toDouble / cpusLow
@@ -190,7 +243,7 @@ object Bench {
     val scaling =
       s"""{"cores_low":$cpusLow,"cores_high":$cpusHigh,"docs_per_sec_low":${f(tpLow)},""" +
       s""""docs_per_sec_high":${f(tpHigh)},"efficiency":${f(efficiency)},"replicate":$replicate,""" +
-      s""""docs_per_sec_expr_high":${f(tpExpr)},"corpus_mb":${f(corpusBytes / 1e6)},""" +
+      s""""docs_per_sec_expr_high":${f(tpExpr)},"docs_per_sec_html_high":${f(tpHtml)},"corpus_mb":${f(corpusBytes / 1e6)},""" +
       s""""mb_per_sec_high":${f(if (corpusDocs > 0) tpHigh * (corpusBytes / 1e6) / corpusDocs else 0.0)},""" +
       s""""rounds":[${pairs.map { case (l, h) => s"[${f(l)},${f(h)}]" }.mkString(",")}]}"""
     println(
@@ -211,6 +264,7 @@ object Bench {
            || local[$cpusLow] | ${f(tpLow)} |
            || local[$cpusHigh] | ${f(tpHigh)} |
            || local[$cpusHigh], codegen Expression path | ${f(tpExpr)} |
+           || local[$cpusHigh], HTML main-content path | ${f(tpHtml)} |
            |
            |Scaling efficiency local[$cpusLow] -> local[$cpusHigh]
            |(median of per-round paired (tp_high/tp_low)/(${cpusHigh / cpusLow}x cores)

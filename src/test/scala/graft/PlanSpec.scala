@@ -112,4 +112,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected band equi-join in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("html main-content path shuffles exactly once (the explicit repartition)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val df = graft.webtext.WebText.mainContent(
+      graft.webtext.WebText.htmlPages(docs).toDF()).toDF()
+    val plan = executedPlan(df)
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"generate+parse+score must stay fused after one repartition:\n$plan")
+  }
+
+  test("layout reconstruction shuffles exactly twice: input spread + url regroup") {
+    val df = SparkEntry.queries("layout_reading_order")(spark, sf)
+    val plan = executedPlan(df)
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"expected repartition + groupByKey shuffles only:\n$plan")
+  }
 }
