@@ -460,6 +460,11 @@ object SparkEntry {
       // same transforms under Structured Streaming; must equal the batch answer
       pageplus.streaming.StreamingExtract.extractOnce(s, dir)
     }),
+    "stream_html_content" -> ((s, dir) => {
+      // the HTML boilerplate-strip path under Structured Streaming; must
+      // equal the batch html_main_content answer
+      pageplus.streaming.StreamingExtract.htmlContentOnce(s, dir)
+    }),
     "stream_events_window" -> ((s, dir) => {
       // watermark + tumbling-window aggregation under Structured Streaming;
       // must equal the batch q10 answer
@@ -872,6 +877,11 @@ object SparkEntry {
         |       round(list_cosine_similarity(x.v, y.v), 6) AS cos
         |FROM all_v x, all_v y
         |WHERE x.vec_id < y.vec_id AND list_cosine_similarity(x.v, y.v) >= 0.999""".stripMargin,
+    "stream_html_content" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+23], ' ')
+        |                        for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
     // layout reconstruction must recover the document text exactly: the span
     // generator is a bijective re-layout of the words, so the oracle is the
     // raw text itself

@@ -42,6 +42,30 @@ object StreamingExtract {
     spark.table(name)
   }
 
+  /** Same lift for the HTML main-content path: generate -> parse -> block
+    * score under readStream, proving every per-row extraction surface of the
+    * engine is streaming-ready without code changes. */
+  def htmlContentOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val extracted = graft.webtext.WebText.mainContent(
+      graft.webtext.WebText.htmlPages(stream).toDF()).toDF()
+    val name = s"stream_html_${counter.incrementAndGet()}"
+    val q = extracted.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming windowed aggregation over the events table: event-time watermark
     * + 1-hour tumbling windows (the Structured Streaming shape the engine
     * offers for incremental corpora metrics). Drained synchronously; complete
