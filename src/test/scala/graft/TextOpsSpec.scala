@@ -82,6 +82,35 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall") // whole-word edits can flip >12 of 64 bits on short docs
   }
 
+  test("neardup_clusters unites a transitive chain whose endpoints are NOT a direct pair") {
+    import spark.implicits._
+    // t_k drops the last word of t_{k-1}: adjacent jaccard ~0.94 (>= 0.8),
+    // but J(t1, t6) = 13/18 < 0.8 — only transitivity links the endpoints
+    val words = (1 to 20).map("w" + _)
+    val chain = (0 to 5).map(k => (k.toLong + 1, words.dropRight(k).mkString(" ")))
+    val lone = Seq((100L, (1 to 20).map("z" + _).mkString(" ")))
+    val docs = (chain ++ lone).toDF("doc_id", "text")
+    // direct-pair sanity: endpoints below threshold
+    val j16 = textops.TextHash.jaccard(
+      textops.TextHash.wordShingles(chain.head._2), textops.TextHash.wordShingles(chain.last._2))
+    assert(j16 < 0.8, s"chain endpoints must not be a direct pair, j=$j16")
+    val got = textops.Dedup.neardupClusters(docs, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach(id => assert(got(id) == 1L, s"doc $id should join cluster 1"))
+    assert(got(100L) == 100L)
+  }
+
+  test("neardup_clusters puts every planted twin in its base doc's cluster") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = textops.Dedup.neardupClusters(textops.Dedup.planted(docs), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got.size == 2 * ids.length)
+    ids.foreach { id =>
+      assert(got(id + textops.Dedup.PlantOffset) == got(id), s"twin of $id split from base")
+    }
+  }
+
   test("embedding_neardup finds all planted identical-vector pairs at cos 1.0") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pairs = textops.Ann.nearDupPairs(textops.Ann.plantedEmbeddings(emb), 0.999)
