@@ -43,9 +43,10 @@ case class PageFulltextExpr(child: Expression, dehyphenate: Boolean = false, ro:
 
 object PageFulltextExpr {
 
-  /** Static entry used by both interpreted eval and generated code. */
+  /** Static entry used by both interpreted eval and generated code.
+    * Text-only parse: extraction reads no geometry (see StaxPageParser). */
   def extract(bytes: Array[Byte], dehyphenate: Boolean, ro: Boolean): String =
-    FullText.extract(StaxPageParser.parse("", bytes), dehyphenate = dehyphenate, readingOrder = ro)
+    FullText.extract(StaxPageParser.parseTextOnly("", bytes), dehyphenate = dehyphenate, readingOrder = ro)
 
   /** Column-API form (Spark 4 Column <-> Expression bridge). */
   def pageFulltext(c: Column, dehyphenate: Boolean = false, ro: Boolean = false): Column =

@@ -35,7 +35,9 @@ object Pipeline {
     saltByUrl(pages.select("url", "html"), saltPartitions)
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (url, html) =>
-        val doc = StaxPageParser.parse(url, html)
+        // text-only parse: extraction reads no geometry, so Coords/Baseline
+        // decoding (a large share of parse time) is skipped on this hot path
+        val doc = StaxPageParser.parseTextOnly(url, html)
         Extracted(url, FullText.extract(doc, dehyphenate = dehyphenate, readingOrder = ro))
       })
   }
@@ -70,7 +72,7 @@ object Pipeline {
     val bigChunks = sized.filter(col("bytes") > bigDocBytes).drop("bytes")
       .as[(String, Array[Byte])]
       .flatMap { case (url, html) =>
-        val doc = StaxPageParser.parse(url, html)
+        val doc = StaxPageParser.parseTextOnly(url, html)
         val regionLines: Seq[(Int, String)] = doc.regions.zipWithIndex.map { case (r, i) =>
           val lines = if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines
           (i, lines.flatMap(_.unicodes).mkString("\n"))

@@ -39,7 +39,16 @@ object StaxPageParser {
   private def empty(url: String, ok: Boolean, err: String): PageDoc =
     PageDoc(url, "", 0, 0, "", Nil, Nil, Nil, ok, err)
 
-  def parse(url: String, bytes: Array[Byte]): PageDoc = {
+  def parse(url: String, bytes: Array[Byte]): PageDoc = parse(url, bytes, geom = true)
+
+  /** Text-only parse for extraction pipelines: identical structure and text
+    * (ids, unicodes, reading order, parseOk), but Coords/Baseline point
+    * strings are skipped instead of decoded — `FullText.extract` never reads
+    * geometry, and point decoding is a large share of parse time. `hasCoords`
+    * still reflects attribute presence; the point arrays come back empty. */
+  def parseTextOnly(url: String, bytes: Array[Byte]): PageDoc = parse(url, bytes, geom = false)
+
+  private def parse(url: String, bytes: Array[Byte], geom: Boolean): PageDoc = {
     var r: XMLStreamReader = null
     try {
       r = factories.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
@@ -49,7 +58,7 @@ object StaxPageParser {
       val ns = Option(r.getNamespaceURI).getOrElse("")
       if (!ns.startsWith(PageNsPrefix))
         return empty(url, ok = false, s"not_page_xml: root namespace '$ns'")
-      parseRoot(url, ns, r)
+      parseRoot(url, ns, r, geom)
     } catch {
       case e: Exception =>
         empty(url, ok = false, s"xml_parse_error: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -103,10 +112,11 @@ object StaxPageParser {
     sb.toString
   }
 
-  private def parsePoints(r: XMLStreamReader): (Boolean, Seq[Pt]) = {
+  private def parsePoints(r: XMLStreamReader, geom: Boolean): (Boolean, Seq[Pt]) = {
     val s = attr(r, "points")
     skipElement(r)
     if (s == null) (false, Nil)
+    else if (!geom) (true, Nil)
     else
       try (true, PointCodec.parse(s))
       catch { case _: NumberFormatException => (false, Nil) }
@@ -134,7 +144,7 @@ object StaxPageParser {
     TextEquivT(idx, if (unicode == null) "" else unicode)
   }
 
-  private def parseWord(r: XMLStreamReader, ns: String, unicodeSink: Seq[String] => Unit): WordT = {
+  private def parseWord(r: XMLStreamReader, ns: String, unicodeSink: Seq[String] => Unit, geom: Boolean): WordT = {
     val id = Option(attr(r, "id")).getOrElse("")
     var hasCoords = false
     var coords: Seq[Pt] = Nil
@@ -145,7 +155,7 @@ object StaxPageParser {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "Coords" =>
-              val (h, c) = parsePoints(r); hasCoords = h; coords = c
+              val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
             case "TextEquiv" =>
               texts += parseTextEquiv(r, ns, unicodeSink)
             case _ => depth += 1
@@ -157,7 +167,7 @@ object StaxPageParser {
     WordT(id, hasCoords, coords, texts.result())
   }
 
-  private def parseLine(r: XMLStreamReader, ns: String): LineT = {
+  private def parseLine(r: XMLStreamReader, ns: String, geom: Boolean): LineT = {
     val id = Option(attr(r, "id")).getOrElse("")
     var hasCoords = false
     var coords: Seq[Pt] = Nil
@@ -173,13 +183,13 @@ object StaxPageParser {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "Coords" =>
-              val (h, c) = parsePoints(r); hasCoords = h; coords = c
+              val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
             case "Baseline" =>
-              val (h, c) = parsePoints(r); hasBaseline = h; baseline = c
+              val (h, c) = parsePoints(r, geom); hasBaseline = h; baseline = c
             case "TextEquiv" =>
               texts += parseTextEquiv(r, ns, sink)
             case "Word" =>
-              words += parseWord(r, ns, sink)
+              words += parseWord(r, ns, sink, geom)
             case _ => depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
@@ -189,7 +199,7 @@ object StaxPageParser {
     LineT(id, hasCoords, coords, hasBaseline, baseline, texts.result(), words.result(), unicodes.result())
   }
 
-  private def parseCell(r: XMLStreamReader, ns: String): CellT = {
+  private def parseCell(r: XMLStreamReader, ns: String, geom: Boolean): CellT = {
     val id = Option(attr(r, "id")).getOrElse("")
     var hasCoords = false
     var coords: Seq[Pt] = Nil
@@ -200,8 +210,8 @@ object StaxPageParser {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "Coords"    => val (h, c) = parsePoints(r); hasCoords = h; coords = c
-            case "TextLine"  => lines += parseLine(r, ns)
+            case "Coords"    => val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
+            case "TextLine"  => lines += parseLine(r, ns, geom)
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
             case _           => depth += 1
           }
@@ -212,7 +222,7 @@ object StaxPageParser {
     CellT(id, hasCoords, coords, texts.result(), lines.result())
   }
 
-  private def parseRegion(r: XMLStreamReader, ns: String, kind: String): RegionT = {
+  private def parseRegion(r: XMLStreamReader, ns: String, kind: String, geom: Boolean): RegionT = {
     val id = Option(attr(r, "id")).getOrElse("")
     var hasCoords = false
     var coords: Seq[Pt] = Nil
@@ -224,9 +234,9 @@ object StaxPageParser {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "Coords"    => val (h, c) = parsePoints(r); hasCoords = h; coords = c
-            case "TextLine"  => lines += parseLine(r, ns)
-            case "TableCell" => cells += parseCell(r, ns)
+            case "Coords"    => val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
+            case "TextLine"  => lines += parseLine(r, ns, geom)
+            case "TableCell" => cells += parseCell(r, ns, geom)
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
             case _           => depth += 1
           }
@@ -272,7 +282,7 @@ object StaxPageParser {
     result
   }
 
-  private def parseRoot(url: String, ns: String, r: XMLStreamReader): PageDoc = {
+  private def parseRoot(url: String, ns: String, r: XMLStreamReader, geom: Boolean): PageDoc = {
     var width = 0
     var height = 0
     var imageFilename = ""
@@ -294,11 +304,11 @@ object StaxPageParser {
             case "ReadingOrder" =>
               readingOrder = parseReadingOrder(r, ns)
             case "TextRegion" =>
-              val reg = parseRegion(r, ns, "text")
+              val reg = parseRegion(r, ns, "text", geom)
               if (reg.id.nonEmpty) docOrderIds += reg.id
               regions += reg
             case "TableRegion" =>
-              val reg = parseRegion(r, ns, "table")
+              val reg = parseRegion(r, ns, "table", geom)
               if (reg.id.nonEmpty) docOrderIds += reg.id
               regions += reg
             case _ => depth += 1
