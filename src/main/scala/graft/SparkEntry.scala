@@ -395,6 +395,26 @@ object SparkEntry {
       graft.textops.Dedup.ngramJaccardPairs(
         graft.textops.Dedup.planted(t(s, dir, "documents")), threshold = 0.8)
     }),
+    "corpus_filter" -> ((s, dir) => {
+      // the flagship training-data composition: language-ID + token-count
+      // quality gate + near-dup cluster representative (keep the min doc_id
+      // of each >= 0.8-Jaccard component) -> the clean corpus, one row per
+      // kept document. Every stage is an already-oracle-checked operator.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val lang = docs.select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val (l, _, n) = graft.textops.TextHash.langIdDetail(text)
+          (id, l, n)
+        }.toDF("doc_id", "lang_pred", "n_tokens")
+      val clusters = graft.textops.Dedup.neardupClusters(docs, threshold = 0.8)
+      docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(col("n_tokens") >= 20 && col("lang_pred") =!= "und" &&
+          col("cluster_id") === col("doc_id"))
+        .select("doc_id", "lang_pred", "n_tokens", "cluster_id")
+    }),
     "neardup_clusters" -> ((s, dir) => {
       // connected components over the near-dup graph: cluster_id = min doc_id
       // reachable via >= 0.8-Jaccard pairs (min-label propagation to fixpoint)
@@ -874,6 +894,45 @@ object SparkEntry {
         |                            ELSE xor(CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT), g)::HUGEINT END)
         |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS f
         |  FROM sel) t1""".stripMargin,
+    // the composed pipeline oracle: lang scoring + token gate + cluster
+    // representative, each piece identical to its standalone validated oracle
+    // (lang_id, neardup_clusters) but over the RAW corpus (no planting)
+    "corpus_filter" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, [substring(lt, i, 3) for i in range(1, length(lt)-1)] AS tris FROM t),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) + len(list_filter(tris, g -> g IN ('the','ing','ion','and','ent'))) AS BIGINT) AS n_en,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) + len(list_filter(tris, g -> g IN ('sch','ich','ein','cht','und'))) AS BIGINT) AS n_de,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('le','la','et','les','des','un','une','est','pour','que'))) + len(list_filter(tris, g -> g IN ('ent','les','ion','que','eur'))) AS BIGINT) AS n_fr,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('el','los','las','y','es','una','por','para','con','del'))) + len(list_filter(tris, g -> g IN ('ent','los','cio','ado','que'))) AS BIGINT) AS n_es
+        |  FROM s),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+        |       WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+        |       WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        |  n_tokens FROM sc),
+        |dw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |       FROM dw),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM sh x, sh y
+        |  WHERE x.doc_id < y.doc_id
+        |    AND 5*len(list_intersect(x.s, y.s)) >= 4*(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u),
+        |clus AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+        |SELECT d.doc_id, l.lang_pred, l.n_tokens, c.cluster_id
+        |FROM documents d
+        |JOIN lang l ON l.doc_id = d.doc_id
+        |JOIN clus c ON c.doc_id = d.doc_id
+        |WHERE l.n_tokens >= 20 AND l.lang_pred != 'und' AND c.cluster_id = d.doc_id""".stripMargin,
     // transitive closure via recursive CTE: min reachable doc_id over the
     // same all-pairs >= 0.8 word-shingle graph the minhash oracle uses
     "neardup_clusters" ->
