@@ -150,6 +150,15 @@ object SparkEntry {
         .flatMap(pageplus.text.Dsv.rows _)
         .toDF()
     }),
+    "dsv_dehyphenated" -> ((s, dir) => {
+      // `export dsv --dehyphenate` (cli/export.py:128-129): dehyphe applied to
+      // the text column only, rows zipped (the reference's truncation hazard
+      // cannot fire here — the hyphenated lift has no empty lines)
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.hyphenated(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .flatMap(pageplus.text.Dsv.rowsDehyphenated _)
+        .toDF()
+    }),
     "extend_lines" -> ((s, dir) => {
       import s.implicits._
       Pipeline.parse(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
@@ -632,6 +641,23 @@ object SparkEntry {
         |     l AS (SELECT doc_id, words, CAST(ceil(len(words)/8.0) AS BIGINT) AS nl FROM d)
         |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
         |       array_to_string(words[(i-1)*8+1:(i-1)*8+8], ' ') AS text,
+        |       0 AS region,
+        |       120 AS start_x, 100+60*(i-1)+40 AS start_y,
+        |       500 AS mean_x, 100+60*(i-1)+40 AS mean_y,
+        |       880 AS end_x, 100+60*(i-1)+40 AS end_y,
+        |       40000 AS area, 50 AS width, 800 AS length
+        |FROM l, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
+    // same geometry as dsv_export (the hyphenated lift shares the line grid),
+    // text column from the dehyphe CASE the fulltext_dehyphenate oracle uses
+    "dsv_dehyphenated" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+        |     l AS (SELECT doc_id, words, CAST(ceil(len(words)/8.0) AS BIGINT) AS nl FROM d)
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       CASE
+        |         WHEN (i-1)%3=2 AND i < nl THEN array_to_string(words[(i-1)*8+1:(i-1)*8+8],' ') || words[i*8+1]
+        |         WHEN (i-1)%3=0 AND i > 1 THEN coalesce(array_to_string(words[(i-1)*8+2:(i-1)*8+8],' '), '')
+        |         ELSE array_to_string(words[(i-1)*8+1:(i-1)*8+8],' ')
+        |       END AS text,
         |       0 AS region,
         |       120 AS start_x, 100+60*(i-1)+40 AS start_y,
         |       500 AS mean_x, 100+60*(i-1)+40 AS mean_y,
