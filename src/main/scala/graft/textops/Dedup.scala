@@ -121,6 +121,13 @@ object Dedup {
       .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
       .cache()
     var labels = docs.select(col("doc_id")).withColumn("cluster_id", col("doc_id")).cache()
+    // labels only ever DECREASE under min-propagation, so the label sum is a
+    // monotone convergence witness — one cheap aggregate per iteration instead
+    // of an old-vs-new join (decimal sum: 10^12 BIGINT ids would overflow a
+    // BIGINT accumulator at corpus scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -133,13 +140,11 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .cache()
-      val changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") =!= col("old"))
-        .count()
+      val newSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     edges.unpersist()
