@@ -80,6 +80,19 @@ object RoundTripProps extends Properties("PageXml") {
     typed == columnar
   }
 
+  property("text-only parse stays extraction-equivalent to the full parse (both ro modes)") =
+    Prop.forAll(docGen) { doc =>
+      val bytes = PageXmlWriter.write(doc).getBytes("UTF-8")
+      val full = StaxPageParser.parse(doc.url, bytes)
+      val slim = StaxPageParser.parseTextOnly(doc.url, bytes)
+      FullText.extract(full) == FullText.extract(slim) &&
+        FullText.extract(full, readingOrder = true) == FullText.extract(slim, readingOrder = true) &&
+        FullText.extract(full, dehyphenate = true) == FullText.extract(slim, dehyphenate = true) &&
+        full.readingOrder == slim.readingOrder &&
+        full.docOrderRegionIds == slim.docOrderRegionIds &&
+        full.parseOk == slim.parseOk
+    }
+
   property("stats words/glyphs equal an independent recount") = Prop.forAll(docGen) { doc =>
     val c = Stats.count(doc)
     val lines = doc.textRegions.map(_.lines) ++ doc.tableRegions.flatMap(_.cells.map(_.lines))
