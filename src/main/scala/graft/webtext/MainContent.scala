@@ -40,7 +40,11 @@ object MainContent {
   }
 
   /** Bottom-up aggregate + pre-order candidate collection in one walk. */
-  def blocks(root: HElem): Vector[Block] = {
+  def blocks(root: HElem): Vector[Block] = blocksWithRoot(root)._2
+
+  /** Same walk, also returning the whole-document aggregate (the root
+    * element's), so callers needing document totals don't re-walk the tree. */
+  def blocksWithRoot(root: HElem): (Agg, Vector[Block]) = {
     val out = Vector.newBuilder[Block]
     var order = 0
     def walk(node: HNode, inLink: Boolean): Agg = node match {
@@ -65,8 +69,8 @@ object MainContent {
         agg
       case _ => Agg(0, 0, 0, Vector.empty, 0, 0)
     }
-    walk(root, inLink = false)
-    out.result()
+    val rootAgg = walk(root, inLink = false)
+    (rootAgg, out.result())
   }
 
   /** Best block by score (strict >, so pre-order wins ties). */
@@ -86,24 +90,13 @@ object MainContent {
 
   def stats(html: String): DocStats = {
     val root = HtmlDom.parse(html)
-    val commentDivs = HtmlDom.find(root, e => e.tag == "div" && e.classes("comment")).size
-    val all = blocks(root)
+    // one walk: the root aggregate carries whole-document anchor/paragraph
+    // counts and the candidate list gives the best block; only the
+    // comment-div count needs its own (cheap) predicate scan
+    val (rootAgg, all) = blocksWithRoot(root)
     val best = if (all.isEmpty) None else Some(all.maxBy(b => (b.score, -b.order)))
-    // whole-document anchor/paragraph counts come from the root aggregate,
-    // recomputed via a dedicated walk over the root element
-    val rootAgg = {
-      var anchors = 0; var paras = 0
-      def walk(node: HNode): Unit = node match {
-        case HElem(tag, _, kids) =>
-          if (tag == "a") anchors += 1
-          if (tag == "p") paras += 1
-          kids.foreach(walk)
-        case _ =>
-      }
-      walk(root)
-      (anchors, paras)
-    }
-    DocStats(rootAgg._1.toLong, rootAgg._2.toLong, commentDivs.toLong,
+    val commentDivs = HtmlDom.find(root, e => e.tag == "div" && e.classes("comment")).size
+    DocStats(rootAgg.anchors.toLong, rootAgg.paras.toLong, commentDivs.toLong,
       best.map(_.agg.paragraphs.size.toLong).getOrElse(0L),
       best.map(_.agg.paragraphs.map(_.length.toLong).sum).getOrElse(0L))
   }
