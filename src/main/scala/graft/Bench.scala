@@ -30,10 +30,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores)
       // multi-wave scheduling: the default 128m packs the bench corpus into
       // exactly defaultParallelism partitions — a single wave with zero slack,
-      // where one stalled core (GC, host steal) extends the whole job. ~14 MB
-      // splits give 5+ waves at local[32] so stragglers amortize; same setting
-      // at both parallelism levels, and the same lever SCALE.md sizes for the
-      // 100 TB run.
+      // where one stalled core (GC, host steal) extends the whole job. 8 MB
+      // splits give ~28 waves of the 7 GB corpus at local[32] so stragglers
+      // amortize; same setting at both parallelism levels, and the same lever
+      // SCALE.md sizes for the 100 TB run.
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

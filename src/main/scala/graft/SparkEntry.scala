@@ -243,7 +243,7 @@ object SparkEntry {
     // ---- relational surface (SURVEY §2.4/§2.9/§2.11 equivalents on TPC-H-ish data) ----
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -289,8 +289,8 @@ object SparkEntry {
     "q6_filter" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(
-          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
         .agg(
@@ -316,7 +316,9 @@ object SparkEntry {
       // event of the same user (window lag + conditional cumulative sum)
       val w = Window.partitionBy("user_id").orderBy(col("sec").asc, col("event_id").asc)
       t(s, dir, "events")
-        .withColumn("sec", col("ts").cast("timestamp").cast("long")) // floor seconds, UTC
+        // TZ-invariant wall-clock epoch (ts is TIMESTAMP_NTZ; a cast-to-
+        // timestamp epoch would leak the session zone — VERDICT r1 item 1)
+        .withColumn("sec", TimeCols.ntzEpochSeconds(col("ts")))
         .withColumn("prev_sec", lag(col("sec"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))

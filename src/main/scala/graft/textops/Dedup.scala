@@ -10,9 +10,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB shape): signatures are computed map-side with zero
   * shuffle; the only shuffles are the band-key self-join (keys are uniform
-  * 64-bit hashes — exact-duplicate clusters are the one skew source, handled by
-  * AQE skew-join at scale) and the final candidate->text verify joins, which
-  * touch only candidate rows, not the corpus.
+  * 64-bit hashes) and the final candidate->text verify joins, which touch only
+  * candidate rows, not the corpus.
+  *
+  * Exact-duplicate mega-clusters are the one skew source a band join cannot
+  * survive: n identical documents share every band key, so a naive self-join
+  * emits n^2/2 candidate pairs inside one bucket before any verify filter (AQE
+  * splits a skewed partition but cannot cap pair EMISSION). Every candidate
+  * generator here therefore runs exact dedup first ([[textGroups]]): identical
+  * texts collapse to one representative, banding/verification happen at
+  * representative grain (linear in corpus size), and member-level pairs are
+  * reconstructed afterwards by expansion joins — pure output materialization,
+  * no signature or Jaccard work per member pair. The clustering path never
+  * materializes member pairs at all: it uses doc->representative edges, so a
+  * 10^6-copy cluster contributes 10^6 edges, not 10^12 pairs.
   */
 object Dedup {
 
@@ -39,11 +50,27 @@ object Dedup {
     base.unionByName(twin)
   }
 
-  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
-    * Returns (a, b, inter, un) with a < b and inter/un >= threshold — the
-    * intersection/union sizes are exact integers so the DuckDB oracle needs no
-    * float rounding (threshold 4/5 becomes the filter 5*inter >= 4*un). */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** Exact-duplicate grouping: one representative (min doc_id) per distinct
+    * text. Returns (reps, members): `reps(doc_id, text)` carries one row per
+    * distinct text; `members(doc_id, rep)` maps every document to its group
+    * representative. Both are hash-aggregations/joins on the text key — at
+    * production scale the key would be pre-hashed (xxhash64 + length) to keep
+    * shuffle rows narrow; semantics are identical for exact dedup. */
+  private[graft] def textGroups(docs: DataFrame): (DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val reps = base.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    val members = base
+      .join(reps.select(col("text"), col("doc_id").as("rep")), "text")
+      .select(col("doc_id"), col("rep"))
+    (reps, members)
+  }
+
+  /** MinHash band-key LSH candidate pairs (a < b), distinct. Run this on
+    * REPRESENTATIVES ([[textGroups]]), never the raw corpus: identical texts
+    * share every band, so raw-corpus candidates are quadratic in the largest
+    * duplicate group. */
+  private[graft] def bandCandidates(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bands = docs.select("doc_id", "text").as[(Long, String)]
@@ -52,11 +79,63 @@ object Dedup {
         TextHash.bandKeys(sig).map(b => (id, b))
       })
       .toDF("doc_id", "band")
-    val candidates = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyJaccard(docs, candidates, threshold)
+  }
+
+  /** Expand representative-level pairs `(a, b, payload...)` to member-level
+    * pairs, plus the within-group pairs of every multi-member group with a
+    * constant payload computed once per group. Payload columns are everything
+    * except a/b. */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          withinPayload: DataFrame): DataFrame = {
+    val payloadCols = repPairs.columns.filter(c => c != "a" && c != "b").toSeq
+    val ma = members.select(col("rep").as("a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep").as("b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, "a").join(mb, "b")
+      .select(least(col("da"), col("db")).as("a") +:
+        greatest(col("da"), col("db")).as("b") +: payloadCols.map(col): _*)
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.rep").as("rep"))
+      .join(withinPayload, "rep")
+      .select(col("a") +: col("b") +: payloadCols.map(col): _*)
+    cross.unionByName(within)
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (a, b, inter, un) with a < b and inter/un >= threshold — the
+    * intersection/union sizes are exact integers so the DuckDB oracle needs no
+    * float rounding (threshold 4/5 becomes the filter 5*inter >= 4*un).
+    * Candidate generation and verification run at representative grain (one
+    * per distinct text); member pairs are reconstructed by expansion. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (reps, members) = textGroups(docs)
+    val repPairs = verifyJaccard(reps, bandCandidates(reps), threshold)
+    // within-group pairs: identical texts, Jaccard 1 — inter = un = shingle
+    // cardinality, computed once per multi-member group. un = 0 (shingle-free
+    // short/empty texts) is dropped, matching the verify path's 0/0 -> null.
+    val withinCard = multiGroupCard(reps, members)(t => TextHash.wordShingles(t).size.toLong)
+      .select(col("rep"), col("card").as("inter"), col("card").as("un"))
+    expandPairs(repPairs, members, withinCard).filter(col("un") > 0)
+  }
+
+  /** Shingle cardinality per representative of multi-member groups only
+    * (single-member groups never produce within pairs). */
+  private def multiGroupCard(reps: DataFrame, members: DataFrame)
+                            (card: String => Long): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
+    val multi = members.groupBy("rep").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("rep")
+    reps.join(multi, reps("doc_id") === multi("rep"))
+      .select(col("rep"), col("text")).as[(Long, String)]
+      .map { case (r, t) => (r, card(t)) }
+      .toDF("rep", "card")
   }
 
   /** Exact word-shingle Jaccard for candidate pairs (join back to texts —
@@ -81,17 +160,19 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 16-bit chunk keys for candidates, hamming
-    * distance filter. Returns (a, b, hamming). */
+    * distance filter. Returns (a, b, hamming). Representative-grain candidates
+    * + expansion, as in [[minhashPairs]]; within-group pairs have hamming 0. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select("doc_id", "text").as[(Long, String)]
+    val (reps, members) = textGroups(docs)
+    val sigs = reps.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, TextHash.simHash(t)) })
       .toDF("doc_id", "sim")
     val chunks = sigs.as[(Long, Long)]
       .flatMap { case (id, h) => TextHash.simHashChunks(h).map(c => (id, h, c)) }
       .toDF("doc_id", "sim", "chunk")
-    chunks.as("x").join(chunks.as("y"),
+    val repPairs = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
@@ -100,22 +181,36 @@ object Dedup {
       .map { case (a, b, ha, hb) => (a, b, TextHash.hamming(ha, hb)) }
       .toDF("a", "b", "hamming")
       .filter(col("hamming") <= maxHamming)
+    val withinZero = members.groupBy("rep").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("rep"), lit(0L).as("hamming"))
+    expandPairs(repPairs, members, withinZero)
   }
 
-  /** Connected components over the near-duplicate pair graph: min-label
-    * propagation to fixpoint. Each document's cluster_id is the smallest
-    * doc_id reachable through near-duplicate pairs — the canonical "keep one
-    * representative per duplicate cluster" step of a training-data pipeline.
+  /** Connected components over the near-duplicate graph: each document's
+    * cluster_id is the smallest doc_id reachable through near-duplicate pairs
+    * — the canonical "keep one representative per duplicate cluster" step of a
+    * training-data pipeline.
     *
-    * Per iteration labels flow one hop (join edges -> min over neighbors),
-    * so convergence takes O(cluster diameter) rounds — near-dup clusters are
-    * shallow (pairs are mutual), typically 2-3 rounds. At 10^12-doc scale the
-    * same loop runs with the alternating large-star/small-star optimization
-    * (O(log n) rounds); the fixpoint condition (zero changed labels) and the
-    * deterministic min-label invariant are identical.
+    * Edges are representative-grain near-dup pairs plus doc->representative
+    * exact-dup edges (components — and therefore labels — are identical to the
+    * full member-pair graph, without materializing quadratic within-group
+    * pairs). Min-label propagation converges in O(cluster diameter) rounds —
+    * near-dup clusters are shallow (pairs are mutual), typically 2-3 rounds.
+    * If a deep-chain graph hasn't converged after `starAfter` rounds, the
+    * remainder runs through the alternating large-star/small-star algorithm
+    * ([[connectedComponentsStar]]), which is O(log n) rounds on any shape.
+    *
+    * The returned labels are eagerly `localCheckpoint`ed: the iterative
+    * lineage is cut, intermediate caches are released here, and the checkpoint
+    * blocks are freed by the ContextCleaner once the caller drops the frame.
     */
-  def neardupClusters(docs: DataFrame, threshold: Double = 0.8, maxIter: Int = 20): DataFrame = {
-    val pairs = minhashPairs(docs, threshold).select(col("a"), col("b"))
+  def neardupClusters(docs: DataFrame, threshold: Double = 0.8,
+                      starAfter: Int = 3, maxIter: Int = 20): DataFrame = {
+    val (reps, members) = textGroups(docs)
+    val repPairs = verifyJaccard(reps, bandCandidates(reps), threshold).select(col("a"), col("b"))
+    val dupEdges = members.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a"), col("rep").as("b"))
+    val pairs = repPairs.unionByName(dupEdges)
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
@@ -126,11 +221,11 @@ object Dedup {
     // of an old-vs-new join (decimal sum: 10^12 BIGINT ids would overflow a
     // BIGINT accumulator at corpus scale)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < math.min(starAfter, maxIter)) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -147,24 +242,93 @@ object Dedup {
       prevSum = newSum
       i += 1
     }
+    val result =
+      if (converged) labels
+      else {
+        // deep components: finish with large-star/small-star, O(log n) rounds
+        val (starLabels, rounds) = connectedComponentsStar(pairs.toDF("src", "dst"))
+        val joined = docs.select(col("doc_id"))
+          .join(starLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        System.err.println(s"[dedup] neardupClusters: propagation unconverged after $i rounds, " +
+          s"large/small-star converged in $rounds rounds")
+        joined
+      }
+    val out = result.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
-  /** Exact char n-gram Jaccard rerank of MinHash candidates. */
+  /** Connected components by the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): O(log n) rounds on any graph shape, including deep chains where
+    * per-hop label propagation needs O(diameter).
+    *
+    * Input: undirected edges (src, dst) in either/both orientations.
+    * Output: (node, label) for every non-isolated node, label = component min
+    * (centers label themselves). Returns the round count for the convergence
+    * property test. Throws if `maxRounds` is hit — the algorithm is guaranteed
+    * O(log n), so non-convergence is a bug, never something to return silently
+    * (ADVICE r1: unconverged labels must not leak). */
+  private[graft] def connectedComponentsStar(edges0: DataFrame,
+                                               maxRounds: Int = 50): (DataFrame, Int) = {
+    // localCheckpoint (not cache) per round: an iterative loop's logical plan
+    // otherwise grows by one full round per iteration and analyzer/optimizer
+    // time explodes around round ~15 — checkpointing truncates lineage so
+    // every round plans against a leaf
+    var edges = edges0
+      .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var done = edges.isEmpty
+    while (!done && round < maxRounds) {
+      // large-star: every node u connects each STRICTLY LARGER neighbor to
+      // m(u) = min(Γ(u) ∪ {u})
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star: every node u connects its smaller neighborhood (and
+      // itself) to the smallest member; canonical hi->lo edges make the
+      // smaller neighborhood exactly u's out-edges
+      val m2 = large.groupBy("hi").agg(min("lo").as("m"))
+      val withM = large.join(m2, "hi")
+      val small = withM
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(withM.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint(true)
+      val changed = small.count() != edges.count() ||
+        !small.except(edges).isEmpty
+      edges = small
+      done = !changed
+      round += 1
+    }
+    if (!done && round >= maxRounds)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds — bug")
+    val labels = edges.select(col("hi").as("node"), col("lo").as("label"))
+      .unionByName(edges.select(col("lo").as("node"), col("lo").as("label")))
+      .distinct()
+    (labels, round)
+  }
+
+  /** Exact char n-gram Jaccard rerank of MinHash candidates — representative
+    * grain + expansion like [[minhashPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bands = docs.select("doc_id", "text").as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, t) =>
-        TextHash.bandKeys(TextHash.minHashSignature(TextHash.wordShingles(t))).map(b => (id, b))
-      }).toDF("doc_id", "band")
-    val candidates = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val ta = docs.select(col("doc_id").as("a"), col("text").as("text_a"))
-    val tb = docs.select(col("doc_id").as("b"), col("text").as("text_b"))
-    candidates.join(ta, "a").join(tb, "b")
+    val (reps, members) = textGroups(docs)
+    val candidates = bandCandidates(reps)
+    val ta = reps.select(col("doc_id").as("a"), col("text").as("text_a"))
+    val tb = reps.select(col("doc_id").as("b"), col("text").as("text_b"))
+    val repPairs = candidates.join(ta, "a").join(tb, "b")
       .select(col("a"), col("b"), col("text_a"), col("text_b"))
       .as[(Long, Long, String, String)]
       .map { case (a, b, x, y) =>
@@ -175,5 +339,8 @@ object Dedup {
       }
       .toDF("a", "b", "inter", "un")
       .filter(col("inter").cast("double") / col("un") >= threshold)
+    val withinCard = multiGroupCard(reps, members)(t => TextHash.charShingles(t, n).size.toLong)
+      .select(col("rep"), col("card").as("inter"), col("card").as("un"))
+    expandPairs(repPairs, members, withinCard).filter(col("un") > 0)
   }
 }

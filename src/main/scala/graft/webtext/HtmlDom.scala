@@ -135,7 +135,9 @@ object HtmlDom {
           i = end
         }
       } else {
-        val e = html.indexOf('<', i)
+        // search from i+1: when c is a trailing '<' (i == n-1) a search from i
+        // would find i itself, emit an empty text node, and never advance
+        val e = html.indexOf('<', i + 1)
         val end = if (e < 0) n else e
         attach(HText(decodeEntities(html.substring(i, end))))
         i = end

@@ -21,7 +21,11 @@ import HtmlDom.{HElem, HNode, HText}
   * density penalty to <= 0.45 while the article's inline-anchor density stays
   * < 0.02 — the article outscored every other block by >= 15% across the
   * whole corpus (verified exhaustively by the byte-identity oracle, not by
-  * sampling).
+  * sampling). Below that range the body shell is excluded outright while any
+  * inner candidate has paragraph mass (see [[bestBlock]]), which holds the
+  * floor down to 2-word articles; a single-token degenerate document can
+  * still lose to the densest inner boilerplate block — a documented limit of
+  * mass-based scoring, exercised in the spec.
   *
   * One scan computes per-element aggregates bottom-up; cost is O(nodes), no
   * shuffle — the operator is embarrassingly parallel at document grain.
@@ -73,11 +77,22 @@ object MainContent {
     (rootAgg, out.result())
   }
 
-  /** Best block by score (strict >, so pre-order wins ties). */
-  def bestBlock(root: HElem): Option[Block] = {
-    val bs = blocks(root)
+  /** Best block by score (strict >, so pre-order wins ties).
+    *
+    * `body` is the whole-page shell: it aggregates the article TOGETHER WITH
+    * every sidebar/footer paragraph, so for very short articles its raw mass
+    * can outscore the article block itself. It is therefore only eligible
+    * when no other candidate carries any paragraph mass (article text sitting
+    * directly under `body` with no block wrapper). */
+  def bestBlock(root: HElem): Option[Block] = pick(blocks(root))
+
+  private def pick(bs: Vector[Block]): Option[Block] = {
     if (bs.isEmpty) None
-    else Some(bs.maxBy(b => (b.score, -b.order)))
+    else {
+      val inner = bs.filter(b => b.tag != "body" && b.score > 0)
+      val pool = if (inner.nonEmpty) inner else bs
+      Some(pool.maxBy(b => (b.score, -b.order)))
+    }
   }
 
   /** Extracted main text: the best block's paragraphs joined with '\n'. */
@@ -94,7 +109,7 @@ object MainContent {
     // counts and the candidate list gives the best block; only the
     // comment-div count needs its own (cheap) predicate scan
     val (rootAgg, all) = blocksWithRoot(root)
-    val best = if (all.isEmpty) None else Some(all.maxBy(b => (b.score, -b.order)))
+    val best = pick(all)
     val commentDivs = HtmlDom.find(root, e => e.tag == "div" && e.classes("comment")).size
     DocStats(rootAgg.anchors.toLong, rootAgg.paras.toLong, commentDivs.toLong,
       best.map(_.agg.paragraphs.size.toLong).getOrElse(0L),

@@ -79,16 +79,21 @@ object StreamingExtract {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val agg = stream
-      // parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (UTC session
-      // makes the cast value-preserving)
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP. A plain cast
+      // injects the session zone (and a DST gap would even corrupt the window
+      // boundary), so the watermark column is the wall-clock interpreted as
+      // UTC, and the emitted hour string is formatted straight off the NTZ
+      // value — both session-TZ-invariant (see graft.TimeCols).
+      .withColumn("evt", graft.TimeCols.ntzAsUtcInstant(col("ts")))
+      .withWatermark("evt", "1 hour")
+      .groupBy(
+        window(col("evt"), "1 hour"),
+        // functionally determined by the window, TZ-free to render
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n"), col("value_cents"))
+      .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
     val name = s"stream_events_${counter.incrementAndGet()}"
     val q = agg.writeStream
       .format("memory")

@@ -173,6 +173,27 @@ class ScalePlumbingSpec extends AnyFunSuite {
   }
 }
 
+class TzInvarianceSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def run(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+
+  test("timestamp-touching queries are session-timezone invariant (incl. DST zones)") {
+    // the events parquet is TIMESTAMP_NTZ; any epoch extraction or window
+    // rendering that leaks the session zone changes answers under a DST zone
+    // (VERDICT r1: q11_sessionize failed exactly this way on the driver)
+    val names = Seq("q11_sessionize", "q10_events_window", "q1_agg", "q6_filter",
+      "stream_events_window")
+    val utc = names.map(n => n -> run(n)).toMap
+    for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try names.foreach { n => assert(run(n) == utc(n), s"$n differs under $tz") }
+      finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+  }
+}
+
 class QueriesSmokeSpec extends AnyFunSuite {
   import SparkSuite._
   test("every declared query runs on sf0.001 and returns rows") {

@@ -111,6 +111,49 @@ class DedupSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-duplicate mega-group: candidate generation is linear, output still pair-complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1000 identical docs: a raw band self-join would emit C(1000,2)=499500
+    // candidates in one bucket; representative-grain candidates stay tiny
+    val dupText = (1 to 30).map("m" + _).mkString(" ")
+    val copies = (1L to 1000L).map(i => (i, dupText))
+    val others = (1L to 10L).map(i => (5000L + i, (1 to 30).map(w => s"o${i}w$w").mkString(" ")))
+    val docs = (copies ++ others).toDF("doc_id", "text")
+    val (reps, members) = textops.Dedup.textGroups(docs)
+    assert(reps.count() == 11 && members.count() == 1010)
+    val cand = textops.Dedup.bandCandidates(reps).count()
+    assert(cand < 100, s"rep-level candidates must be near-linear, got $cand")
+    // member-level output is still pair-complete with exact payloads
+    val pairs = textops.Dedup.minhashPairs(docs, 0.8)
+    val within = pairs.filter(col("b") <= 1000)
+    assert(within.count() == 1000L * 999 / 2)
+    assert(within.filter(col("inter") =!= col("un")).count() == 0, "identical texts must have inter == un")
+    val sim = textops.Dedup.simhashPairs(docs, 3).filter(col("b") <= 1000)
+    assert(sim.count() == 1000L * 999 / 2)
+    assert(sim.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  test("large/small-star converges in O(log n) rounds on a deep chain, labels = component min") {
+    import spark.implicits._
+    val n = 1024
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)) ++ Seq((2000L, 2001L))
+    val (labels, rounds) = textops.Dedup.connectedComponentsStar(edges.toDF("src", "dst"))
+    assert(rounds <= 24, s"expected O(log n) ~ 10-20 rounds for a 1024-chain, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to n).foreach(i => assert(got(i.toLong) == 1L, s"node $i"))
+    assert(got(2001L) == 2000L && got(2000L) == 2000L)
+  }
+
+  test("neardupClusters via the star fallback (starAfter=0) equals the propagation path") {
+    val docs = textops.Dedup.planted(spark.read.parquet(s"$sf/documents.parquet"))
+    val a = textops.Dedup.neardupClusters(docs, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = textops.Dedup.neardupClusters(docs, 0.8, starAfter = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("embedding_neardup finds all planted identical-vector pairs at cos 1.0") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pairs = textops.Ann.nearDupPairs(textops.Ann.plantedEmbeddings(emb), 0.999)

@@ -38,6 +38,16 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(HtmlDom.find(root, _.tag == "p").size == 1)
   }
 
+  test("tag soup: trailing '<' and lone '<' terminate (no infinite loop), kept as text") {
+    // a payload ending in '<' used to loop forever appending empty text nodes
+    val root = HtmlDom.parse("<p>ab</p><")
+    assert(HtmlDom.textOf(root) == "ab<")
+    assert(HtmlDom.textOf(HtmlDom.parse("<")) == "<")
+    assert(HtmlDom.textOf(HtmlDom.parse("x<")) == "x<")
+    assert(HtmlDom.textOf(HtmlDom.parse("a < b <. c")) == "a < b <. c")
+    assert(HtmlDom.textOf(HtmlDom.parse("<div>unclosed<")) == "unclosed<")
+  }
+
   test("comments and doctype are skipped") {
     val root = HtmlDom.parse("<!DOCTYPE html><!-- <p>not here</p> --><p>here</p>")
     assert(HtmlDom.textOf(root) == "here")
@@ -112,12 +122,32 @@ class MainContentSpec extends AnyFunSuite {
   }
 
   test("content-less page degrades to the best boilerplate block, not a crash") {
-    // with an empty article every block scores on boilerplate alone; a generic
-    // extractor returns the best-scoring paragraphs (sidebar promo + footer
-    // copyright live under body). The corpus has no empty documents (min 44
-    // chars), so the byte-identity oracle never exercises this branch.
+    // with an empty article every block scores on boilerplate alone; the body
+    // shell is excluded while some inner block still carries paragraph mass,
+    // so the winner is the best inner boilerplate block (the sidebar promo).
+    // The corpus has no empty documents (min 44 chars), so the byte-identity
+    // oracle never exercises this branch.
     val got = MainContent.extract(HtmlGen.page(7L, ""))
-    assert(got.nonEmpty && got.contains("example corp"))
+    assert(got.nonEmpty && !got.contains("example corp"))
+  }
+
+  test("tiny articles still beat the body shell (body excluded while inner mass exists)") {
+    // below ~10 words the body's aggregate paragraph mass (sidebar promo +
+    // footer copyright) could outscore a tiny article; body is only eligible
+    // when no inner candidate has paragraph mass, so the article wins from
+    // 2 words (~5 chars) up — the floor is now the link-damped sidebar promo
+    // (score ~1.9), not the body shell (score ~15)
+    for (nw <- Seq(2, 3, 5, 9); docId <- 0L to 3L) {
+      val text = (1 to nw).map(i => s"w$i").mkString(" ")
+      assert(MainContent.extract(HtmlGen.page(docId, text)) == HtmlGen.expectedMainText(text),
+        s"docId=$docId words=$nw")
+    }
+  }
+
+  test("article text directly under body (no wrapper) falls back to body") {
+    val html = "<html><body><nav><a href='/x'>somewhere else</a></nav>" +
+      "<p>bare article paragraph</p></body></html>"
+    assert(MainContent.extract(html) == "bare article paragraph")
   }
 }
 
