@@ -77,6 +77,17 @@ object SparkEntry {
       Pipeline.fulltextSkewAware(PagesFromDocuments.clean(s, dir).toDF(),
         bigDocBytes = 2000, saltPartitions = s.sparkContext.defaultParallelism)
     }),
+    "fulltext_skew_dehyphenate" -> ((s, dir) => {
+      // skew split composed with the cross-region dehyphe fold: lines are
+      // reassembled per document before the fold runs in the reducer
+      Pipeline.fulltextSkewAware(PagesFromDocuments.hyphenated(s, dir).toDF(),
+        dehyphenate = true, bigDocBytes = 2000, saltPartitions = s.sparkContext.defaultParallelism)
+    }),
+    "fulltext_skew_ro" -> ((s, dir) => {
+      // skew split composed with reading_order=True (last region wins)
+      Pipeline.fulltextSkewAware(PagesFromDocuments.twoRegion(s, dir).toDF(),
+        ro = true, bigDocBytes = 2000, saltPartitions = s.sparkContext.defaultParallelism)
+    }),
     "fulltext_sql_expr" -> ((s, dir) => {
       // codegen'd Catalyst Expression path, registered for SQL — the whole
       // scan -> extract pipeline stays inside WholeStageCodegen
@@ -553,21 +564,39 @@ object SparkEntry {
     })
   )
 
+  /** Shared oracle bodies: the fused and skew-split paths must produce the
+    * same bytes, so they share one oracle per flag combination. */
+  private val DehypheOracleSql =
+    """SELECT 'doc://'||doc_id AS url,
+      |  array_to_string([
+      |    CASE
+      |      WHEN (j-1)%3=2 AND j < nl THEN array_to_string(words[(j-1)*8+1:(j-1)*8+8],' ') || words[j*8+1]
+      |      WHEN (j-1)%3=0 AND j > 1 THEN coalesce(array_to_string(words[(j-1)*8+2:(j-1)*8+8],' '), '')
+      |      ELSE array_to_string(words[(j-1)*8+1:(j-1)*8+8],' ')
+      |    END
+      |    for j in range(1, nl+1)], chr(10)) AS extracted_text
+      |FROM (SELECT doc_id, words, CAST(ceil(len(words)/8.0) AS BIGINT) AS nl
+      |      FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents))""".stripMargin
+
+  private val RoLastWinsOracleSql =
+    """SELECT 'doc://' || doc_id AS url,
+      |       array_to_string(lines[len(lines)//2 + 1 :], chr(10)) AS extracted_text
+      |FROM (SELECT doc_id,
+      |             [array_to_string(words[i:i+7], ' ')
+      |              for i in range(1, len(words)+1, 8)] AS lines
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "fulltext_skew_dehyphenate" -> DehypheOracleSql,
+    "fulltext_skew_ro" -> RoLastWinsOracleSql,
     "fulltext_extract" ->
       """SELECT 'doc://' || doc_id AS url,
         |       array_to_string([array_to_string(words[i:i+7], ' ')
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
-    "fulltext_ro_lastwins" ->
-      """SELECT 'doc://' || doc_id AS url,
-        |       array_to_string(lines[len(lines)//2 + 1 :], chr(10)) AS extracted_text
-        |FROM (SELECT doc_id,
-        |             [array_to_string(words[i:i+7], ' ')
-        |              for i in range(1, len(words)+1, 8)] AS lines
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin,
+    "fulltext_ro_lastwins" -> RoLastWinsOracleSql,
     "page_stats" ->
       """SELECT 'doc://' || doc_id AS url,
         |       1::BIGINT AS textregions, 0::BIGINT AS tableregions, 0::BIGINT AS tablecells,
@@ -604,17 +633,7 @@ object SparkEntry {
         |       array_to_string([array_to_string(words[i:i+7], ' ')
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
-    "fulltext_dehyphenate" ->
-      """SELECT 'doc://'||doc_id AS url,
-        |  array_to_string([
-        |    CASE
-        |      WHEN (j-1)%3=2 AND j < nl THEN array_to_string(words[(j-1)*8+1:(j-1)*8+8],' ') || words[j*8+1]
-        |      WHEN (j-1)%3=0 AND j > 1 THEN coalesce(array_to_string(words[(j-1)*8+2:(j-1)*8+8],' '), '')
-        |      ELSE array_to_string(words[(j-1)*8+1:(j-1)*8+8],' ')
-        |    END
-        |    for j in range(1, nl+1)], chr(10)) AS extracted_text
-        |FROM (SELECT doc_id, words, CAST(ceil(len(words)/8.0) AS BIGINT) AS nl
-        |      FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents))""".stripMargin,
+    "fulltext_dehyphenate" -> DehypheOracleSql,
     "xml_roundtrip" ->
       """SELECT 'doc://' || doc_id AS url,
         |       array_to_string([array_to_string(words[i:i+7], ' ')

@@ -53,41 +53,56 @@ object Pipeline {
 
   /** Skew-aware extraction (SURVEY §4.2, north_star): documents above
     * `bigDocBytes` are NOT processed as one task-blocking row — they are parsed
-    * once, split into per-region text chunks (explode), shuffled across the
+    * once, split into per-region line chunks (explode), shuffled across the
     * cluster, and reassembled in document order with a deterministic
     * array_sort. Small documents take the fused single-pass path. Byte-equal
-    * to [[fulltext]] (the chunk boundaries are region boundaries, and document
-    * order is (regionIdx, unicodeIdx)).
+    * to [[fulltext]] for every flag combination (chunk boundaries are region
+    * boundaries; chunks carry LINE ARRAYS so the cross-region sequential
+    * `dehyphe` fold runs once per document over the reassembled line sequence
+    * in the reducer, and `reading_order=True` — last region wins — is decided
+    * at parse time where the whole document is in hand).
     *
     * At 100 TB this bounds the longest task by the largest REGION, not the
     * largest document (one 500 MB page no longer stalls a partition). */
-  def fulltextSkewAware(pages: DataFrame, bigDocBytes: Long = 8L * 1024 * 1024,
+  def fulltextSkewAware(pages: DataFrame, dehyphenate: Boolean = false, ro: Boolean = false,
+                        bigDocBytes: Long = 8L * 1024 * 1024,
                         saltPartitions: Int = 0): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val sized = saltByUrl(pages.select("url", "html"), saltPartitions)
       .withColumn("bytes", length(col("html")).cast("long"))
-    val small = fulltext(sized.filter(col("bytes") <= bigDocBytes).drop("bytes")).toDF()
-    // big docs: region-grain chunks -> shuffle -> ordered reassembly
+    val small = fulltext(sized.filter(col("bytes") <= bigDocBytes).drop("bytes"),
+      dehyphenate = dehyphenate, ro = ro).toDF()
+    // big docs: region-grain line chunks -> shuffle -> ordered reassembly
     val bigChunks = sized.filter(col("bytes") > bigDocBytes).drop("bytes")
       .as[(String, Array[Byte])]
       .flatMap { case (url, html) =>
         val doc = StaxPageParser.parseTextOnly(url, html)
-        val regionLines: Seq[(Int, String)] = doc.regions.zipWithIndex.map { case (r, i) =>
-          val lines = if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines
-          (i, lines.flatMap(_.unicodes).mkString("\n"))
-        }
-        if (regionLines.isEmpty) Seq((url, 0, "")) else regionLines.map { case (i, t) => (url, i, t) }
+        val regionLines: Seq[(Int, Seq[String])] =
+          if (ro) Seq((0, FullText.lastReadingOrderLines(doc)))
+          else doc.regions.zipWithIndex.map { case (r, i) =>
+            val lines = if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines
+            (i, lines.flatMap(_.unicodes))
+          }
+        if (regionLines.isEmpty) Seq((url, 0, Seq.empty[String]))
+        else regionLines.map { case (i, ls) => (url, i, ls) }
       }
-      .toDF("url", "ridx", "chunk")
-    val big = bigChunks
+      .toDF("url", "ridx", "lines")
+    val gathered = bigChunks
       .repartition(col("url")) // spread the chunks, then regroup
       .groupBy("url")
-      .agg(array_join(
-        filter(
-          transform(array_sort(collect_list(struct(col("ridx"), col("chunk")))), x => x.getField("chunk")),
-          c => length(c) > 0),
-        "\n").as("extracted_text"))
+      .agg(flatten(
+        transform(array_sort(collect_list(struct(col("ridx"), col("lines")))),
+          x => x.getField("lines"))).as("lines"))
+    val big =
+      if (dehyphenate)
+        gathered.select(col("url"), col("lines")).as[(String, Seq[String])]
+          .map { case (url, lines) =>
+            val out = if (lines.nonEmpty) pageplus.text.Dehyphe(lines) else lines
+            Extracted(url, out.mkString("\n"))
+          }.toDF()
+      else
+        gathered.select(col("url"), array_join(col("lines"), "\n").as("extracted_text"))
     small.unionByName(big)
   }
 

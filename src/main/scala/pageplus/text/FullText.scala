@@ -40,22 +40,29 @@ object FullText {
     }.nextOption()
   }
 
+  /** The `reading_order=True` line selection: fulltext is reassigned per
+    * region id, so only the LAST reading-order region's lines survive
+    * (models/page.py:144-147). Exposed so the skew-split path can compute the
+    * surviving region where the whole document is in hand. */
+  def lastReadingOrderLines(doc: PageDoc): Seq[String] = {
+    var last: Seq[String] = Nil
+    // literal semantics: fulltext reassigned inside the loop -> last id wins,
+    // but earlier missing ids still crash in the reference (None.iterfind).
+    readingOrderIds(doc).foreach { id =>
+      findById(doc, id) match {
+        case Some(Left(r))  => last = lineUnicodes(if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines)
+        case Some(Right(c)) => last = lineUnicodes(c.lines)
+        case None           => last = Nil // reference raises; we degrade to empty + caller may report
+      }
+    }
+    last
+  }
+
   def extract(doc: PageDoc, dehyphenate: Boolean = false, readingOrder: Boolean = false,
               delimiter: String = "\n"): String = {
     var fulltext: Seq[String] =
-      if (readingOrder) {
-        var last: Seq[String] = Nil
-        // literal semantics: fulltext reassigned inside the loop -> last id wins,
-        // but earlier missing ids still crash in the reference (None.iterfind).
-        readingOrderIds(doc).foreach { id =>
-          findById(doc, id) match {
-            case Some(Left(r))  => last = lineUnicodes(if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines)
-            case Some(Right(c)) => last = lineUnicodes(c.lines)
-            case None           => last = Nil // reference raises; we degrade to empty + caller may report
-          }
-        }
-        last
-      } else lineUnicodes(docOrderLines(doc))
+      if (readingOrder) lastReadingOrderLines(doc)
+      else lineUnicodes(docOrderLines(doc))
 
     if (dehyphenate && fulltext.nonEmpty) fulltext = Dehyphe(fulltext)
     fulltext.mkString(delimiter)

@@ -142,19 +142,27 @@ class ScalePlumbingSpec extends AnyFunSuite {
     assert(PagesSource.fromConf(spark) == ParquetPages(tmp))
   }
 
-  test("skew-aware extraction is byte-equal to the fused path, incl. mega-docs") {
+  test("skew-aware extraction is byte-equal to the fused path, incl. mega-docs, all flag combos") {
     import spark.implicits._
     import pageplus.spark.Pipeline
     val mega = pageplus.data.SyntheticCorpus.megaDoc(0).getBytes("UTF-8")
-    val small = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF()
-      .select("url", "html")
-    val withMega = small.unionByName(Seq(("mega://0", mega)).toDF("url", "html"))
-    val plain = Pipeline.fulltext(withMega).collect().map(e => e.url -> e.extracted_text).toMap
-    // threshold low enough that the mega doc takes the region-split path
-    val skew = Pipeline.fulltextSkewAware(withMega, bigDocBytes = 10000)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(skew == plain)
     assert(mega.length > 10000, "mega doc must exceed the threshold")
+    for (corpus <- Seq("clean", "hyphenated", "twoRegion");
+         dehyphenate <- Seq(false, true); ro <- Seq(false, true)) {
+      val base = (corpus match {
+        case "clean"      => pageplus.data.PagesFromDocuments.clean(spark, sf)
+        case "hyphenated" => pageplus.data.PagesFromDocuments.hyphenated(spark, sf)
+        case "twoRegion"  => pageplus.data.PagesFromDocuments.twoRegion(spark, sf)
+      }).toDF().select("url", "html")
+      val withMega = base.unionByName(Seq(("mega://0", mega)).toDF("url", "html"))
+      val plain = Pipeline.fulltext(withMega, dehyphenate = dehyphenate, ro = ro)
+        .collect().map(e => e.url -> e.extracted_text).toMap
+      // threshold low enough that the mega doc takes the region-split path
+      val skew = Pipeline.fulltextSkewAware(withMega, dehyphenate = dehyphenate, ro = ro,
+          bigDocBytes = 10000)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(skew == plain, s"corpus=$corpus dehyphenate=$dehyphenate ro=$ro")
+    }
   }
 
   test("lineage metrics totals are exact and invariant under salt partition count") {
