@@ -147,6 +147,54 @@ object SparkEntry {
           sum(when(col("rule") === "baseline_outside", 1L).otherwise(0L)).as("n_baseline_outside"))
         .filter(col("n_hull") + col("n_baseline_missing") + col("n_baseline_outside") > 0)
     }),
+    // ---- adversarial-geometry family (VERDICT r1 item 3): concave, rotated,
+    // self-intersecting, collinear-degenerate, stuttered rings and a U-shaped
+    // parent whose fit intersection is a MultiPolygon — end-to-end through
+    // validate / repair / extend / extend-baseline, oracles are CASE tables
+    // over m = doc_id % 7 (constants derived in PagesFromDocuments.messyDoc
+    // scaladoc + pinned by MessySpec) ----
+    "validate_messy" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.messy(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .flatMap(pageplus.ops.Validate.page _)
+        .select(col("url"), col("elementId").as("element_id"), col("rule"))
+    }),
+    "repair_messy" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.messy(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .flatMap(d => pageplus.ops.Repair.page(d)._2)
+        .select(col("url"), col("elementId").as("element_id"), col("rule"))
+    }),
+    "repair_messy_geom" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.messy(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .map(d => pageplus.ops.Repair.page(d)._1)
+        .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
+          (d.url, l.id, l.coords.size.toLong, pageplus.geo.Geo.polygon(l.coords).getArea.toLong)
+        })
+        .toDF("url", "id", "n_points", "area")
+    }),
+    "extend_messy" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.messy(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .map(d => pageplus.ops.Extend.extendLines(d)._1)
+        .flatMap(d => d.textRegions.flatMap(_.lines).map { l =>
+          val poly = pageplus.geo.Geo.polygon(l.coords)
+          val sides = pageplus.geo.Geo.sideLengths(pageplus.geo.Geo.mrr(poly))
+          (d.url, l.id, poly.getArea.toLong, sides.head.toLong, sides.last.toLong)
+        })
+        .toDF("url", "id", "area", "width", "length")
+    }),
+    "extend_baseline_messy" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.messy(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .flatMap(d => d.textRegions.flatMap(_.lines).flatMap { l =>
+          pageplus.ops.Baseline.extendBaseline(l).map { bl =>
+            (d.url, l.id, bl.head.x, bl.head.y, bl.last.x, bl.last.y)
+          }
+        })
+        .toDF("url", "id", "bl_sx", "bl_sy", "bl_ex", "bl_ey")
+    }),
     "repair_extract" -> ((s, dir) => {
       // repair never touches text: extraction after repair stays byte-identical
       import s.implicits._
@@ -744,6 +792,80 @@ object SparkEntry {
         |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
         |       100 AS bl_sx, 100+60*(i-1)+40 AS bl_sy, 900 AS bl_ex, 100+60*(i-1)+40 AS bl_ey
         |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
+    // ---- messy-geometry family: m = doc_id % 7 selects the planted defect on
+    // line 0 (see PagesFromDocuments.messyDoc); every other line follows the
+    // clean arithmetic. Geometry constants derive from the planted shapes:
+    // bite-concave area 40000-200*20=36000; rotated 120x50 rect area 6000;
+    // collinear ring area 0; extend constants measured once from the
+    // deterministic JTS pipeline and pinned by MessySpec. ----
+    "validate_messy" ->
+      """SELECT 'doc://'||doc_id AS url, 'r0l0' AS element_id,
+        |       unnest(CASE WHEN doc_id % 7 = 3 THEN ['ring_not_valid','baseline_pts_outside']
+        |                   WHEN doc_id % 7 = 4 THEN ['ring_not_valid','baseline_outside']
+        |                   ELSE []::VARCHAR[] END) AS rule
+        |FROM documents""".stripMargin,
+    "repair_messy" ->
+      """SELECT 'doc://'||doc_id AS url, 'r0l0' AS element_id,
+        |       unnest(CASE WHEN doc_id % 7 = 3 THEN ['ring_not_valid','hull_applied']
+        |                   WHEN doc_id % 7 = 4 THEN ['ring_not_valid','repair_error']
+        |                   ELSE []::VARCHAR[] END) AS rule
+        |FROM documents""".stripMargin,
+    "repair_messy_geom" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS m,
+        |                  CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl
+        |           FROM documents),
+        |g AS (SELECT doc_id, m, i FROM d, UNNEST(generate_series(1, nl)) AS t(i))
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       CAST(CASE WHEN i = 1 AND m = 1 THEN 8 ELSE 4 END AS BIGINT) AS n_points,
+        |       CAST(CASE WHEN i > 1 THEN 40000
+        |                 WHEN m = 1 THEN 36000 WHEN m = 2 THEN 6000 WHEN m = 4 THEN 0
+        |                 ELSE 40000 END AS BIGINT) AS area
+        |FROM g
+        |UNION ALL
+        |SELECT 'doc://'||doc_id, 'rxl0', 4, 40000 FROM d WHERE m = 6""".stripMargin,
+    "extend_messy" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS m,
+        |                  CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl
+        |           FROM documents),
+        |g AS (SELECT doc_id, m, nl, i,
+        |             -- clean height: 82 minus midline cut below (11), cut
+        |             -- above (11), and the 6px parent bottom clip on the last
+        |             -- line; a line after a non-touching (rotated/bow-tie/
+        |             -- degenerate) line 0 keeps its top uncut
+        |             CASE WHEN nl = 1 THEN 76
+        |                  WHEN i = 1 THEN 71
+        |                  WHEN i = 2 AND m IN (2,3,4) THEN (CASE WHEN i = nl THEN 76 ELSE 71 END)
+        |                  WHEN i = nl THEN 65 ELSE 60 END AS h
+        |      FROM d, UNNEST(generate_series(1, nl)) AS t(i))
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       CAST(CASE WHEN i = 1 AND m = 2 THEN 12511
+        |                 WHEN i = 1 AND m = 3 THEN 65682
+        |                 WHEN i = 1 AND m = 4 THEN 25600
+        |                 ELSE 832*h END AS BIGINT) AS area,
+        |       CAST(CASE WHEN i = 1 AND m IN (2,3) THEN 82
+        |                 WHEN i = 1 AND m = 4 THEN 32
+        |                 ELSE h END AS BIGINT) AS width,
+        |       CAST(CASE WHEN i = 1 AND m = 2 THEN 152
+        |                 WHEN i = 1 AND m = 3 THEN 801
+        |                 WHEN i = 1 AND m = 4 THEN 800
+        |                 ELSE 832 END AS BIGINT) AS length
+        |FROM g
+        |UNION ALL
+        |SELECT 'doc://'||doc_id, 'rxl0', 34112, 82, 416 FROM d WHERE m = 6""".stripMargin,
+    "extend_baseline_messy" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS m,
+        |                  CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl
+        |           FROM documents)
+        |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
+        |       CAST(CASE WHEN i = 1 AND m = 2 THEN 173 ELSE 100 END AS INT) AS bl_sx,
+        |       CAST(CASE WHEN i = 1 AND m = 2 THEN 115 WHEN i = 1 AND m = 4 THEN 100
+        |                 ELSE 100+60*(i-1)+40 END AS INT) AS bl_sy,
+        |       CAST(CASE WHEN i = 1 AND m = 2 THEN 292 ELSE 900 END AS INT) AS bl_ex,
+        |       CAST(CASE WHEN i = 1 AND m = 2 THEN 157 WHEN i = 1 AND m = 4 THEN 100
+        |                 ELSE 100+60*(i-1)+40 END AS INT) AS bl_ey
+        |FROM d, UNNEST(generate_series(1, nl)) AS t(i)
+        |UNION ALL
+        |SELECT 'doc://'||doc_id, 'rxl0', 100, 1040, 900, 1040 FROM d WHERE m = 6""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

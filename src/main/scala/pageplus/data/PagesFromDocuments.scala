@@ -190,6 +190,63 @@ object PagesFromDocuments {
       Nil, Seq("r0"), Seq(region), parseOk = true, parseError = "")
   }
 
+  /** Adversarial-geometry document family (VERDICT r1 item 3): the reference's
+    * geometry ops exist for messy scans, so line 0 carries a defect class
+    * m = doc_id % 7 of NON-rectangular / degenerate shapes (all other lines
+    * stay clean, so oracles are CASE tables over m plus the clean arithmetic):
+    *   m=1 -> concave polygon: a rectangular bite in the bottom edge (valid,
+    *          convex hull == bbox, area 40000-4000=36000)
+    *   m=2 -> rotated rectangle on a 3-4-5 slope (integer corners, 500x50,
+    *          area 25000), baseline along the rotated midline
+    *   m=3 -> self-intersecting bow-tie WITH its baseline kept (vs the corrupt
+    *          family's baseline-less bow-tie)
+    *   m=4 -> 4 collinear points: zero-area ring, degenerate convex hull
+    *          (LineString), degenerate mrr in _compute_baseline
+    *          (models/text_elements.py:393-396)
+    *   m=5 -> stuttered ring: an exact duplicate point and a distance-1
+    *          near-duplicate (remove_repeated_points tolerance=1 fodder)
+    *   m=6 -> an EXTRA region whose Coords are a U-shape (notch x 400..500)
+    *          around a bar line: fit_first_into_second's intersection is a
+    *          MultiPolygon and the larger piece survives
+    *          (models/basic_elements.py:268-276)
+    */
+  def messyDoc(docId: Long, text: String): PageDoc = {
+    val base = cleanDoc(docId, text)
+    val m = (docId % 7).toInt
+    val region = base.regions.head
+    val lines0 = region.lines
+    if (lines0.isEmpty) return base
+    val l0 = lines0.head
+    val y0 = 100
+    val l0m = m match {
+      case 1 => l0.copy(coords = Seq(Pt(100, y0), Pt(900, y0), Pt(900, y0 + 50), Pt(600, y0 + 50),
+        Pt(600, y0 + 30), Pt(400, y0 + 30), Pt(400, y0 + 50), Pt(100, y0 + 50)))
+      case 2 => l0.copy(
+        // 120x50 rect rotated on a 3-4-5 slope (u=(0.8,0.6)): integer corners,
+        // area 6000; small enough that the 16-buffered shape stays inside the
+        // 1-line parent box (y <= 220) and touches no neighbor ring
+        coords = Seq(Pt(200, 80), Pt(296, 152), Pt(266, 192), Pt(170, 120)),
+        baseline = Seq(Pt(205, 115), Pt(261, 157)))
+      case 3 => l0.copy(coords = Seq(Pt(100, y0), Pt(900, y0 + 50), Pt(100, y0 + 50), Pt(900, y0)))
+      case 4 => l0.copy(coords = Seq(Pt(100, y0), Pt(300, y0), Pt(600, y0), Pt(900, y0)))
+      case 5 => l0.copy(coords = Seq(Pt(100, y0), Pt(101, y0), Pt(900, y0), Pt(900, y0 + 50),
+        Pt(900, y0 + 50), Pt(100, y0 + 50)))
+      case _ => l0
+    }
+    val mutated = base.copy(regions = Seq(region.copy(lines = l0m +: lines0.tail)))
+    if (m == 6) {
+      val uParent = Seq(Pt(50, 950), Pt(400, 950), Pt(400, 1070), Pt(500, 1070), Pt(500, 950),
+        Pt(950, 950), Pt(950, 1100), Pt(50, 1100))
+      val bar = LineT("rxl0", hasCoords = true,
+        Seq(Pt(100, 1000), Pt(900, 1000), Pt(900, 1050), Pt(100, 1050)),
+        hasBaseline = true, Seq(Pt(120, 1040), Pt(880, 1040)),
+        texts = Seq(TextEquivT(0, "xb xb")), words = Nil, unicodes = Seq("xb xb"))
+      val rx = RegionT("rx", "text", hasCoords = true, uParent, Nil, Seq(bar), Nil)
+      mutated.copy(docOrderRegionIds = mutated.docOrderRegionIds :+ "rx",
+        regions = mutated.regions :+ rx)
+    } else mutated
+  }
+
   // ---- DataFrame lifters ----------------------------------------------------
 
   /** Works on both batch and streaming DataFrames (pure mapPartitions). */
@@ -217,4 +274,5 @@ object PagesFromDocuments {
   def splitLines(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(splitLinesDoc)
   def twoColumn(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(twoColumnDoc)
   def hyphenated(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(hyphenatedDoc)
+  def messy(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(messyDoc)
 }
