@@ -157,25 +157,33 @@ object Bench {
     (agg.getLong(0), sec)
   }
 
-  private def bestExprDocsPerSec(spark: SparkSession, pagesPath: String, runs: Int): Double = {
-    // same adaptive warm-up as the typed path: the generated whole-stage
-    // code is a fresh class, so it needs its own C2 compilation even when the
-    // parser hot loops are already warm from earlier rounds
-    var prev = Double.MaxValue
-    var w = 0
-    var converged = false
-    while (w < 6 && !converged) {
-      val (wn, wsec) = timeExtractionExpr(spark, pagesPath)
-      System.err.println(s"[bench] expr warmup $wn docs in $wsec s")
-      converged = wsec > prev * 0.9
-      prev = wsec
-      w += 1
+  /** Paired typed-vs-Expression comparison in ONE session: warm BOTH paths
+    * adaptively (the generated whole-stage class needs its own C2 pass even
+    * when the parser loops are hot), then interleave the timed runs so host
+    * noise hits both paths alike — the symmetric protocol VERDICT r1 item 6
+    * asked for. Returns (exprDocsPerSec, typedDocsPerSec). */
+  private def pairedExprTyped(spark: SparkSession, pagesPath: String, runs: Int): (Double, Double) = {
+    def warm(label: String, f: => (Long, Double)): Unit = {
+      var prev = Double.MaxValue
+      var w = 0
+      var converged = false
+      while (w < 6 && !converged) {
+        val (wn, wsec) = f
+        System.err.println(s"[bench] $label warmup $wn docs in $wsec s")
+        converged = wsec > prev * 0.9
+        prev = wsec
+        w += 1
+      }
     }
-    (1 to runs).map { _ =>
-      val (n, sec) = timeExtractionExpr(spark, pagesPath)
-      System.err.println(s"[bench] expr run $n docs in $sec s")
-      n / sec
-    }.max
+    warm("expr", timeExtractionExpr(spark, pagesPath))
+    warm("typed(paired)", timeExtraction(spark, pagesPath))
+    val pairs = (1 to runs).map { _ =>
+      val (en, esec) = timeExtractionExpr(spark, pagesPath)
+      val (tn, tsec) = timeExtraction(spark, pagesPath)
+      System.err.println(f"[bench] paired run expr=${en / esec}%.0f typed=${tn / tsec}%.0f docs/s")
+      (en / esec, tn / tsec)
+    }
+    (pairs.map(_._1).max, pairs.map(_._2).max)
   }
 
   private def bestDocsPerSec(spark: SparkSession, pagesPath: String, runs: Int): Double = {
@@ -256,9 +264,9 @@ object Bench {
     val tpLow = kept.map(_.lo).max
     val tpHigh = kept.map(_.hi).max
 
-    // codegen'd Expression variant, one session at high parallelism
+    // codegen'd Expression variant vs typed path, PAIRED in one session
     spark = freshSession(cpusHigh)
-    val tpExpr = bestExprDocsPerSec(spark, pagesPath, runs)
+    val (tpExpr, tpTypedPaired) = pairedExprTyped(spark, pagesPath, runs)
     spark.stop()
 
     // HTML main-content extraction (north-rule surface), high parallelism
@@ -305,7 +313,8 @@ object Bench {
       s""""docs_per_sec_high":${f(tpHigh)},"efficiency":${f(efficiency)},"efficiency_best_window":${f(bestEff)},""" +
       s""""cores_tiny":$cpusTiny,"efficiency_unsaturated_${cpusTiny}to$cpusLow":${f(smallEff)},""" +
       s""""docs_per_sec_tiny":${f(keptSmall.map(_.lo).max)},"quiet_rounds":${kept.count(_.quiet)},"replicate":$replicate,""" +
-      s""""docs_per_sec_expr_high":${f(tpExpr)},"docs_per_sec_html_high":${f(tpHtml)},"corpus_mb":${f(corpusBytes / 1e6)},""" +
+      s""""docs_per_sec_expr_high":${f(tpExpr)},"docs_per_sec_typed_paired":${f(tpTypedPaired)},""" +
+      s""""docs_per_sec_html_high":${f(tpHtml)},"corpus_mb":${f(corpusBytes / 1e6)},""" +
       s""""mb_per_sec_high":${f(if (corpusDocs > 0) tpHigh * (corpusBytes / 1e6) / corpusDocs else 0.0)},""" +
       s""""rounds":[${pairs.map(r => s"[${f(r.lo)},${f(r.hi)},${f(r.stealLo)},${f(r.stealHi)}]").mkString(",")}]}"""
     println(
@@ -325,7 +334,9 @@ object Bench {
            ||---|---|
            || local[$cpusLow] | ${f(tpLow)} |
            || local[$cpusHigh] | ${f(tpHigh)} |
-           || local[$cpusHigh], codegen Expression path | ${f(tpExpr)} |
+           || local[$cpusHigh], codegen Expression path (paired session) | ${f(tpExpr)} |
+           || local[$cpusHigh], typed path in the SAME session (pairing control) | ${f(tpTypedPaired)} |
+           || local[$cpusHigh], expr/typed paired ratio | ${f(tpExpr / tpTypedPaired)} |
            || local[$cpusHigh], HTML main-content path | ${f(tpHtml)} |
            |
            |Scaling (sandbox stand-in for N -> 4N executors; target >= 0.8 per BASELINE.md):

@@ -22,6 +22,37 @@ object Dsv {
       start_x: Int, start_y: Int, mean_x: Int, mean_y: Int, end_x: Int, end_y: Int,
       area: Int, width: Int, length: Int)
 
+  /** The reference's file layout (cli/export.py:131-144): header
+    * `id,text,region,start,mean,end,area,width,length`, with start/mean/end
+    * rendered as python list reprs `[x, y]`. The table-grain sink prepends
+    * `url` (one partitioned dataset instead of one file per page — at table
+    * grain the page identity must not vanish). */
+  def csvColumns(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def pair(x: String, y: String) =
+      concat(lit("["), col(x).cast("string"), lit(", "), col(y).cast("string"), lit("]"))
+    rows.select(col("url"), col("id"), col("text"), col("region"),
+      pair("start_x", "start_y").as("start"), pair("mean_x", "mean_y").as("mean"),
+      pair("end_x", "end_y").as("end"), col("area"), col("width"), col("length"))
+  }
+
+  /** DSV file sink: header + configurable delimiter (the CLI's `--delimiter`,
+    * default tab like the reference's TSV), minimal quoting as with python's
+    * csv.writer. Unix newlines (divergence: the reference's csv.writer emits
+    * CRLF; Spark's CSV sink is newline-based — documented, not hidden). */
+  def writeCsv(rows: org.apache.spark.sql.DataFrame, path: String,
+               delimiter: String = "\t"): Unit =
+    csvColumns(rows).write.mode("overwrite")
+      .option("header", "true").option("delimiter", delimiter)
+      .csv(path)
+
+  /** Read a [[writeCsv]] dataset back into the csv-column shape. */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+              delimiter: String = "\t"): org.apache.spark.sql.DataFrame =
+    spark.read.option("header", "true").option("delimiter", delimiter)
+      .option("inferSchema", "false")
+      .csv(path)
+
   /** DSV with the dehyphenate flag (cli/export.py:128-129): dehyphe is applied
     * to the TEXT COLUMN ONLY, and because it drops exact-empty entries the
     * column can get SHORTER than the others — the reference then writes
