@@ -572,6 +572,11 @@ object SparkEntry {
       // must equal the batch q10 answer
       pageplus.streaming.StreamingExtract.eventsWindowedOnce(s, dir)
     }),
+    "stream_sessionize" -> ((s, dir) => {
+      // flatMapGroupsWithState gap sessionization (custom streaming state);
+      // must equal the batch q11 answer
+      pageplus.streaming.StreamingExtract.sessionizeOnce(s, dir)
+    }),
     "checkpoint_resume" -> ((s, dir) => {
       // commit the even-doc_id half, then resume: only the odd half is pending
       val manifestDir = java.nio.file.Files
@@ -625,6 +630,21 @@ object SparkEntry {
       |    for j in range(1, nl+1)], chr(10)) AS extracted_text
       |FROM (SELECT doc_id, words, CAST(ceil(len(words)/8.0) AS BIGINT) AS nl
       |      FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents))""".stripMargin
+
+  /** Shared by the batch window-function query and its stateful-streaming twin. */
+  private val Q11SessionizeOracleSql =
+    """SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, sec, event_id,
+      |           CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+      |                  OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+      |                THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)))
+      |GROUP BY user_id""".stripMargin
 
   private val RoLastWinsOracleSql =
     """SELECT 'doc://' || doc_id AS url,
@@ -911,19 +931,8 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
-    "q11_sessionize" ->
-      """SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
-        |FROM (
-        |  SELECT user_id,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |                                ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM (
-        |    SELECT user_id, sec, event_id,
-        |           CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
-        |                  OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
-        |                THEN 1 ELSE 0 END AS new_session
-        |    FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)))
-        |GROUP BY user_id""".stripMargin,
+    "q11_sessionize" -> Q11SessionizeOracleSql,
+    "stream_sessionize" -> Q11SessionizeOracleSql,
     "q12_rollup" ->
       """SELECT coalesce(o_orderstatus, '<all>') AS status,
         |       coalesce(o_orderpriority, '<all>') AS priority,

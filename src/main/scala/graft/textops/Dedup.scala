@@ -57,12 +57,12 @@ object Dedup {
     * production scale the key would be pre-hashed (xxhash64 + length) to keep
     * shuffle rows narrow; semantics are identical for exact dedup. */
   private[graft] def textGroups(docs: DataFrame): (DataFrame, DataFrame) = {
-    val base = docs.select(col("doc_id"), col("text"))
-    val reps = base.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id", "text")
-    val members = base
-      .join(reps.select(col("text"), col("doc_id").as("rep")), "text")
-      .select(col("doc_id"), col("rep"))
+    // one shuffle on the text key (window min), not groupBy + join-back: both
+    // outputs derive from the same exchange, which Catalyst reuses
+    val withRep = docs.select(col("doc_id"), col("text")).withColumn("rep",
+      min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("text")))
+    val members = withRep.select(col("doc_id"), col("rep"))
+    val reps = withRep.filter(col("doc_id") === col("rep")).select(col("doc_id"), col("text"))
     (reps, members)
   }
 

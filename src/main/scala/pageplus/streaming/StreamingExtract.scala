@@ -66,6 +66,55 @@ object StreamingExtract {
     spark.table(name)
   }
 
+  /** Stateful gap-based sessionization under Structured Streaming:
+    * `flatMapGroupsWithState` carries (lastSec, nSessions, nEvents) per user —
+    * the custom-state operator surface (KeyValueGroupedDataset) the window
+    * aggregation doesn't exercise. Events are sorted by (sec, event_id) inside
+    * each group per micro-batch; with the AvailableNow one-shot drain used
+    * here that is exact and equals the batch q11 answer. Across multiple
+    * micro-batches the state assumes batch-ordered arrival per user — the
+    * standard gap-sessionization caveat a production deployment would handle
+    * by buffering within the watermark before folding into state. */
+  def sessionizeOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val evs = stream
+      .withColumn("sec", graft.TimeCols.ntzEpochSeconds(col("ts")))
+      .select(col("user_id"), col("sec"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val sessions = evs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[(Long, Long, Long)]) =>
+          val sorted = it.toArray.sortBy(e => (e._2, e._3))
+          var (last, ns, ne) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, sec, _) =>
+            if (last == Long.MinValue || sec - last > 1800L) ns += 1
+            ne += 1
+            last = sec
+          }
+          state.update((last, ns, ne))
+          Iterator((user, ns, ne))
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+    val name = s"stream_sessions_${counter.incrementAndGet()}"
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming windowed aggregation over the events table: event-time watermark
     * + 1-hour tumbling windows (the Structured Streaming shape the engine
     * offers for incremental corpora metrics). Drained synchronously; complete

@@ -112,6 +112,14 @@ class ScalePlumbingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stateful streaming sessionization equals the batch window-function answer") {
+    val batch = SparkEntry.queries("q11_sessionize")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stream = SparkEntry.queries("stream_sessionize")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("checkpoint resume processes exactly the uncommitted half, then nothing") {
     import pageplus.spark.Checkpoint
     val manifestDir = java.nio.file.Files.createTempDirectory("graft_ckpt_test_").toString
@@ -192,7 +200,7 @@ class TzInvarianceSpec extends AnyFunSuite {
     // rendering that leaks the session zone changes answers under a DST zone
     // (VERDICT r1: q11_sessionize failed exactly this way on the driver)
     val names = Seq("q11_sessionize", "q10_events_window", "q1_agg", "q6_filter",
-      "stream_events_window")
+      "stream_events_window", "stream_sessionize")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
