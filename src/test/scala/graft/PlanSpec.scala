@@ -128,4 +128,32 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 2,
       s"expected repartition + groupByKey shuffles only:\n$plan")
   }
+
+  test("exact-dup grouping: reps and members share ONE text-key exchange (reused)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (reps, members) = graft.textops.Dedup.textGroups(docs)
+    val df = reps.join(members, "doc_id")
+    df.collect() // AQE applies stage reuse at runtime; inspect the FINAL plan
+    val plan = executedPlan(df)
+    // the window-min subplan appears on both sides of the join; the second
+    // occurrence must be a ReusedExchange, not a second shuffle of the corpus
+    assert(plan.contains("ReusedExchange"),
+      s"expected the text-key exchange to be reused across reps/members:\n$plan")
+  }
+
+  test("ann lsh/ivf: query side broadcast, no cartesian product") {
+    for (name <- Seq("ann_lsh", "ann_ivf")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"), s"$name: expected broadcast candidate join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian product leaked:\n$plan")
+    }
+  }
+
+  test("lineage metrics: one explicit bucket repartition feeds the aggregation") {
+    val plan = executedPlan(SparkEntry.queries("lineage_metrics")(spark, sf))
+    assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("RepartitionByExpression") ||
+      "Exchange hashpartitioning\\(bucket".r.findFirstIn(plan).isDefined,
+      s"expected the explicit bucket repartition in:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected partial+final aggregation")
+  }
 }
