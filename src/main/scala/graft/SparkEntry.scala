@@ -441,6 +441,16 @@ object SparkEntry {
         size(regexp_extract_all(col("text"), lit(graft.textops.TextHash.TokenRegex), lit(0)))
           .cast("long").as("n_regex_tokens"))
     }),
+    "pii_scrub" -> ((s, dir) => {
+      // PII redaction (emails + IPv4) over deterministically planted PII —
+      // map-side regexp_replace, no UDF; counts from the pre-redaction text
+      graft.textops.Curate.scrubPii(
+        graft.textops.Curate.plantPii(t(s, dir, "documents")))
+    }),
+    "gopher_quality" -> ((s, dir) => {
+      // Gopher-style quality gate in exact integer arithmetic
+      graft.textops.Curate.gopherQuality(t(s, dir, "documents"))
+    }),
     "multimodal_features" -> ((s, dir) => {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
@@ -1305,6 +1315,29 @@ object SparkEntry {
         |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
         |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
         |WHERE r.rank <= 5""".stripMargin,
+    // same regexes as Curate (Java-regex ∩ RE2 subset), same planting
+    "pii_scrub" ->
+      ("""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' 10.' || (doc_id % 256) || '.0.1' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '""" + graft.textops.Curate.EmailRe +
+        """', '<EMAIL>', 'g'), '""" + graft.textops.Curate.IpRe + """', '<IP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '""" + graft.textops.Curate.EmailRe + """')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '""" + graft.textops.Curate.IpRe + """')) AS BIGINT) AS n_ips
+        |FROM planted""").stripMargin,
+    "gopher_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
+        |                  CAST(length(text) AS BIGINT) AS c FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |       c - (len(ws) - 1) AS word_chars,
+        |       CAST(len(list_filter(ws, x -> length(x) > 10)) AS BIGINT) AS n_long_words,
+        |       CAST(CASE WHEN len(ws) BETWEEN 50 AND 100000
+        |                  AND c - (len(ws) - 1) BETWEEN 3*len(ws) AND 10*len(ws)
+        |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM w""".stripMargin,
     "token_count_regex" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens

@@ -1,0 +1,56 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs before
+  * anything touches a tokenizer: PII redaction and Gopher-style document
+  * quality gates. Both are pure built-in column expressions (regexp_replace /
+  * regexp_extract_all / split arithmetic) — codegen'd, map-side, zero shuffle,
+  * no UDFs — and both use regex constructs in the Java-regex ∩ RE2 common
+  * subset so the DuckDB oracle runs the exact same patterns.
+  */
+object Curate {
+
+  /** Shared with the oracles: word-boundary IPv4 and a pragmatic email shape. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministically plant PII (the driver corpus has none): doc_id % 3 == 0
+    * appends an email, doc_id % 5 == 0 an IPv4 — pure doc_id arithmetic so the
+    * oracle replants identically in SQL. */
+  def plantPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))).otherwise(lit("")))
+        .as("text"))
+
+  /** Redact emails then IPs; count both (on the pre-redaction text). */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), IpRe, "<IP>")
+        .as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).cast("long").as("n_ips"))
+
+  /** Gopher-style quality gate (word-count window, mean-word-length window,
+    * long-word share) in exact integer arithmetic: the corpus is single-spaced,
+    * so sum(word chars) = length(text) - (n_words - 1), and the mean bound
+    * 3 <= sum/n <= 10 becomes cross-multiplied integer comparisons. */
+  def gopherQuality(docs: DataFrame,
+                    minWords: Long = 50, maxWords: Long = 100000,
+                    minMean: Long = 3, maxMean: Long = 10): DataFrame = {
+    val nWords = size(split(col("text"), " ", -1)).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        (length(col("text")).cast("long") - (nWords - 1L)).as("word_chars"),
+        size(filter(split(col("text"), " ", -1), w => length(w) > 10)).cast("long")
+          .as("n_long_words"))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("word_chars") >= lit(minMean) * col("n_words") &&
+          col("word_chars") <= lit(maxMean) * col("n_words")).cast("long"))
+  }
+}
