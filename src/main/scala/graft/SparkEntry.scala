@@ -451,6 +451,10 @@ object SparkEntry {
       // Gopher-style quality gate in exact integer arithmetic
       graft.textops.Curate.gopherQuality(t(s, dir, "documents"))
     }),
+    "repetition_stats" -> ((s, dir) => {
+      // within-document duplicate word/bigram counts (Gopher dup-fraction family)
+      graft.textops.Curate.repetitionStats(t(s, dir, "documents"))
+    }),
     "multimodal_features" -> ((s, dir) => {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaFromDocuments(t(s, dir, "documents"))).toDF()
@@ -1338,6 +1342,17 @@ object SparkEntry {
         |                  AND c - (len(ws) - 1) BETWEEN 3*len(ws) AND 10*len(ws)
         |             THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM w""".stripMargin,
+    "repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bg FROM w)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        |       CAST(list_max(list_transform(list_distinct(ws), w2 -> len(list_filter(ws, x -> x = w2)))) AS BIGINT) AS top_word_n,
+        |       CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+        |       CAST(len(ws) - len(list_distinct(ws)) AS BIGINT) AS n_dup_words,
+        |       CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_dup_bigrams
+        |FROM b""".stripMargin,
     "token_count_regex" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens

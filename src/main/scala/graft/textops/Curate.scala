@@ -36,6 +36,29 @@ object Curate {
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).cast("long").as("n_ips"))
 
+  /** Within-document repetition statistics (the Gopher duplicate-fraction
+    * family): exact integer duplicate-word and duplicate-bigram counts plus
+    * the most-frequent-word count — all array expressions (distinct /
+    * zip_with / transform), map-side, no shuffle, no UDF. The per-row
+    * top-word scan is O(words * distinct); documents are line/paragraph
+    * grain, so this stays constant work per row at any corpus size. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val n = size(ws).cast("long")
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col("doc_id"),
+        n.as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+        array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+          .cast("long").as("top_word_n"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+      .withColumn("n_dup_words", col("n_words") - col("n_distinct_words"))
+      .withColumn("n_dup_bigrams", col("n_bigrams") - col("n_distinct_bigrams"))
+  }
+
   /** Gopher-style quality gate (word-count window, mean-word-length window,
     * long-word share) in exact integer arithmetic: the corpus is single-spaced,
     * so sum(word chars) = length(text) - (n_words - 1), and the mean bound
