@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object TimeCols {
 
-  /** Wall-clock epoch seconds of a TIMESTAMP_NTZ column, truncated toward
-    * zero (sub-second part dropped) — TZ-free by construction: `to_date`,
-    * `hour`, `minute`, `second` on NTZ extract local fields with no zone
-    * conversion, and date arithmetic has none either. */
+  /** Wall-clock epoch seconds of a TIMESTAMP_NTZ column, FLOORED (the
+    * sub-second part rounds toward negative infinity, since `second()` of a
+    * pre-epoch timestamp still counts forward within its minute) — exactly
+    * DuckDB's `floor(epoch(ts))`, the oracle parity target. TZ-free by
+    * construction: `to_date`, `hour`, `minute`, `second` on NTZ extract local
+    * fields with no zone conversion, and date arithmetic has none either. */
   def ntzEpochSeconds(ts: Column): Column =
     datediff(to_date(ts), to_date(lit("1970-01-01"))).cast("long") * 86400L +
       hour(ts).cast("long") * 3600L + minute(ts).cast("long") * 60L + second(ts).cast("long")

@@ -205,7 +205,7 @@ object Dedup {
     * blocks are freed by the ContextCleaner once the caller drops the frame.
     */
   def neardupClusters(docs: DataFrame, threshold: Double = 0.8,
-                      starAfter: Int = 3, maxIter: Int = 20): DataFrame = {
+                      starAfter: Int = 3): DataFrame = {
     val (reps, members) = textGroups(docs)
     val repPairs = verifyJaccard(reps, bandCandidates(reps), threshold).select(col("a"), col("b"))
     val dupEdges = members.filter(col("doc_id") =!= col("rep"))
@@ -225,7 +225,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
-    while (!converged && i < math.min(starAfter, maxIter)) {
+    while (!converged && i < starAfter) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -283,7 +283,8 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var round = 0
-    var done = edges.isEmpty
+    var edgeCount = edges.count()
+    var done = edgeCount == 0
     while (!done && round < maxRounds) {
       // large-star: every node u connects each STRICTLY LARGER neighbor to
       // m(u) = min(Γ(u) ∪ {u})
@@ -304,9 +305,12 @@ object Dedup {
         .unionByName(withM.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint(true)
-      val changed = small.count() != edges.count() ||
-        !small.except(edges).isEmpty
+      // the previous round's count is carried, so the stability check is one
+      // count job + one except job per round, not three
+      val smallCount = small.count()
+      val changed = smallCount != edgeCount || !small.except(edges).isEmpty
       edges = small
+      edgeCount = smallCount
       done = !changed
       round += 1
     }

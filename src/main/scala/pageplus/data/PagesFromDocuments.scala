@@ -196,8 +196,8 @@ object PagesFromDocuments {
     * stay clean, so oracles are CASE tables over m plus the clean arithmetic):
     *   m=1 -> concave polygon: a rectangular bite in the bottom edge (valid,
     *          convex hull == bbox, area 40000-4000=36000)
-    *   m=2 -> rotated rectangle on a 3-4-5 slope (integer corners, 500x50,
-    *          area 25000), baseline along the rotated midline
+    *   m=2 -> rotated rectangle on a 3-4-5 slope (integer corners, 120x50,
+    *          area 6000), baseline along the rotated midline
     *   m=3 -> self-intersecting bow-tie WITH its baseline kept (vs the corrupt
     *          family's baseline-less bow-tie)
     *   m=4 -> 4 collinear points: zero-area ring, degenerate convex hull

@@ -112,7 +112,15 @@ object StreamingExtract {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // the memory sink in update mode APPENDS one row per user per micro-batch
+    // (no upsert); keep each user's LAST update — n_events grows monotonically,
+    // so the max (n_events, n_sessions) struct is the final state even if the
+    // source ever splits into multiple batches
     spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("last"))
+      .select(col("user_id"), col("last.n_sessions").as("n_sessions"),
+        col("last.n_events").as("n_events"))
   }
 
   /** Streaming windowed aggregation over the events table: event-time watermark

@@ -38,19 +38,22 @@ object Dsv {
 
   /** DSV file sink: header + configurable delimiter (the CLI's `--delimiter`,
     * default tab like the reference's TSV), minimal quoting as with python's
-    * csv.writer. Unix newlines (divergence: the reference's csv.writer emits
-    * CRLF; Spark's CSV sink is newline-based — documented, not hidden). */
+    * csv.writer — escape set to '"' so embedded quotes are DOUBLED, python
+    * style, not backslash-escaped (Spark's default). Unix newlines
+    * (divergence: the reference's csv.writer emits CRLF; Spark's CSV sink is
+    * newline-based — documented, not hidden). */
   def writeCsv(rows: org.apache.spark.sql.DataFrame, path: String,
                delimiter: String = "\t"): Unit =
     csvColumns(rows).write.mode("overwrite")
       .option("header", "true").option("delimiter", delimiter)
+      .option("escape", "\"")
       .csv(path)
 
   /** Read a [[writeCsv]] dataset back into the csv-column shape. */
   def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
               delimiter: String = "\t"): org.apache.spark.sql.DataFrame =
     spark.read.option("header", "true").option("delimiter", delimiter)
-      .option("inferSchema", "false")
+      .option("inferSchema", "false").option("escape", "\"")
       .csv(path)
 
   /** DSV with the dehyphenate flag (cli/export.py:128-129): dehyphe is applied

@@ -187,6 +187,10 @@ class DedupSparkSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = bf.intersect(ivf).size.toDouble / bf.size
     assert(ivfRecall >= 0.4, s"ivf recall $ivfRecall") // 4-of-16 lists probed
+    val kmeans = textops.Ann.ivfTopKKmeans(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kmeansRecall = bf.intersect(kmeans).size.toDouble / bf.size
+    assert(kmeansRecall >= 0.4, s"kmeans ivf recall $kmeansRecall")
   }
 
   test("multimodal resize and frame-sample keep the schema shape deterministic") {
