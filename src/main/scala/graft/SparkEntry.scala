@@ -549,6 +549,15 @@ object SparkEntry {
         graft.webtext.WebText.htmlPages(
           t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()).toDF()
     }),
+    "html_main_sql_expr" -> ((s, dir) => {
+      // codegen'd Catalyst Expression twin of html_main_content: the whole
+      // scan -> boilerplate-strip pipeline stays inside WholeStageCodegen
+      graft.expr.HtmlMainTextExpr.register(s)
+      graft.webtext.WebText.htmlPages(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()
+        .createOrReplaceTempView("graft_html_pages_tmp")
+      s.sql("SELECT url, html_main_text(html) AS extracted_text FROM graft_html_pages_tmp")
+    }),
     "html_block_stats" -> ((s, dir) => {
       graft.webtext.WebText.blockStats(
         graft.webtext.WebText.htmlPages(
@@ -659,6 +668,12 @@ object SparkEntry {
       |                THEN 1 ELSE 0 END AS new_session
       |    FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)))
       |GROUP BY user_id""".stripMargin
+
+  private val HtmlMainOracleSql =
+    """SELECT 'doc://' || doc_id AS url,
+      |       array_to_string([array_to_string(words[i:i+23], ' ')
+      |                        for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
 
   private val RoLastWinsOracleSql =
     """SELECT 'doc://' || doc_id AS url,
@@ -1190,12 +1205,10 @@ object SparkEntry {
       """SELECT 'doc://' || doc_id AS url, text AS extracted_text
         |FROM documents""".stripMargin,
     // main-content byte-identity: same word-chunk reassembly as the fulltext
-    // oracle, at the HTML generator's 24-word paragraph grain
-    "html_main_content" ->
-      """SELECT 'doc://' || doc_id AS url,
-        |       array_to_string([array_to_string(words[i:i+23], ' ')
-        |                        for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
-        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    // oracle, at the HTML generator's 24-word paragraph grain (typed and
+    // codegen-Expression paths must produce identical bytes)
+    "html_main_content" -> HtmlMainOracleSql,
+    "html_main_sql_expr" -> HtmlMainOracleSql,
     // DOM statistics recomputed from the generator's arithmetic: nav links
     // 4+id%4, sidebar 3+id%3, footer 2, inline anchors floor(P/3); paragraphs
     // P + promo + copyright; comment divs 2+id%2; the chosen block is the

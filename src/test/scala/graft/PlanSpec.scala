@@ -83,6 +83,30 @@ class PlanSpec extends AnyFunSuite {
     assert(viaCol == typed)
   }
 
+  test("html_main_text Expression equals the typed HTML pipeline and stays in WholeStageCodegen") {
+    val typed = SparkEntry.queries("html_main_content")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaExpr = SparkEntry.queries("html_main_sql_expr")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaExpr == typed)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_html_expr_").toString
+    graft.webtext.WebText.htmlPages(spark.read.parquet(s"$sf/documents.parquet")).toDF()
+      .write.mode("overwrite").parquet(tmp)
+    graft.expr.HtmlMainTextExpr.register(spark)
+    spark.read.parquet(tmp).createOrReplaceTempView("graft_html_parquet")
+    val pq = spark.sql("SELECT url, html_main_text(html) AS extracted_text FROM graft_html_parquet")
+    val plan = executedPlan(pq)
+    assert(plan.contains("*(1) Project") && plan.contains("html_main_text"),
+      s"expression fell out of codegen:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), "expression path must not enter object mode")
+    assert(pq.collect().map(r => r.getString(0) -> r.getString(1)).toMap == typed)
+    val viaCol = spark.read.parquet(tmp)
+      .select(org.apache.spark.sql.functions.col("url"),
+        graft.expr.HtmlMainTextExpr.htmlMainText(org.apache.spark.sql.functions.col("html")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaCol == typed)
+  }
+
   test("checkpoint pending anti-join plans as a join, not a cartesian") {
     import pageplus.spark.Checkpoint
     val manifestDir = java.nio.file.Files.createTempDirectory("graft_plan_ckpt_").toString
