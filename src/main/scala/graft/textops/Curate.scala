@@ -28,13 +28,17 @@ object Curate {
           concat(lit(" 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))).otherwise(lit("")))
         .as("text"))
 
-  /** Redact emails then IPs; count both (on the pre-redaction text). */
-  def scrubPii(docs: DataFrame): DataFrame =
+  /** Redact emails then IPs. Each count is taken on the text THAT REDACTION
+    * PASS SAW (emails on the original, IPs on the email-redacted text), so
+    * counts and redactions stay mutually consistent even when an email abuts
+    * digits and the '>' of its placeholder exposes a fresh IP word boundary. */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val deEmailed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     docs.select(col("doc_id"),
-      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), IpRe, "<IP>")
-        .as("clean_text"),
+      regexp_replace(deEmailed, IpRe, "<IP>").as("clean_text"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).cast("long").as("n_ips"))
+      size(regexp_extract_all(deEmailed, lit(IpRe), lit(0))).cast("long").as("n_ips"))
+  }
 
   /** Within-document repetition statistics (the Gopher duplicate-fraction
     * family): exact integer duplicate-word and duplicate-bigram counts plus
