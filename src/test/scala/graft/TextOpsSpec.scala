@@ -145,6 +145,29 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(got(2001L) == 2000L && got(2000L) == 2000L)
   }
 
+  test("large/small-star equals a union-find oracle on random graphs (all shapes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(50)
+      val nodes = (1 to n).map(i => (i + 1) * 10L) // non-contiguous ids
+      val edges = (1 to n).map { _ =>
+        (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // union-find oracle
+        val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+        def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+        val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+        val expect = touched.map(x => x -> find(x)).toMap
+        val (labels, rounds) = textops.Dedup.connectedComponentsStar(edges.toDF("src", "dst"))
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"trial $trial (n=$n, rounds=$rounds)")
+      }
+    }
+  }
+
   test("neardupClusters via the star fallback (starAfter=0) equals the propagation path") {
     val docs = textops.Dedup.planted(spark.read.parquet(s"$sf/documents.parquet"))
     val a = textops.Dedup.neardupClusters(docs, 0.8)
