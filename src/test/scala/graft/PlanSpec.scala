@@ -173,6 +173,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed url tables join WITHOUT a shuffle (the Iceberg-bucketing lever)") {
+    // the 100 TB design buckets pages and sibling tables by url so joins are
+    // storage-partitioned; the sandbox stand-in is Spark bucketBy + parquet
+    import org.apache.spark.sql.functions._
+    val pages = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF()
+    val d1 = java.nio.file.Files.createTempDirectory("graft_bucket_pages_").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_bucket_meta_").toString
+    spark.sql("DROP TABLE IF EXISTS graft_pages_b")
+    spark.sql("DROP TABLE IF EXISTS graft_meta_b")
+    pages.select("url", "html").write.option("path", d1)
+      .bucketBy(4, "url").sortBy("url").format("parquet").saveAsTable("graft_pages_b")
+    pages.select(col("url"), col("lang")).write.option("path", d2)
+      .bucketBy(4, "url").sortBy("url").format("parquet").saveAsTable("graft_meta_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_pages_b").join(spark.table("graft_meta_b"), "url")
+      assert(j.count() == pages.count())
+      val plan = executedPlan(j)
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert("SelectedBucketsCount|Bucketed: true".r.findFirstIn(plan).isDefined,
+        s"scans must be bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("lineage metrics: one explicit bucket repartition feeds the aggregation") {
     val plan = executedPlan(SparkEntry.queries("lineage_metrics")(spark, sf))
     assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("RepartitionByExpression") ||
