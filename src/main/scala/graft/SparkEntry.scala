@@ -314,7 +314,8 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"), // round, not
+          // truncate: DuckDB CAST(double AS BIGINT) rounds to nearest
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_price_cents"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
             .as("sum_disc_price_cents"),
@@ -469,7 +470,8 @@ object SparkEntry {
         graft.textops.Multimodal.mediaFromDocuments(tp(s, dir, "documents"))).toDF()
     }),
 
-    // ---- dedup / similarity / ANN (rows-only checks; ScalaTest asserts content) ----
+    // ---- dedup / similarity / ANN (every query below is fully oracle-checked;
+    // ScalaTest adds recall/content properties on top) ----
     "minhash_neardup" -> ((s, dir) => {
       graft.textops.Dedup.minhashPairs(
         graft.textops.Dedup.planted(tp(s, dir, "documents")), threshold = 0.8)
@@ -555,30 +557,26 @@ object SparkEntry {
     // original document text re-chunked into 24-word paragraphs. ----
     "html_main_content" -> ((s, dir) => {
       graft.webtext.WebText.mainContent(
-        graft.webtext.WebText.htmlPages(
-          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()).toDF()
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
     }),
     "html_main_sql_expr" -> ((s, dir) => {
       // codegen'd Catalyst Expression twin of html_main_content: the whole
       // scan -> boilerplate-strip pipeline stays inside WholeStageCodegen
       graft.expr.HtmlMainTextExpr.register(s)
-      graft.webtext.WebText.htmlPages(
-        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()
+      graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()
         .createOrReplaceTempView("graft_html_pages_tmp")
       s.sql("SELECT url, html_main_text(html) AS extracted_text FROM graft_html_pages_tmp")
     }),
     "html_block_stats" -> ((s, dir) => {
       graft.webtext.WebText.blockStats(
-        graft.webtext.WebText.htmlPages(
-          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)).toDF()).toDF()
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
     }),
     // ---- layout-text reading order (north_rule: PDF/layout parse): spans
     // (page, x, y, text-run) in scrambled stream order -> column clustering
     // -> (page, column, row) reading order -> byte-identical document text ----
     "layout_reading_order" -> ((s, dir) => {
       graft.layout.LayoutText.extract(
-        graft.layout.LayoutText.spansFromDocuments(
-          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))).toDF()
+        graft.layout.LayoutText.spansFromDocuments(tp(s, dir, "documents"))).toDF()
     }),
     "lang_id" -> ((s, dir) => {
       import s.implicits._
@@ -618,7 +616,7 @@ object SparkEntry {
       pageplus.spark.Checkpoint.commit(
         pages.filter(docIdFromUrl % 2 === 0).select("url"), manifestDir)
       val pending = pageplus.spark.Checkpoint.pending(pages, manifestDir)
-      Pipeline.fulltext(pending).toDF()
+      Pipeline.fulltext(pending, saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
     "lineage_metrics" -> ((s, dir) => {
       // per-bucket lineage over an explicitly-salted layout. The bucket key is
@@ -926,7 +924,7 @@ object SparkEntry {
         |SELECT 'doc://'||doc_id, 'rxl0', 100, 1040, 900, 1040 FROM d WHERE m = 6""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
         |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         |       count(*) AS count_order
@@ -1030,7 +1028,8 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
         |d AS (SELECT doc_id, string_split(text,' ') AS w FROM planted),
         |sh AS (SELECT doc_id,
-        |              list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                   ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
         |       FROM d),
         |pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b,
@@ -1048,7 +1047,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
         |sh AS (SELECT doc_id,
-        |              list_distinct([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS s
+        |              CASE WHEN length(text) < 3 THEN [text]
+        |                   ELSE list_distinct([substring(text, i, 3) for i in range(1, length(text) - 1)]) END AS s
         |       FROM planted),
         |pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b,
@@ -1130,7 +1130,24 @@ object SparkEntry {
         |                            THEN xor(CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT), g)::HUGEINT + (1::HUGEINT << 64)
         |                            ELSE xor(CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT), g)::HUGEINT END)
         |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS f
-        |  FROM sel) t1""".stripMargin,
+        |  FROM sel) t1
+        |UNION ALL
+        |SELECT doc_id, CAST(-3750763034362895579 AS BIGINT) AS fingerprint, CAST(0 AS BIGINT) AS n_grams
+        |FROM documents WHERE length(text) BETWEEN 8 AND 10
+        |UNION ALL
+        |SELECT doc_id,
+        |       CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT) AS fingerprint,
+        |       CAST(1 AS BIGINT) AS n_grams
+        |FROM (SELECT doc_id,
+        |             list_reduce(
+        |               list_prepend(14695981039346656037::HUGEINT,
+        |                            [unicode(c)::HUGEINT for c in string_split(text, '')]),
+        |               (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
+        |                          * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
+        |      FROM documents WHERE length(text) BETWEEN 1 AND 7) t2
+        |UNION ALL
+        |SELECT doc_id, CAST(-3750763034362895579 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM documents WHERE length(text) = 0""".stripMargin,
     // the composed pipeline oracle: lang scoring + token gate + cluster
     // representative, each piece identical to its standalone validated oracle
     // (lang_id, neardup_clusters) but over the RAW corpus (no planting)
@@ -1144,15 +1161,22 @@ object SparkEntry {
         |  CAST(3*len(list_filter(toks, w -> w IN ('le','la','et','les','des','un','une','est','pour','que'))) + len(list_filter(tris, g -> g IN ('ent','les','ion','que','eur'))) AS BIGINT) AS n_fr,
         |  CAST(3*len(list_filter(toks, w -> w IN ('el','los','las','y','es','una','por','para','con','del'))) + len(list_filter(tris, g -> g IN ('ent','los','cio','ado','que'))) AS BIGINT) AS n_es
         |  FROM s),
-        |lang AS (SELECT doc_id,
-        |  CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+        |cj AS (SELECT doc_id,
+        |              CAST(length(text) AS BIGINT) AS cps,
+        |              CAST(len(list_filter(string_split(text,''), c -> unicode(c) BETWEEN 19968 AND 40959)) AS BIGINT) AS cjk
+        |       FROM documents),
+        |lang AS (SELECT sc.doc_id,
+        |  CASE WHEN cj.cps > 0 AND 5*cj.cjk > cj.cps THEN 'zh'
+        |       WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
         |       WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
         |       WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
         |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS lang_pred,
-        |  n_tokens FROM sc),
+        |  CASE WHEN cj.cps > 0 AND 5*cj.cjk > cj.cps THEN cj.cps ELSE n_tokens END AS n_tokens
+        |  FROM sc JOIN cj ON sc.doc_id = cj.doc_id),
         |dw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
-        |              list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                   ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
         |       FROM dw),
         |pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b
@@ -1180,7 +1204,8 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
         |d AS (SELECT doc_id, string_split(text,' ') AS w FROM planted),
         |sh AS (SELECT doc_id,
-        |              list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                   ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
         |       FROM d),
         |pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b
@@ -1234,7 +1259,11 @@ object SparkEntry {
         |       CAST(tl - (np - 1) AS BIGINT) AS main_chars
         |FROM d""".stripMargin,
     "lang_id" ->
-      """WITH t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
+      """WITH cj AS (SELECT doc_id,
+        |              CAST(length(text) AS BIGINT) AS cps,
+        |              CAST(len(list_filter(string_split(text,''), c -> unicode(c) BETWEEN 19968 AND 40959)) AS BIGINT) AS cjk
+        |            FROM documents),
+        |t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
         |s AS (SELECT doc_id, toks, [substring(lt, i, 3) for i in range(1, length(lt)-1)] AS tris FROM t),
         |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(3*len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) + len(list_filter(tris, g -> g IN ('the','ing','ion','and','ent'))) AS BIGINT) AS n_en,
@@ -1242,13 +1271,17 @@ object SparkEntry {
         |  CAST(3*len(list_filter(toks, w -> w IN ('le','la','et','les','des','un','une','est','pour','que'))) + len(list_filter(tris, g -> g IN ('ent','les','ion','que','eur'))) AS BIGINT) AS n_fr,
         |  CAST(3*len(list_filter(toks, w -> w IN ('el','los','las','y','es','una','por','para','con','del'))) + len(list_filter(tris, g -> g IN ('ent','los','cio','ado','que'))) AS BIGINT) AS n_es
         |  FROM s)
-        |SELECT doc_id,
-        |  CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+        |SELECT sc.doc_id,
+        |  CASE WHEN cj.cps > 0 AND 5*cj.cjk > cj.cps THEN 'zh'
+        |       WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
         |       WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
         |       WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
         |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS lang_pred,
-        |  CAST(greatest(n_de, n_en, n_es, n_fr) AS BIGINT) AS score_num, n_tokens
-        |FROM sc""".stripMargin,
+        |  CAST(CASE WHEN cj.cps > 0 AND 5*cj.cjk > cj.cps THEN cj.cjk
+        |            ELSE greatest(n_de, n_en, n_es, n_fr) END AS BIGINT) AS score_num,
+        |  CAST(CASE WHEN cj.cps > 0 AND 5*cj.cjk > cj.cps THEN cj.cps
+        |            ELSE n_tokens END AS BIGINT) AS n_tokens
+        |FROM sc JOIN cj ON sc.doc_id = cj.doc_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings ORDER BY vec_id LIMIT 5)

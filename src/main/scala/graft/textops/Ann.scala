@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** One rounding everywhere: HALF_UP at 6 places, the same semantics as
+    * Spark's `round(col, 6)` and DuckDB's `round(x, 6)` (half away from zero
+    * for the values cosine produces) — `math.rint` (half-to-even) is NOT
+    * equivalent on exact .5 boundaries and must not be reintroduced. */
+  def round6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -73,7 +80,7 @@ object Ann {
       .reduceGroups((x, y) => (x._1, mergeTopK(k, x._2, y._2)))
       .map(_._2)
     partial.flatMap { case (qid, tops) =>
-      tops.zipWithIndex.map { case ((nid, sim), r) => (qid, nid, r + 1, math.rint(sim * 1e6) / 1e6) }
+      tops.zipWithIndex.map { case ((nid, sim), r) => (qid, nid, r + 1, round6(sim)) }
     }.toDF("query_id", "neighbor_id", "rank", "sim")
   }
 
@@ -199,9 +206,11 @@ object Ann {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         col("x.embedding").as("va"), col("y.embedding").as("vb"))
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (a, b, va, vb) => (a, b, math.rint(cosine(va, vb) * 1e6) / 1e6) }
-      .toDF("a", "b", "cos")
-      .filter(col("cos") >= threshold)
+      .map { case (a, b, va, vb) => (a, b, cosine(va, vb)) }
+      .toDF("a", "b", "raw")
+      // threshold the RAW cosine (as the oracle does); round only the output
+      .filter(col("raw") >= threshold)
+      .select(col("a"), col("b"), round(col("raw"), 6).as("cos"))
   }
 
   // ---- IVF (inverted-file) variant ----------------------------------------

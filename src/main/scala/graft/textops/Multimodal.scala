@@ -64,7 +64,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val out = Array.tabulate(m.payload.length / stride)(i => m.payload(i * stride))
+      // ceil division: every stride-th byte INCLUDING the tail remainder's
+      // first byte (floor would silently drop it for non-multiple lengths)
+      val out = Array.tabulate((m.payload.length + stride - 1) / stride)(i => m.payload(i * stride))
       m.copy(payload = out, meta_width = out.length)
     })
   }

@@ -145,6 +145,14 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(got(2001L) == 2000L && got(2000L) == 2000L)
   }
 
+  test("short-doc fallback: identical <3-token texts pair via the singleton shingle, different ones don't") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd")).toDF("doc_id", "text")
+    val pairs = textops.Dedup.minhashPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pairs == Set((1L, 2L, 1L, 1L)), s"got $pairs")
+  }
+
   test("large/small-star equals a union-find oracle on random graphs (all shapes)") {
     import spark.implicits._
     val rnd = new scala.util.Random(0xC0FFEE)
