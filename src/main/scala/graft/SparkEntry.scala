@@ -48,10 +48,12 @@ object SparkEntry {
       Pipeline.fulltext(PagesFromDocuments.twoRegion(s, dir).toDF(), ro = true, saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
     "page_stats" -> ((s, dir) => {
-      Pipeline.pageStats(PagesFromDocuments.clean(s, dir).toDF()).toDF()
+      Pipeline.pageStats(PagesFromDocuments.clean(s, dir).toDF(),
+        saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
     "corpus_stats" -> ((s, dir) => {
-      Pipeline.pageStats(PagesFromDocuments.clean(s, dir).toDF()).toDF()
+      Pipeline.pageStats(PagesFromDocuments.clean(s, dir).toDF(),
+        saltPartitions = s.sparkContext.defaultParallelism).toDF()
         .agg(
           count(lit(1)).as("pages"),
           sum("textregions").as("textregions"),

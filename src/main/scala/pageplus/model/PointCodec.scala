@@ -52,10 +52,6 @@ object PointCodec {
     buf.toSeq
   }
 
-  /** The full `update_coordinates` write path: truncate-to-int already done by the
-    * Pt representation, then dedup+unclose. */
-  def normalizeForWrite(pts: Seq[Pt]): Seq[Pt] = dedupUnclose(pts)
-
   /** `_ensure_closed_ring` (basic_elements.py:68-70). */
   def closeRing(pts: Seq[Pt]): Seq[Pt] =
     if (pts.nonEmpty && pts.head != pts.last) pts :+ pts.head else pts

@@ -42,7 +42,11 @@ object SplitRegion {
             subtractSmallFromBig: Boolean = true): Seq[SideGroup] = {
     val usable = region.lines.filter(l => l.hasCoords && l.coords.size >= 3)
     if (usable.size != region.lines.size) return Nil // reference would crash on None polygon
-    val centers = region.lines.map(l => Geo.polygon(l.coords).getCentroid.getX.toInt)
+    // a 3-point closed ring passes the size guard but fails LinearRing
+    // construction — the reference would crash there too; contained to Nil
+    val centers =
+      try region.lines.map(l => Geo.polygon(l.coords).getCentroid.getX.toInt)
+      catch { case _: Exception => return Nil }
     if (centers.size < centerModeParts) return Nil
 
     val grps = arraySplit(centers.sorted, centerModeParts)

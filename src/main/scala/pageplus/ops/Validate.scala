@@ -12,6 +12,12 @@ import pageplus.model._
   */
 object Validate {
 
+  /** The reference's adjacent-duplicate baseline dedup (shared by the
+    * check-only and update paths — one definition, no drift). */
+  private def dedupAdjacent(b: Seq[Pt]): Seq[Pt] =
+    b.head +: b.zip(b.tail).collect { case (prev, cur) if cur != prev => cur }
+
+
   /** validate_text (basic_elements.py:133-138). */
   def validateText(url: String, line: LineT, parentId: String): Option[Report] =
     if (line.isTextEmpty)
@@ -51,10 +57,7 @@ object Validate {
     if (!line.hasBaseline || line.baseline.isEmpty)
       return (false, Nil, Seq(Report(url, line.id, "baseline_missing", "warning",
         s"${line.id}: Missing baseline")))
-    val deduped = {
-      val b = line.baseline
-      b.head +: b.zip(b.tail).collect { case (prev, cur) if cur != prev => cur }
-    }
+    val deduped = dedupAdjacent(line.baseline)
     if (deduped.size == 1)
       return (false, deduped, Seq(Report(url, line.id, "baseline_one_point", "warning",
         s"${line.id}: Baseline has just one point")))
@@ -87,10 +90,7 @@ object Validate {
   def validateBaselineUpdate(url: String, line: LineT, parentId: String): (LineT, Seq[Pt], Seq[Report]) = {
     if (!line.hasBaseline || line.baseline.isEmpty)
       return (line, Nil, Seq(Report(url, line.id, "baseline_missing", "warning", s"${line.id}: Missing baseline")))
-    val deduped = {
-      val b = line.baseline
-      b.head +: b.zip(b.tail).collect { case (prev, cur) if cur != prev => cur }
-    }
+    val deduped = dedupAdjacent(line.baseline)
     if (deduped.size == 1)
       return (line, Nil, Seq(Report(url, line.id, "baseline_one_point", "warning", s"${line.id}: Baseline has just one point")))
     try {

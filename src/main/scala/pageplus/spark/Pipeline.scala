@@ -71,12 +71,17 @@ object Pipeline {
     import spark.implicits._
     val sized = saltByUrl(pages.select("url", "html"), saltPartitions)
       .withColumn("bytes", length(col("html")).cast("long"))
-    val small = fulltext(sized.filter(col("bytes") <= bigDocBytes).drop("bytes"),
+      // reassembly key: url is the table key per the input_hint, but a
+      // re-crawled url must not merge two documents into one garbled row —
+      // the synthetic row id keeps reassembly strictly per input row (it
+      // never reaches the output)
+      .withColumn("rid", monotonically_increasing_id())
+    val small = fulltext(sized.filter(col("bytes") <= bigDocBytes).select("url", "html"),
       dehyphenate = dehyphenate, ro = ro).toDF()
     // big docs: region-grain line chunks -> shuffle -> ordered reassembly
-    val bigChunks = sized.filter(col("bytes") > bigDocBytes).drop("bytes")
-      .as[(String, Array[Byte])]
-      .flatMap { case (url, html) =>
+    val bigChunks = sized.filter(col("bytes") > bigDocBytes).select("rid", "url", "html")
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (rid, url, html) =>
         val doc = StaxPageParser.parseTextOnly(url, html)
         val regionLines: Seq[(Int, Seq[String])] =
           if (ro) Seq((0, FullText.lastReadingOrderLines(doc)))
@@ -84,13 +89,13 @@ object Pipeline {
             val lines = if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines
             (i, lines.flatMap(_.unicodes))
           }
-        if (regionLines.isEmpty) Seq((url, 0, Seq.empty[String]))
-        else regionLines.map { case (i, ls) => (url, i, ls) }
+        if (regionLines.isEmpty) Seq((rid, url, 0, Seq.empty[String]))
+        else regionLines.map { case (i, ls) => (rid, url, i, ls) }
       }
-      .toDF("url", "ridx", "lines")
+      .toDF("rid", "url", "ridx", "lines")
     val gathered = bigChunks
-      .repartition(col("url")) // spread the chunks, then regroup
-      .groupBy("url")
+      .repartition(col("rid")) // spread the chunks, then regroup
+      .groupBy("rid", "url")
       .agg(flatten(
         transform(array_sort(collect_list(struct(col("ridx"), col("lines")))),
           x => x.getField("lines"))).as("lines"))
@@ -107,10 +112,10 @@ object Pipeline {
   }
 
   /** pages -> per-page element counts (fused parse+count, one pass). */
-  def pageStats(pages: DataFrame): Dataset[Stats.PageCounts] = {
+  def pageStats(pages: DataFrame, saltPartitions: Int = 0): Dataset[Stats.PageCounts] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select("url", "html")
+    saltByUrl(pages.select("url", "html"), saltPartitions)
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (url, html) => Stats.count(StaxPageParser.parse(url, html)) })
   }

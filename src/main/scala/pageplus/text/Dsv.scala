@@ -73,20 +73,26 @@ object Dsv {
       r.lines.map { line =>
         val (sx, sy, mx, my, ex, ey) =
           if (line.hasBaseline && line.baseline.size >= 2) {
-            val bl: LineString = Geo.lineString(line.baseline)
-            val env = bl.getEnvelopeInternal
-            val c = bl.getCentroid
-            (env.getMinX.toInt, env.getMinY.toInt, c.getX.toInt, c.getY.toInt,
-              env.getMaxX.toInt, env.getMaxY.toInt)
+            try {
+              val bl: LineString = Geo.lineString(line.baseline)
+              val env = bl.getEnvelopeInternal
+              val c = bl.getCentroid
+              (env.getMinX.toInt, env.getMinY.toInt, c.getX.toInt, c.getY.toInt,
+                env.getMaxX.toInt, env.getMaxY.toInt)
+            } catch { case _: Exception => (-1, -1, -1, -1, -1, -1) }
           } else (-1, -1, -1, -1, -1, -1)
         val (area, width, len) =
           if (line.hasCoords && line.coords.size >= 3) {
-            Geo.mrr(Geo.polygon(line.coords)) match {
-              case p: Polygon =>
-                val sides = Geo.sideLengths(p)
-                (p.getArea.toInt, sides.head.toInt, sides.last.toInt)
-              case _ => (-1, -1, -1) // degenerate mrr: reference would crash; engine contains
-            }
+            // contained: a 3-point CLOSED ring passes the size guard but still
+            // fails LinearRing construction — sentinel, never a task failure
+            try {
+              Geo.mrr(Geo.polygon(line.coords)) match {
+                case p: Polygon =>
+                  val sides = Geo.sideLengths(p)
+                  (p.getArea.toInt, sides.head.toInt, sides.last.toInt)
+                case _ => (-1, -1, -1) // degenerate mrr: reference would crash; engine contains
+              }
+            } catch { case _: Exception => (-1, -1, -1) }
           } else (-1, -1, -1)
         DsvRow(doc.url, line.id, Option(line.getText).getOrElse(""), rid,
           sx, sy, mx, my, ex, ey, area, width, len)

@@ -15,11 +15,24 @@ import pageplus.model._
 object FullText {
 
   /** Document-order TextLines: regions in document order; a text region's own
-    * lines, then a table region's cells' lines (cells in document order). */
-  def docOrderLines(doc: PageDoc): Seq[LineT] =
+    * lines, then a table region's cells' lines (cells in document order).
+    *
+    * Page-level extraction is `root.iterfind('.//TextLine')` in the reference
+    * — each line exactly ONCE — while nested regions carry their parent's
+    * lines twice in the flat region list (both `iter`-derived, see
+    * StaxPageParser). Identity dedup keeps the first (correct document-order)
+    * occurrence. Caveat: structural transforms that REBUILD lines per region
+    * break the shared identity, so run extraction before, not after,
+    * transforming documents with nested regions (the reference mutates the
+    * shared DOM node instead — same visible result on untransformed docs). */
+  def docOrderLines(doc: PageDoc): Seq[LineT] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LineT, java.lang.Boolean]())
     doc.regions.flatMap { r =>
-      if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines
+      val ls = if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines
+      ls.filter(seen.add)
     }
+  }
 
   private def lineUnicodes(lines: Seq[LineT]): Seq[String] =
     lines.flatMap(_.unicodes) // parser already applied the truthy filter
@@ -32,29 +45,26 @@ object FullText {
     else fromGroups
   }
 
-  private def findById(doc: PageDoc, id: String): Option[Either[RegionT, CellT]] = {
-    // reference: root.find(f'.//*[@id="{id}"]') — first element anywhere with that id
-    doc.regions.iterator.flatMap { r =>
-      if (r.id == id) Iterator(Left(r))
-      else r.cells.iterator.filter(_.id == id).map(Right(_)): Iterator[Either[RegionT, CellT]]
-    }.nextOption()
-  }
-
   /** The `reading_order=True` line selection: fulltext is reassigned per
     * region id, so only the LAST reading-order region's lines survive
     * (models/page.py:144-147). Exposed so the skew-split path can compute the
     * surviving region where the whole document is in hand. */
   def lastReadingOrderLines(doc: PageDoc): Seq[String] = {
+    // one pass builds id -> lines with the reference's find-by-id precedence
+    // (root.find by id anywhere: regions in document order, each region
+    // before its cells; FIRST occurrence wins) — O(lines) total instead of a
+    // linear document scan per reading-order id
+    val byId = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    doc.regions.foreach { r =>
+      if (!byId.contains(r.id))
+        byId(r.id) = lineUnicodes(if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines)
+      r.cells.foreach { c => if (!byId.contains(c.id)) byId(c.id) = lineUnicodes(c.lines) }
+    }
     var last: Seq[String] = Nil
     // literal semantics: fulltext reassigned inside the loop -> last id wins,
-    // but earlier missing ids still crash in the reference (None.iterfind).
-    readingOrderIds(doc).foreach { id =>
-      findById(doc, id) match {
-        case Some(Left(r))  => last = lineUnicodes(if (r.kind == "table") r.lines ++ r.cells.flatMap(_.lines) else r.lines)
-        case Some(Right(c)) => last = lineUnicodes(c.lines)
-        case None           => last = Nil // reference raises; we degrade to empty + caller may report
-      }
-    }
+    // but earlier missing ids still crash in the reference (None.iterfind);
+    // we degrade to empty + caller may report
+    readingOrderIds(doc).foreach { id => last = byId.getOrElse(id, Nil) }
     last
   }
 

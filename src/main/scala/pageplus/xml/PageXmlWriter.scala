@@ -4,9 +4,10 @@ import pageplus.model._
 
 /** PageDoc -> PAGE-XML serializer (the XML sink side of io/writer.py:4-15 /
   * models/page.py:94-103). Deterministic element order: Metadata-free skeleton,
-  * ReadingOrder first, then regions in document order; coordinates written through
-  * [[PointCodec.format]] after the reference's dedup+unclose write normalization.
-  */
+  * ReadingOrder first, then regions in document order; coordinates are written
+  * through [[PointCodec.format]] AS CARRIED — like the reference's writer,
+  * which serializes the DOM as modified: normalization (dedup+unclose)
+  * happens where `update_coordinates` ran, not again at write time. */
 object PageXmlWriter {
 
   private def esc(s: String): String = {

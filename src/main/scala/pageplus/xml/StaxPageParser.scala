@@ -199,12 +199,13 @@ object StaxPageParser {
     LineT(id, hasCoords, coords, hasBaseline, baseline, texts.result(), words.result(), unicodes.result())
   }
 
-  private def parseCell(r: XMLStreamReader, ns: String, geom: Boolean): CellT = {
+  private def parseCell(r: XMLStreamReader, ns: String, geom: Boolean): (CellT, Seq[RegionT]) = {
     val id = Option(attr(r, "id")).getOrElse("")
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
     val lines = Seq.newBuilder[LineT]
+    val descendants = Seq.newBuilder[RegionT]
     var depth = 1
     while (depth > 0) {
       r.next() match {
@@ -212,6 +213,16 @@ object StaxPageParser {
           r.getLocalName match {
             case "Coords"    => val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
             case "TextLine"  => lines += parseLine(r, ns, geom)
+            case "TextRegion" =>
+              // nested region: its own object is emitted after this element's
+              // (root.iter pre-order), its lines ALSO belong here (ele.iter)
+              val (nested, nd) = parseRegion(r, ns, "text", geom)
+              lines ++= nested.lines
+              descendants += nested; descendants ++= nd
+            case "TableRegion" =>
+              val (nested, nd) = parseRegion(r, ns, "table", geom)
+              lines ++= nested.lines
+              descendants += nested; descendants ++= nd
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
             case _           => depth += 1
           }
@@ -219,16 +230,25 @@ object StaxPageParser {
         case _ =>
       }
     }
-    CellT(id, hasCoords, coords, texts.result(), lines.result())
+    (CellT(id, hasCoords, coords, texts.result(), lines.result()), descendants.result())
   }
 
-  private def parseRegion(r: XMLStreamReader, ns: String, kind: String, geom: Boolean): RegionT = {
+  /** PAGE-XML permits region nesting; the reference discovers regions with
+    * `root.iter(...)` (pre-order, so a nested region is its OWN region object
+    * appearing after its parent) while each region's textlines come from
+    * `ele.iter(TextLine)` (recursive, so the parent ALSO carries the nested
+    * region's lines — a nested region's lines already include its own
+    * descendants'). Returns (region, nested regions in pre-order)
+    * (models/page.py:38-44, text_elements.py:25). */
+  private def parseRegion(r: XMLStreamReader, ns: String, kind: String,
+                          geom: Boolean): (RegionT, Seq[RegionT]) = {
     val id = Option(attr(r, "id")).getOrElse("")
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
     val lines = Seq.newBuilder[LineT]
     val cells = Seq.newBuilder[CellT]
+    val descendants = Seq.newBuilder[RegionT]
     var depth = 1
     while (depth > 0) {
       r.next() match {
@@ -236,7 +256,17 @@ object StaxPageParser {
           r.getLocalName match {
             case "Coords"    => val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
             case "TextLine"  => lines += parseLine(r, ns, geom)
-            case "TableCell" => cells += parseCell(r, ns, geom)
+            case "TableCell" =>
+              val (cell, nd) = parseCell(r, ns, geom)
+              cells += cell; descendants ++= nd
+            case "TextRegion" =>
+              val (nested, nd) = parseRegion(r, ns, "text", geom)
+              lines ++= nested.lines
+              descendants += nested; descendants ++= nd
+            case "TableRegion" =>
+              val (nested, nd) = parseRegion(r, ns, "table", geom)
+              lines ++= nested.lines
+              descendants += nested; descendants ++= nd
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
             case _           => depth += 1
           }
@@ -244,42 +274,53 @@ object StaxPageParser {
         case _ =>
       }
     }
-    RegionT(id, kind, hasCoords, coords, texts.result(), lines.result(), cells.result())
+    (RegionT(id, kind, hasCoords, coords, texts.result(), lines.result(), cells.result()),
+      descendants.result())
   }
 
-  /** ReadingOrder: every OrderedGroup reassigns the id list; direct-child
-    * RegionRefIndexed sorted by int(@index) — stable, like Python sorted
-    * (models/page.py:48-57). */
+  /** ReadingOrder: the reference iterates EVERY descendant OrderedGroup in
+    * document order (`iterfind of all descendants`) and reassigns the id list each time
+    * with that group's DIRECT RegionRefIndexed children sorted by
+    * int(@index) — so the group whose start tag appears LAST (for nesting:
+    * the innermost/latest) wins (models/page.py:48-57). Groups are recorded
+    * in start order; the last recorded one is the answer. */
   private def parseReadingOrder(r: XMLStreamReader, ns: String): Seq[String] = {
-    var result: Seq[String] = Nil
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+
+    def scanGroup(): Unit = {
+      val slot = groups.length
+      groups += Nil // reserve at START order; filled when this group closes
+      val refs = Seq.newBuilder[(Int, String)]
+      var gd = 1
+      while (gd > 0) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "RegionRefIndexed" if gd == 1 =>
+                refs += ((intAttr(r, "index", 0), Option(attr(r, "regionRef")).getOrElse("")))
+                gd += 1
+              case "OrderedGroup" =>
+                scanGroup() // consumes the nested group including its END: gd unchanged
+              case _ => gd += 1
+            }
+          case XMLStreamConstants.END_ELEMENT => gd -= 1
+          case _ =>
+        }
+      }
+      groups(slot) = refs.result().sortBy(_._1).map(_._2)
+    }
+
     var depth = 1
     while (depth > 0) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
-          if (r.getLocalName == "OrderedGroup") {
-            val refs = Seq.newBuilder[(Int, String)]
-            var gd = 1
-            while (gd > 0) {
-              r.next() match {
-                case XMLStreamConstants.START_ELEMENT =>
-                  if (gd == 1 && r.getLocalName == "RegionRefIndexed") {
-                    val idx = intAttr(r, "index", 0)
-                    val ref = Option(attr(r, "regionRef")).getOrElse("")
-                    refs += ((idx, ref))
-                  }
-                  gd += 1
-                case XMLStreamConstants.END_ELEMENT => gd -= 1
-                case _ =>
-              }
-            }
-            // the OrderedGroup END_ELEMENT was consumed by the inner loop: depth unchanged
-            result = refs.result().sortBy(_._1).map(_._2)
-          } else depth += 1
+          if (r.getLocalName == "OrderedGroup") scanGroup() // END consumed inside
+          else depth += 1
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
       }
     }
-    result
+    groups.lastOption.getOrElse(Nil)
   }
 
   private def parseRoot(url: String, ns: String, r: XMLStreamReader, geom: Boolean): PageDoc = {
@@ -304,13 +345,17 @@ object StaxPageParser {
             case "ReadingOrder" =>
               readingOrder = parseReadingOrder(r, ns)
             case "TextRegion" =>
-              val reg = parseRegion(r, ns, "text", geom)
-              if (reg.id.nonEmpty) docOrderIds += reg.id
-              regions += reg
+              val (reg, nested) = parseRegion(r, ns, "text", geom)
+              (reg +: nested).foreach { g =>
+                if (g.id.nonEmpty) docOrderIds += g.id
+                regions += g
+              }
             case "TableRegion" =>
-              val reg = parseRegion(r, ns, "table", geom)
-              if (reg.id.nonEmpty) docOrderIds += reg.id
-              regions += reg
+              val (reg, nested) = parseRegion(r, ns, "table", geom)
+              (reg +: nested).foreach { g =>
+                if (g.id.nonEmpty) docOrderIds += g.id
+                regions += g
+              }
             case _ => depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1

@@ -174,6 +174,71 @@ class ParserSpec extends AnyFunSuite {
   }
 }
 
+class NestedStructureSpec extends AnyFunSuite {
+  private val ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15"
+
+  test("nested regions: inner emitted pre-order, outer carries its lines once each (root.iter / ele.iter parity)") {
+    val xml =
+      s"""<PcGts xmlns="$ns"><Page imageWidth="10" imageHeight="10">
+         | <TextRegion id="a">
+         |  <TextLine id="al"><TextEquiv><Unicode>A</Unicode></TextEquiv></TextLine>
+         |  <TextRegion id="b">
+         |   <TextLine id="bl"><TextEquiv><Unicode>B</Unicode></TextEquiv></TextLine>
+         |  </TextRegion>
+         |  <TextLine id="al2"><TextEquiv><Unicode>C</Unicode></TextEquiv></TextLine>
+         | </TextRegion>
+         | <TextRegion id="z"><TextLine id="zl"><TextEquiv><Unicode>Z</Unicode></TextEquiv></TextLine></TextRegion>
+         |</Page></PcGts>""".stripMargin
+    val d = StaxPageParser.parse("u", xml.getBytes("UTF-8"))
+    assert(d.regions.map(_.id) == Seq("a", "b", "z"))
+    assert(d.docOrderRegionIds == Seq("a", "b", "z"))
+    // outer sees the nested region's line at its document position (ele.iter)
+    assert(d.regions.head.lines.map(_.id) == Seq("al", "bl", "al2"))
+    assert(d.regions(1).lines.map(_.id) == Seq("bl"))
+    // page-level extraction = .//TextLine, each line exactly ONCE
+    assert(FullText.extract(d) == "A\nB\nC\nZ")
+    // reading_order=True resolves the nested region id on its own
+    assert(FullText.lastReadingOrderLines(d.copy(readingOrder = Seq("b"))) == Seq("B"))
+  }
+
+  test("nested OrderedGroups: the group whose start appears last wins (iterfind .//* parity)") {
+    val xml =
+      s"""<PcGts xmlns="$ns"><Page imageWidth="10" imageHeight="10">
+         | <ReadingOrder>
+         |  <OrderedGroup id="outer">
+         |   <RegionRefIndexed index="0" regionRef="r1"/>
+         |   <OrderedGroup id="inner">
+         |    <RegionRefIndexed index="1" regionRef="r3"/>
+         |    <RegionRefIndexed index="0" regionRef="r2"/>
+         |   </OrderedGroup>
+         |   <RegionRefIndexed index="1" regionRef="r4"/>
+         |  </OrderedGroup>
+         | </ReadingOrder>
+         | <TextRegion id="r1"><TextLine id="l1"><TextEquiv><Unicode>1</Unicode></TextEquiv></TextLine></TextRegion>
+         |</Page></PcGts>""".stripMargin
+    val d = StaxPageParser.parse("u", xml.getBytes("UTF-8"))
+    // inner starts after outer -> inner's direct refs (index-sorted) win
+    assert(d.readingOrder == Seq("r2", "r3"))
+  }
+
+  test("sibling groups still last-wins, nested regions survive the writer round trip textually") {
+    val xml =
+      s"""<PcGts xmlns="$ns"><Page imageWidth="10" imageHeight="10">
+         | <ReadingOrder>
+         |  <OrderedGroup id="g0"><RegionRefIndexed index="0" regionRef="a"/></OrderedGroup>
+         |  <OrderedGroup id="g1"><RegionRefIndexed index="0" regionRef="b"/></OrderedGroup>
+         | </ReadingOrder>
+         | <TextRegion id="a">
+         |  <TextLine id="al"><TextEquiv><Unicode>A</Unicode></TextEquiv></TextLine>
+         |  <TextRegion id="b"><TextLine id="bl"><TextEquiv><Unicode>B</Unicode></TextEquiv></TextLine></TextRegion>
+         | </TextRegion>
+         |</Page></PcGts>""".stripMargin
+    val d = StaxPageParser.parse("u", xml.getBytes("UTF-8"))
+    assert(d.readingOrder == Seq("b"))
+    assert(FullText.extract(d, readingOrder = true) == "B")
+  }
+}
+
 class FullTextSpec extends AnyFunSuite {
   private val ns = StaxPageParser.PageNsPrefix + "2013-07-15"
 
