@@ -13,11 +13,13 @@ import scala.collection.mutable.ArrayBuffer
   *   - raw-text elements: script/style content is consumed verbatim up to the
   *     matching close tag and DROPPED (never text — a `<` or `&` inside code
   *     must not corrupt extraction)
-  *   - comments `<!-- … -->` and declarations `<!DOCTYPE …>` skipped
+  *   - comments `<!-- … -->`, declarations `<!DOCTYPE …>`, and processing
+  *     instructions (`<?xml …?>`, leaked `<?php …?>`) skipped
   *   - character entities in text and attribute values: the five named XML
   *     entities plus decimal/hex numeric refs; an unrecognized `&` stays literal
   *   - mismatched close tags recover by popping to the nearest matching open
-  *     tag (ignored when none is open) — tolerant of real-web tag soup
+  *     tag (ignored when none is open); close-tag attributes ignored; nesting
+  *     capped at [[MaxDepth]] — tolerant of real-web tag soup
   */
 object HtmlDom {
 
@@ -34,17 +36,24 @@ object HtmlDom {
 
   /** Parse into a synthetic root element `#root` (its children are the
     * top-level nodes; a well-formed page contributes a single `html` child). */
+  /** Browsers cap DOM nesting (~512 in Blink); beyond this, open tags become
+    * leaf elements so adversarial '<div><div><div>…' soup cannot build a tree
+    * that overflows the stack of the recursive consumers (textOf/find/score). */
+  private val MaxDepth = 512
+
   def parse(html: String): HElem = {
     val n = html.length
     // stack frame: (tag, attrs, children)
     var stack = List[(String, List[(String, String)], ArrayBuffer[HNode])](
       ("#root", Nil, ArrayBuffer.empty))
+    var depth = 1
 
     def attach(node: HNode): Unit = stack.head._3 += node
 
     def popAttach(): Unit = {
       val (tag, attrs, kids) = stack.head
       stack = stack.tail
+      depth -= 1
       stack.head._3 += HElem(tag, attrs, kids.toVector)
     }
 
@@ -53,7 +62,10 @@ object HtmlDom {
       val c = html.charAt(i)
       if (c == '<' && i + 1 < n) {
         val c1 = html.charAt(i + 1)
-        if (c1 == '!') {
+        if (c1 == '!' || c1 == '?') {
+          // declarations, CDATA-ish noise, and processing instructions
+          // ('<?xml ...?>', leaked '<?php ...?>') all skip to the next '>'
+          // like a browser's bogus-comment state
           if (html.startsWith("<!--", i)) {
             val e = html.indexOf("-->", i + 4)
             i = if (e < 0) n else e + 3
@@ -62,10 +74,13 @@ object HtmlDom {
             i = if (e < 0) n else e + 1
           }
         } else if (c1 == '/') {
+          // close-tag name ends at whitespace (browsers ignore trailing
+          // attributes on a close tag, e.g. '</div class="x">')
           var j = i + 2
           val s = j
+          while (j < n && html.charAt(j) != '>' && !Character.isWhitespace(html.charAt(j))) j += 1
+          val name = html.substring(s, j).toLowerCase
           while (j < n && html.charAt(j) != '>') j += 1
-          val name = html.substring(s, j).trim.toLowerCase
           i = if (j < n) j + 1 else n
           if (stack.exists(_._1 == name)) {
             while (stack.head._1 != name) popAttach()
@@ -91,6 +106,7 @@ object HtmlDom {
               while (j < n && !Character.isWhitespace(html.charAt(j)) &&
                      html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
               val aname = html.substring(as, j).toLowerCase
+              val beforeValue = j
               while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
               var avalue = ""
               if (j < n && html.charAt(j) == '=') {
@@ -109,13 +125,18 @@ object HtmlDom {
                 }
               }
               if (aname.nonEmpty) attrs += (aname -> avalue)
-              else j += 1 // lone stray char; advance to avoid a stall
+              // a nameless '=value' already advanced j past the value; only a
+              // truly consumed-nothing stray char needs the anti-stall bump
+              // (advancing blindly here used to swallow the closing '>')
+              else if (j == beforeValue) j += 1
             }
           }
           i = j
           if (RawText(name) && !selfClose) {
-            // consume raw content up to the matching close tag, drop it
-            val e = indexOfIgnoreCase(html, "</" + name, i)
+            // consume raw content up to the matching close TAG — the prefix
+            // must be followed by '>', '/', or whitespace so '</scripts>' or
+            // a '</script' fragment inside code does not terminate early
+            val e = indexOfCloseTag(html, name, i)
             attach(HElem(name, attrs.result(), Vector.empty))
             if (e < 0) i = n
             else {
@@ -124,8 +145,12 @@ object HtmlDom {
             }
           } else if (Void(name) || selfClose) {
             attach(HElem(name, attrs.result(), Vector.empty))
+          } else if (depth >= MaxDepth) {
+            // nesting cap: treat as a leaf so pathological soup stays flat
+            attach(HElem(name, attrs.result(), Vector.empty))
           } else {
             stack = (name, attrs.result(), ArrayBuffer.empty[HNode]) :: stack
+            depth += 1
           }
         } else {
           // '<' not followed by tag syntax: literal text
@@ -148,16 +173,22 @@ object HtmlDom {
     HElem("#root", Nil, kids.toVector)
   }
 
-  /** Case-insensitive indexOf without copying the haystack (the raw-text
-    * close-tag scan runs per script/style element on the hot path). */
-  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+  /** Case-insensitive scan for `</name` FOLLOWED by '>', '/', or whitespace
+    * (HTML's script-data end-tag rule), without copying the haystack — runs
+    * per script/style element on the hot path. */
+  private def indexOfCloseTag(s: String, name: String, from: Int): Int = {
+    val needle = "</" + name
     val n = s.length
     val m = needle.length
     var i = math.max(from, 0)
     while (i + m <= n) {
       var k = 0
       while (k < m && Character.toLowerCase(s.charAt(i + k)) == needle.charAt(k)) k += 1
-      if (k == m) return i
+      if (k == m) {
+        if (i + m == n) return i // unterminated at EOF: treat as the close
+        val next = s.charAt(i + m)
+        if (next == '>' || next == '/' || Character.isWhitespace(next)) return i
+      }
       i += 1
     }
     -1

@@ -10,60 +10,60 @@ import pageplus.spark.Pipeline
 
 /** Structured Streaming lift of the batch extraction (SURVEY §2.10): the same
   * typed transforms run unchanged under `readStream`. Documents are
-  * embarrassingly parallel, so no stateful operator or watermark is needed —
+  * embarrassingly parallel, so the per-row surfaces need no stateful operator;
   * the streaming surface exists for incremental ingest (new corpus files
   * appearing in the table location) with exactly-once file-source semantics.
+  * Gap sessionization adds the custom-state (`flatMapGroupsWithState`) shape.
   */
 object StreamingExtract {
 
   private val counter = new AtomicInteger(0)
 
-  /** Run the extraction as a streaming query over the documents parquet and
-    * drain it synchronously into a memory sink; returns the result table. */
-  def extractOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    // the file-stream source wants a directory; select our table's file by name
-    val stream = spark.readStream
+  /** One-file streaming source with the batch schema (the file-stream source
+    * wants a directory; the glob pins our table's file). */
+  private def streamTable(spark: SparkSession, sfDir: String, fileName: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$fileName").schema
+    spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", fileName)
       .parquet(sfDir)
-    val pages = PagesFromDocuments.liftDf(stream)(PagesFromDocuments.cleanDoc).toDF()
-    val extracted = Pipeline.fulltext(pages).toDF()
-    val name = s"stream_extract_${counter.incrementAndGet()}"
-    val q = extracted.writeStream
+  }
+
+  /** Drain a streaming frame synchronously into a memory sink; returns the
+    * result table. AvailableNow processes everything currently present. */
+  private def drainToTable(df: DataFrame, namePrefix: String, outputMode: String): DataFrame = {
+    val name = s"${namePrefix}_${counter.incrementAndGet()}"
+    val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("append")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name)
+    df.sparkSession.table(name)
+  }
+
+  /** Run the extraction as a streaming query over the documents parquet.
+    * Salted like every batch surface: the single-file source is one split,
+    * so the per-row parse+extract must be spread (CLAUDE.md rule). */
+  def extractOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = streamTable(spark, sfDir, "documents.parquet")
+    val pages = PagesFromDocuments.liftDf(stream)(PagesFromDocuments.cleanDoc).toDF()
+    val extracted = Pipeline.fulltext(pages,
+      saltPartitions = spark.sparkContext.defaultParallelism).toDF()
+    drainToTable(extracted, "stream_extract", "append")
   }
 
   /** Same lift for the HTML main-content path: generate -> parse -> block
     * score under readStream, proving every per-row extraction surface of the
     * engine is streaming-ready without code changes. */
   def htmlContentOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val stream = streamTable(spark, sfDir, "documents.parquet")
     val extracted = graft.webtext.WebText.mainContent(
-      graft.webtext.WebText.htmlPages(stream).toDF()).toDF()
-    val name = s"stream_html_${counter.incrementAndGet()}"
-    val q = extracted.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+      graft.webtext.WebText.htmlPages(stream).toDF(),
+      saltPartitions = spark.sparkContext.defaultParallelism).toDF()
+    drainToTable(extracted, "stream_html", "append")
   }
 
   /** Stateful gap-based sessionization under Structured Streaming:
@@ -79,12 +79,7 @@ object StreamingExtract {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val evs = stream
+    val evs = streamTable(spark, sfDir, "events.parquet")
       .withColumn("sec", graft.TimeCols.ntzEpochSeconds(col("ts")))
       .select(col("user_id"), col("sec"), col("event_id"))
       .as[(Long, Long, Long)]
@@ -103,20 +98,11 @@ object StreamingExtract {
           Iterator((user, ns, ne))
       }
       .toDF("user_id", "n_sessions", "n_events")
-    val name = s"stream_sessions_${counter.incrementAndGet()}"
-    val q = sessions.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
     // the memory sink in update mode APPENDS one row per user per micro-batch
     // (no upsert); keep each user's LAST update — n_events grows monotonically,
     // so the max (n_events, n_sessions) struct is the final state even if the
     // source ever splits into multiple batches
-    spark.table(name)
+    drainToTable(sessions, "stream_sessions", "update")
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("last"))
       .select(col("user_id"), col("last.n_sessions").as("n_sessions"),
@@ -127,15 +113,9 @@ object StreamingExtract {
     * + 1-hour tumbling windows (the Structured Streaming shape the engine
     * offers for incremental corpora metrics). Drained synchronously; complete
     * mode so every window is emitted for the batch-equivalence oracle. */
-  def eventsWindowedOnce(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+  def eventsWindowedOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val agg = stream
+    val agg = streamTable(spark, sfDir, "events.parquet")
       // parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP. A plain cast
       // injects the session zone (and a DST gap would even corrupt the window
       // boundary), so the watermark column is the wall-clock interpreted as
@@ -151,15 +131,6 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
-    val name = s"stream_events_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    drainToTable(agg, "stream_events", "complete")
   }
 }

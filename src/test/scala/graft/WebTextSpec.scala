@@ -48,6 +48,32 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(HtmlDom.textOf(HtmlDom.parse("<div>unclosed<")) == "unclosed<")
   }
 
+  test("tag soup: stray '=' in a tag does not swallow the closing '>'") {
+    val root = HtmlDom.parse("<div =x>hello<p>world</p></div>")
+    assert(HtmlDom.textOf(root) == "helloworld")
+    assert(HtmlDom.find(root, _.tag == "p").size == 1)
+  }
+
+  test("close tags with attributes still close; longer names don't end raw text") {
+    val root = HtmlDom.parse("""<div class="s">a</div class="s"><p>b</p>""")
+    assert(HtmlDom.find(root, _.tag == "div").head.children ==
+      Vector(HtmlDom.HText("a")))
+    val raw = HtmlDom.parse("""<script>x("</scripts>")</script><p>ok</p>""")
+    assert(HtmlDom.textOf(raw) == "ok")
+  }
+
+  test("processing instructions are dropped like comments") {
+    val root = HtmlDom.parse("""<?xml version="1.0"?><p>a <?php echo 1; ?>b</p>""")
+    assert(HtmlDom.textOf(root) == "a b")
+  }
+
+  test("pathological nesting is depth-capped: no stack overflow in the walkers") {
+    val soup = "<div>" * 200000 + "deep"
+    val root = HtmlDom.parse(soup)
+    assert(HtmlDom.textOf(root) == "deep")
+    assert(MainContent.extract(soup + "</div>") != null)
+  }
+
   test("comments and doctype are skipped") {
     val root = HtmlDom.parse("<!DOCTYPE html><!-- <p>not here</p> --><p>here</p>")
     assert(HtmlDom.textOf(root) == "here")
