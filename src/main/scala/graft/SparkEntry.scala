@@ -665,7 +665,7 @@ object SparkEntry {
 
   /** Shared by the batch window-function query and its stateful-streaming twin. */
   private val Q11SessionizeOracleSql =
-    """SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+    """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
@@ -783,9 +783,9 @@ object SparkEntry {
         |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
         |       array_to_string(words[(i-1)*8+1:(i-1)*8+8], ' ') AS text,
         |       0 AS region,
-        |       120 AS start_x, 100+60*(i-1)+40 AS start_y,
-        |       500 AS mean_x, 100+60*(i-1)+40 AS mean_y,
-        |       880 AS end_x, 100+60*(i-1)+40 AS end_y,
+        |       120 AS start_x, CAST(100+60*(i-1)+40 AS INT) AS start_y,
+        |       500 AS mean_x, CAST(100+60*(i-1)+40 AS INT) AS mean_y,
+        |       880 AS end_x, CAST(100+60*(i-1)+40 AS INT) AS end_y,
         |       40000 AS area, 50 AS width, 800 AS length
         |FROM l, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
     // same geometry as dsv_export (the hyphenated lift shares the line grid),
@@ -800,9 +800,9 @@ object SparkEntry {
         |         ELSE array_to_string(words[(i-1)*8+1:(i-1)*8+8],' ')
         |       END AS text,
         |       0 AS region,
-        |       120 AS start_x, 100+60*(i-1)+40 AS start_y,
-        |       500 AS mean_x, 100+60*(i-1)+40 AS mean_y,
-        |       880 AS end_x, 100+60*(i-1)+40 AS end_y,
+        |       120 AS start_x, CAST(100+60*(i-1)+40 AS INT) AS start_y,
+        |       500 AS mean_x, CAST(100+60*(i-1)+40 AS INT) AS mean_y,
+        |       880 AS end_x, CAST(100+60*(i-1)+40 AS INT) AS end_y,
         |       40000 AS area, 50 AS width, 800 AS length
         |FROM l, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
     "extend_lines" ->
@@ -836,19 +836,19 @@ object SparkEntry {
     "pseudo_intended" ->
       """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
         |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
-        |       104 AS bl_sx, 100+60*(i-1)+50 AS bl_sy, 896 AS bl_ex, 100+60*(i-1)+50 AS bl_ey,
+        |       104 AS bl_sx, CAST(100+60*(i-1)+50 AS INT) AS bl_sy, 896 AS bl_ex, CAST(100+60*(i-1)+50 AS INT) AS bl_ey,
         |       CAST(25344 AS BIGINT) AS area, CAST(32 AS BIGINT) AS width, CAST(792 AS BIGINT) AS length
         |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
     "translate_lines" ->
       """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
         |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
-        |       105 AS poly_x0, 100+60*(i-1)+7 AS poly_y0,
-        |       125 AS bl_sx, 100+60*(i-1)+47 AS bl_sy, 885 AS bl_ex, 100+60*(i-1)+47 AS bl_ey
+        |       105 AS poly_x0, CAST(100+60*(i-1)+7 AS INT) AS poly_y0,
+        |       125 AS bl_sx, CAST(100+60*(i-1)+47 AS INT) AS bl_sy, 885 AS bl_ex, CAST(100+60*(i-1)+47 AS INT) AS bl_ey
         |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
     "extend_baseline" ->
       """WITH d AS (SELECT doc_id, CAST(ceil(len(string_split(text,' '))/8.0) AS BIGINT) AS nl FROM documents)
         |SELECT 'doc://'||doc_id AS url, 'r0l'||(i-1) AS id,
-        |       100 AS bl_sx, 100+60*(i-1)+40 AS bl_sy, 900 AS bl_ex, 100+60*(i-1)+40 AS bl_ey
+        |       100 AS bl_sx, CAST(100+60*(i-1)+40 AS INT) AS bl_sy, 900 AS bl_ex, CAST(100+60*(i-1)+40 AS INT) AS bl_ey
         |FROM d, UNNEST(generate_series(1, nl)) AS t(i)""".stripMargin,
     // ---- messy-geometry family: m = doc_id % 7 selects the planted defect on
     // line 0 (see PagesFromDocuments.messyDoc); every other line follows the
@@ -1091,7 +1091,7 @@ object SparkEntry {
         |               sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS v
         |        FROM bits GROUP BY doc_id))
         |SELECT x.doc_id AS a, y.doc_id AS b,
-        |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+        |       CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
         |FROM sims x, sims y
         |WHERE x.doc_id < y.doc_id AND bit_count(xor(x.sim, y.sim)) <= 3""".stripMargin,
     // Bit-exact winnowing recompute: FNV-1a over each 8-gram, signed-Long
@@ -1287,7 +1287,7 @@ object SparkEntry {
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings ORDER BY vec_id LIMIT 5)
-        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim,
         |         row_number() OVER (PARTITION BY q.query_id
@@ -1331,7 +1331,7 @@ object SparkEntry {
         |                                   ORDER BY list_cosine_similarity(q5.qv, e.v) DESC, e.vec_id) AS r
         |         FROM q5, e WHERE e.vec_id != q5.query_id)
         |       WHERE r <= 5)
-        |SELECT r.query_id, r.neighbor_id, r.rank, r.sim,
+        |SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank, r.sim,
         |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
         |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
         |WHERE r.rank <= 5""").stripMargin,
@@ -1372,7 +1372,7 @@ object SparkEntry {
         |                                   ORDER BY list_cosine_similarity(q5.qv, e.v) DESC, e.vec_id) AS r
         |         FROM q5, e WHERE e.vec_id != q5.query_id)
         |       WHERE r <= 5)
-        |SELECT r.query_id, r.neighbor_id, r.rank, r.sim,
+        |SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank, r.sim,
         |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
         |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
         |WHERE r.rank <= 5""".stripMargin,

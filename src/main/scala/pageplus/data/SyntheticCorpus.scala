@@ -160,6 +160,22 @@ object SyntheticCorpus {
          |  </TextRegion>""".stripMargin
     }.mkString("\n"))
 
+  /** class 12: nested mega-doc — every region carries a NESTED region, so its
+    * lines appear both inside the parent (ele.iter parity) and as the nested
+    * region's own object (root.iter); page-level `.//TextLine` extraction must
+    * emit each line exactly once even on the skew-split chunking path. */
+  def megaDocNested(i: Long, regions: Int = 40, linesPer: Int = 8): String = page(
+    (0 until regions).map { r =>
+      s"""  <TextRegion id="n$r">
+         |   <Coords points="50,50 950,50 950,900 50,900"/>
+         |${(0 until linesPer).map(l => line(s"n${r}l$l", s"outer $r $l")).mkString("\n")}
+         |   <TextRegion id="n${r}i">
+         |${(0 until linesPer).map(l => line(s"n${r}il$l", s"inner $r $l")).mkString("\n")}
+         |   </TextRegion>
+         |${line(s"n${r}t", s"tail $r")}
+         |  </TextRegion>""".stripMargin
+    }.mkString("\n"))
+
   def malformed(i: Long): String = "<PcGts xmlns=\"" + Ns + "\"><Page>"
   def nonPage(i: Long): String = """<html><body>not a page</body></html>"""
 }

@@ -156,7 +156,11 @@ class ScalePlumbingSpec extends AnyFunSuite {
     import spark.implicits._
     import pageplus.spark.Pipeline
     val mega = pageplus.data.SyntheticCorpus.megaDoc(0).getBytes("UTF-8")
-    assert(mega.length > 10000, "mega doc must exceed the threshold")
+    // nested-region mega doc: the chunking path must keep each .//TextLine
+    // exactly once even though nested lines appear under two region objects
+    val megaNested = pageplus.data.SyntheticCorpus.megaDocNested(0).getBytes("UTF-8")
+    assert(mega.length > 10000 && megaNested.length > 10000,
+      "mega docs must exceed the threshold")
     for (corpus <- Seq("clean", "hyphenated", "twoRegion");
          dehyphenate <- Seq(false, true); ro <- Seq(false, true)) {
       val base = (corpus match {
@@ -164,7 +168,8 @@ class ScalePlumbingSpec extends AnyFunSuite {
         case "hyphenated" => pageplus.data.PagesFromDocuments.hyphenated(spark, sf)
         case "twoRegion"  => pageplus.data.PagesFromDocuments.twoRegion(spark, sf)
       }).toDF().select("url", "html")
-      val withMega = base.unionByName(Seq(("mega://0", mega)).toDF("url", "html"))
+      val withMega = base.unionByName(
+        Seq(("mega://0", mega), ("meganested://0", megaNested)).toDF("url", "html"))
       val plain = Pipeline.fulltext(withMega, dehyphenate = dehyphenate, ro = ro)
         .collect().map(e => e.url -> e.extracted_text).toMap
       // threshold low enough that the mega doc takes the region-split path
