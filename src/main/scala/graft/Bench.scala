@@ -162,7 +162,7 @@ object Bench {
     * when the parser loops are hot), then interleave the timed runs so host
     * noise hits both paths alike — the symmetric protocol VERDICT r1 item 6
     * asked for. Returns (exprDocsPerSec, typedDocsPerSec). */
-  private def pairedExprTyped(spark: SparkSession, pagesPath: String, runs: Int): (Double, Double) = {
+  private def pairedExprTyped(spark: SparkSession, pagesPath: String, runs: Int): (Double, Double, Double) = {
     def warm(label: String, f: => (Long, Double)): Unit = {
       var prev = Double.MaxValue
       var w = 0
@@ -183,7 +183,12 @@ object Bench {
       System.err.println(f"[bench] paired run expr=${en / esec}%.0f typed=${tn / tsec}%.0f docs/s")
       (en / esec, tn / tsec)
     }
-    (pairs.map(_._1).max, pairs.map(_._2).max)
+    // the max-of-each-side pair can mix different rounds and lose the
+    // noise-cancelling benefit of pairing; the MEDIAN of per-round ratios is
+    // the statistic the pairing protocol is actually for
+    val ratios = pairs.map { case (e, t) => e / t }.sorted
+    val medianRatio = ratios(ratios.size / 2)
+    (pairs.map(_._1).max, pairs.map(_._2).max, medianRatio)
   }
 
   private def bestDocsPerSec(spark: SparkSession, pagesPath: String, runs: Int): Double = {
@@ -233,10 +238,20 @@ object Bench {
     val queryTimes =
       if (skipQueries) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // two runs, report the min: a single cold run folds one-time costs
+        // (whole-stage codegen C2 compile, streaming state-store init, a GC
+        // pause from the previous query) into whichever query pays them —
+        // r2's "fulltext_with_words 3.2 s" was exactly that artifact; warm
+        // the query is 0.7 s, byte-identical plan. The min of two runs is
+        // the per-query signal that's comparable across rounds.
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val a = once()
+        name -> math.min(a, once())
       }
     spark.stop()
 
@@ -266,7 +281,7 @@ object Bench {
 
     // codegen'd Expression variant vs typed path, PAIRED in one session
     spark = freshSession(cpusHigh)
-    val (tpExpr, tpTypedPaired) = pairedExprTyped(spark, pagesPath, runs)
+    val (tpExpr, tpTypedPaired, tpPairRatio) = pairedExprTyped(spark, pagesPath, runs)
     spark.stop()
 
     // HTML main-content extraction (north-rule surface), high parallelism
@@ -314,6 +329,7 @@ object Bench {
       s""""cores_tiny":$cpusTiny,"efficiency_unsaturated_${cpusTiny}to$cpusLow":${f(smallEff)},""" +
       s""""docs_per_sec_tiny":${f(keptSmall.map(_.lo).max)},"quiet_rounds":${kept.count(_.quiet)},"replicate":$replicate,""" +
       s""""docs_per_sec_expr_high":${f(tpExpr)},"docs_per_sec_typed_paired":${f(tpTypedPaired)},""" +
+      s""""expr_typed_ratio_median":${f(tpPairRatio)},""" +
       s""""docs_per_sec_html_high":${f(tpHtml)},"corpus_mb":${f(corpusBytes / 1e6)},""" +
       s""""mb_per_sec_high":${f(if (corpusDocs > 0) tpHigh * (corpusBytes / 1e6) / corpusDocs else 0.0)},""" +
       s""""rounds":[${pairs.map(r => s"[${f(r.lo)},${f(r.hi)},${f(r.stealLo)},${f(r.stealHi)}]").mkString(",")}]}"""
@@ -336,7 +352,7 @@ object Bench {
            || local[$cpusHigh] | ${f(tpHigh)} |
            || local[$cpusHigh], codegen Expression path (paired session) | ${f(tpExpr)} |
            || local[$cpusHigh], typed path in the SAME session (pairing control) | ${f(tpTypedPaired)} |
-           || local[$cpusHigh], expr/typed paired ratio | ${f(tpExpr / tpTypedPaired)} |
+           || local[$cpusHigh], expr/typed paired ratio (median of per-round ratios) | ${f(tpPairRatio)} |
            || local[$cpusHigh], HTML main-content path | ${f(tpHtml)} |
            |
            |Scaling (sandbox stand-in for N -> 4N executors; target >= 0.8 per BASELINE.md):

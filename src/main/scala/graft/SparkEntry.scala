@@ -479,12 +479,14 @@ object SparkEntry {
         graft.textops.Dedup.planted(tp(s, dir, "documents")), threshold = 0.8)
     }),
     "simhash_neardup" -> ((s, dir) => {
-      // maxHamming = 3 is the guaranteed-recall regime: with 4 x 16-bit chunk
-      // keys, any pair within hamming distance 3 shares at least one chunk
-      // (pigeonhole), so the LSH candidate join is lossless and the output
-      // equals all-pairs hamming<=3 — which the DuckDB oracle recomputes
-      // bit-for-bit (FNV-1a + sign-bit majority in SQL). Wider radii trade
-      // recall for cost and are covered by the ScalaTest recall property.
+      // maxHamming = 3 is the guaranteed-recall regime: Manku 3-of-6-block
+      // keys (TextHash.simHashKeys) make any pair within hamming distance 3
+      // share at least one key (pigeonhole over 6 blocks), so the candidate
+      // join is lossless and the output equals all-pairs hamming<=3 — which
+      // the DuckDB oracle recomputes bit-for-bit (FNV-1a + sign-bit majority
+      // in SQL). Key space is ~2^30 per table, so bucket occupancy stays
+      // linear at web scale. Wider radii trade recall for cost and are
+      // covered by the ScalaTest recall property.
       graft.textops.Dedup.simhashPairs(
         graft.textops.Dedup.plantedTail(tp(s, dir, "documents")), maxHamming = 3)
     }),

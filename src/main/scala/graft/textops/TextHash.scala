@@ -115,9 +115,46 @@ object TextHash {
     out
   }
 
-  /** 4 x 16-bit chunk keys for SimHash candidate generation (pigeonhole: any
-    * pair within hamming distance 3 shares at least one chunk; wider distances
-    * are still usually caught because token edits perturb few bits). */
+  /** SimHash candidate keys, Manku-style block combinations (Manku, Jain,
+    * Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): the
+    * 64-bit fingerprint splits into B = 6 blocks (widths 11,11,11,11,10,10);
+    * each key concatenates one 3-subset of blocks, C(6,3) = 20 keys per doc.
+    *
+    * Losslessness (pigeonhole): ≤3 flipped bits touch ≤3 blocks, leaving ≥3
+    * blocks untouched — and EVERY 3-subset is a table, so some key is built
+    * entirely from untouched blocks and the pair collides there. Candidates at
+    * hamming ≤ 3 are therefore complete, same contract the oracle recomputes.
+    *
+    * Scale (the r2 fix): keys are 30-33 significant bits, so expected bucket
+    * occupancy is n/2^30+ per table — ~1 at 10^9 representatives and ~10^2 at
+    * 10^12, vs the old 4x16-bit chunks whose 65,536-value key space packed
+    * ~n/65k docs per bucket and made the self-join quadratic per bucket. The
+    * price is 20 (key, id) shuffle rows per doc instead of 4 — linear, ~320
+    * bytes/doc. */
+  private val SimBlockWidths = Array(11, 11, 11, 11, 10, 10)
+  private val SimBlockOffsets = Array(0, 11, 22, 33, 44, 54)
+  private val SimBlockTriples: Array[Array[Int]] =
+    (0 until 6).combinations(3).map(_.toArray).toArray // 20, deterministic order
+
+  def simHashKeys(h: Long): Array[Long] =
+    Array.tabulate(SimBlockTriples.length) { t =>
+      val blocks = SimBlockTriples(t)
+      var packed = 0L
+      var i = 0
+      while (i < 3) {
+        val b = blocks(i)
+        packed = (packed << 11) | ((h >>> SimBlockOffsets(b)) & ((1L << SimBlockWidths(b)) - 1))
+        i += 1
+      }
+      (t.toLong << 34) | packed // 3 x <=11 bits, uniform 11-bit packing
+    }
+
+  /** Wide-radius heuristic keys: 4 x 16-bit chunks. No completeness guarantee
+    * beyond hamming 3, and the 65,536-value key space is quadratic-per-bucket
+    * at web scale — use ONLY for wide radii (> 3) on bounded corpora, where no
+    * practical block scheme guarantees recall anyway (radius 12 would need
+    * C(16,12) tables) and near-dup recall is inherently probabilistic. The
+    * oracle-checked production path is [[simHashKeys]]. */
   def simHashChunks(h: Long): Array[Long] =
     Array.tabulate(4)(c => (c.toLong << 32) | ((h >>> (16 * c)) & 0xffffL))
 

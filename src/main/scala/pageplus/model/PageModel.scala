@@ -11,6 +11,26 @@ package pageplus.model
   */
 final case class Pt(x: Int, y: Int)
 
+/** One pass-through XML attribute not covered by the typed model
+  * (`custom`, `orientation`, `production`, ...). */
+final case class AttrT(name: String, value: String)
+
+/** Unmodeled XML carried through parse -> write so `repair`/XML-out does not
+  * silently drop `Metadata`, `TextStyle`, `Glyph`, `custom` attributes, etc. —
+  * the reference re-serializes its mutated DOM, so everything it never touched
+  * survives (io/writer.py:4-15, models/page.py:94-103). `children` holds each
+  * unmodeled DIRECT child element re-serialized as canonical XML text (single
+  * default namespace; original byte formatting is not preserved, content is).
+  * Captured only on the full parse — the text-only extraction hot path skips
+  * the capture the way it skips geometry decoding. */
+final case class NodeExtras(attrs: Seq[AttrT] = Nil, children: Seq[String] = Nil) {
+  def isEmpty: Boolean = attrs.isEmpty && children.isEmpty
+}
+
+/** Document-level pass-through: PcGts-level (Metadata, pcGtsId) and Page-level
+  * (Border, PrintSpace, custom/orientation attrs) slots. */
+final case class DocExtras(pcgts: NodeExtras = NodeExtras(), page: NodeExtras = NodeExtras())
+
 /** One `TextEquiv` child: `index` attribute (missing attr defaults to 0,
   * basic_elements.py:120) and the `Unicode` text (itertext join; empty element -> "").
   */
@@ -20,7 +40,8 @@ final case class WordT(
     id: String,
     hasCoords: Boolean,
     coords: Seq[Pt],
-    texts: Seq[TextEquivT])
+    texts: Seq[TextEquivT],
+    extras: NodeExtras = NodeExtras())
 
 /** One `TextLine`.
   *
@@ -38,7 +59,8 @@ final case class LineT(
     baseline: Seq[Pt],
     texts: Seq[TextEquivT],
     words: Seq[WordT],
-    unicodes: Seq[String]) {
+    unicodes: Seq[String],
+    extras: NodeExtras = NodeExtras()) {
 
   /** `get_text`: first TextEquiv whose index attr (default 0) == 0
     * (basic_elements.py:116-122). Returns null when absent, like the reference's None. */
@@ -58,7 +80,8 @@ final case class CellT(
     hasCoords: Boolean,
     coords: Seq[Pt],
     texts: Seq[TextEquivT],
-    lines: Seq[LineT])
+    lines: Seq[LineT],
+    extras: NodeExtras = NodeExtras())
 
 /** A `TextRegion` (kind="text", cells empty) or `TableRegion` (kind="table",
   * lines empty, cells populated) — the `kind` field replaces the Python class
@@ -70,7 +93,8 @@ final case class RegionT(
     coords: Seq[Pt],
     texts: Seq[TextEquivT],
     lines: Seq[LineT],
-    cells: Seq[CellT])
+    cells: Seq[CellT],
+    extras: NodeExtras = NodeExtras())
 
 /** One parsed PAGE-XML document.
   *
@@ -92,7 +116,8 @@ final case class PageDoc(
     docOrderRegionIds: Seq[String],
     regions: Seq[RegionT],
     parseOk: Boolean,
-    parseError: String) {
+    parseError: String,
+    extras: DocExtras = DocExtras()) {
 
   /** textregions in the reference sense: every TextRegion element (models/page.py:37-39). */
   def textRegions: Seq[RegionT] = regions.filter(_.kind == "text")

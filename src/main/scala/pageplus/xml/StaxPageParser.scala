@@ -84,6 +84,87 @@ object StaxPageParser {
     if (v == null) dflt else try v.trim.toDouble.toInt catch { case _: NumberFormatException => dflt }
   }
 
+  private def escXml(s: String, quot: Boolean): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => if (quot) sb.append("&quot;") else sb.append('"')
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Attributes of the current START_ELEMENT that are NOT in `modeled` —
+    * pass-through payload (`custom`, `orientation`, ...). */
+  private def extraAttrs(r: XMLStreamReader, modeled: Set[String]): Seq[AttrT] = {
+    var out: List[AttrT] = Nil
+    var i = r.getAttributeCount - 1
+    while (i >= 0) {
+      val n = r.getAttributeLocalName(i)
+      if (!modeled.contains(n)) out = AttrT(n, r.getAttributeValue(i)) :: out
+      i -= 1
+    }
+    out
+  }
+
+  /** Re-serialize the current element (reader ON its START_ELEMENT) as
+    * canonical XML text, consuming through its END_ELEMENT. Any `Unicode`
+    * text inside is ALSO forwarded to `unicodeSink` so `.//Unicode`
+    * extraction parity survives opaque capture (a `Glyph`'s Unicode is part
+    * of the reference's iterfind node set even though Glyph is unmodeled).
+    * Caveat (vs the reference's root.iter): a region nested inside an
+    * UNMODELED wrapper is captured opaquely instead of being discovered —
+    * out-of-schema for PAGE, documented divergence. */
+  private def captureElement(r: XMLStreamReader, ns: String,
+                             unicodeSink: Seq[String] => Unit): String = {
+    val sb = new java.lang.StringBuilder(64)
+    val collected = Seq.newBuilder[String]
+    val uniBuf = new java.lang.StringBuilder
+    var uniDepth = -1
+    def emitStart(): Unit = {
+      sb.append('<').append(r.getLocalName)
+      var i = 0
+      while (i < r.getAttributeCount) {
+        sb.append(' ').append(r.getAttributeLocalName(i))
+          .append("=\"").append(escXml(r.getAttributeValue(i), quot = true)).append('"')
+        i += 1
+      }
+      sb.append('>')
+    }
+    emitStart()
+    var depth = 1
+    while (depth > 0) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          if (uniDepth < 0 && r.getLocalName == "Unicode" && ns == r.getNamespaceURI) {
+            uniDepth = depth
+            uniBuf.setLength(0)
+          }
+          emitStart()
+          depth += 1
+        case XMLStreamConstants.END_ELEMENT =>
+          depth -= 1
+          sb.append("</").append(r.getLocalName).append('>')
+          if (uniDepth == depth) {
+            if (uniBuf.length > 0) collected += uniBuf.toString
+            uniDepth = -1
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          sb.append(escXml(r.getText, quot = false))
+          if (uniDepth >= 0) uniBuf.append(r.getText)
+        case _ =>
+      }
+    }
+    unicodeSink(collected.result())
+    sb.toString
+  }
+
   /** Skip the remainder of the current element (reader is ON its START_ELEMENT). */
   private def skipElement(r: XMLStreamReader): Unit = {
     var depth = 1
@@ -146,9 +227,11 @@ object StaxPageParser {
 
   private def parseWord(r: XMLStreamReader, ns: String, unicodeSink: Seq[String] => Unit, geom: Boolean): WordT = {
     val id = Option(attr(r, "id")).getOrElse("")
+    val xattrs = extraAttrs(r, Set("id"))
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
+    val xkids = Seq.newBuilder[String]
     var depth = 1
     while (depth > 0) {
       r.next() match {
@@ -158,17 +241,20 @@ object StaxPageParser {
               val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
             case "TextEquiv" =>
               texts += parseTextEquiv(r, ns, unicodeSink)
-            case _ => depth += 1
+            // Glyph etc: opaque pass-through; its Unicode still reaches the
+            // line's .//Unicode extraction set through the sink
+            case _ => xkids += captureElement(r, ns, unicodeSink)
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
       }
     }
-    WordT(id, hasCoords, coords, texts.result())
+    WordT(id, hasCoords, coords, texts.result(), NodeExtras(xattrs, xkids.result()))
   }
 
   private def parseLine(r: XMLStreamReader, ns: String, geom: Boolean): LineT = {
     val id = Option(attr(r, "id")).getOrElse("")
+    val xattrs = extraAttrs(r, Set("id"))
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     var hasBaseline = false
@@ -176,6 +262,7 @@ object StaxPageParser {
     val texts = Seq.newBuilder[TextEquivT]
     val words = Seq.newBuilder[WordT]
     val unicodes = Seq.newBuilder[String]
+    val xkids = Seq.newBuilder[String]
     val sink: Seq[String] => Unit = ss => unicodes ++= ss
     var depth = 1
     while (depth > 0) {
@@ -190,22 +277,26 @@ object StaxPageParser {
               texts += parseTextEquiv(r, ns, sink)
             case "Word" =>
               words += parseWord(r, ns, sink, geom)
-            case _ => depth += 1
+            // TextStyle etc: opaque pass-through, Unicode inside still sinks
+            case _ => xkids += captureElement(r, ns, sink)
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
       }
     }
-    LineT(id, hasCoords, coords, hasBaseline, baseline, texts.result(), words.result(), unicodes.result())
+    LineT(id, hasCoords, coords, hasBaseline, baseline, texts.result(), words.result(),
+      unicodes.result(), NodeExtras(xattrs, xkids.result()))
   }
 
   private def parseCell(r: XMLStreamReader, ns: String, geom: Boolean): (CellT, Seq[RegionT]) = {
     val id = Option(attr(r, "id")).getOrElse("")
+    val xattrs = extraAttrs(r, Set("id"))
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
     val lines = Seq.newBuilder[LineT]
     val descendants = Seq.newBuilder[RegionT]
+    val xkids = Seq.newBuilder[String]
     var depth = 1
     while (depth > 0) {
       r.next() match {
@@ -224,13 +315,14 @@ object StaxPageParser {
               lines ++= nested.lines
               descendants += nested; descendants ++= nd
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
-            case _           => depth += 1
+            case _           => xkids += captureElement(r, ns, _ => ())
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
       }
     }
-    (CellT(id, hasCoords, coords, texts.result(), lines.result()), descendants.result())
+    (CellT(id, hasCoords, coords, texts.result(), lines.result(), NodeExtras(xattrs, xkids.result())),
+      descendants.result())
   }
 
   /** PAGE-XML permits region nesting; the reference discovers regions with
@@ -243,12 +335,14 @@ object StaxPageParser {
   private def parseRegion(r: XMLStreamReader, ns: String, kind: String,
                           geom: Boolean): (RegionT, Seq[RegionT]) = {
     val id = Option(attr(r, "id")).getOrElse("")
+    val xattrs = extraAttrs(r, Set("id"))
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
     val lines = Seq.newBuilder[LineT]
     val cells = Seq.newBuilder[CellT]
     val descendants = Seq.newBuilder[RegionT]
+    val xkids = Seq.newBuilder[String]
     var depth = 1
     while (depth > 0) {
       r.next() match {
@@ -268,13 +362,14 @@ object StaxPageParser {
               lines ++= nested.lines
               descendants += nested; descendants ++= nd
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
-            case _           => depth += 1
+            case _           => xkids += captureElement(r, ns, _ => ())
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
       }
     }
-    (RegionT(id, kind, hasCoords, coords, texts.result(), lines.result(), cells.result()),
+    (RegionT(id, kind, hasCoords, coords, texts.result(), lines.result(), cells.result(),
+      NodeExtras(xattrs, xkids.result())),
       descendants.result())
   }
 
@@ -330,6 +425,12 @@ object StaxPageParser {
     var readingOrder: Seq[String] = Nil
     val regions = Seq.newBuilder[RegionT]
     val docOrderIds = Seq.newBuilder[String]
+    // pass-through: PcGts-level attrs (pcGtsId) + children (Metadata), and
+    // Page-level attrs (custom, orientation) + children (Border, PrintSpace)
+    val pcAttrs = extraAttrs(r, Set.empty)
+    var pageAttrs: Seq[AttrT] = Nil
+    val pcKids = Seq.newBuilder[String]
+    val pageKids = Seq.newBuilder[String]
     // reader is on the root START_ELEMENT
     var depth = 1
     while (depth > 0 && r.hasNext) {
@@ -341,6 +442,7 @@ object StaxPageParser {
               height = intAttr(r, "imageHeight", 0)
               val f = attr(r, "imageFilename")
               if (f != null) imageFilename = f
+              pageAttrs = extraAttrs(r, Set("imageFilename", "imageWidth", "imageHeight"))
               depth += 1
             case "ReadingOrder" =>
               readingOrder = parseReadingOrder(r, ns)
@@ -356,13 +458,17 @@ object StaxPageParser {
                 if (g.id.nonEmpty) docOrderIds += g.id
                 regions += g
               }
-            case _ => depth += 1
+            case _ =>
+              val captured = captureElement(r, ns, _ => ())
+              if (depth == 1) pcKids += captured else pageKids += captured
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
       }
     }
     PageDoc(url, ns, width, height, imageFilename, readingOrder, docOrderIds.result(),
-      regions.result(), parseOk = true, parseError = "")
+      regions.result(), parseOk = true, parseError = "",
+      extras = DocExtras(NodeExtras(pcAttrs, pcKids.result()),
+        NodeExtras(pageAttrs, pageKids.result())))
   }
 }

@@ -153,16 +153,56 @@ class PlanSpec extends AnyFunSuite {
       s"expected repartition + groupByKey shuffles only:\n$plan")
   }
 
-  test("exact-dup grouping: reps and members share ONE text-key exchange (reused)") {
+  test("exact-dup grouping: members shuffle is NARROW — text is hashed away before the exchange") {
+    // pre-r3 the window keyed on raw text, so the corpus text crossed the wire
+    // for BOTH outputs (one reused exchange). With the (xxhash64, length) key,
+    // column pruning drops text from the members-side window entirely: the
+    // members exchange carries (doc_id, tkey, tlen) — ~20 bytes/row instead of
+    // the document — and only the reps side (which must output text) moves it.
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (reps, members) = graft.textops.Dedup.textGroups(docs)
-    val df = reps.join(members, "doc_id")
-    df.collect() // AQE applies stage reuse at runtime; inspect the FINAL plan
-    val plan = executedPlan(df)
-    // the window-min subplan appears on both sides of the join; the second
-    // occurrence must be a ReusedExchange, not a second shuffle of the corpus
-    assert(plan.contains("ReusedExchange"),
-      s"expected the text-key exchange to be reused across reps/members:\n$plan")
+    val mplan = executedPlan(members)
+    assert(mplan.contains("hashpartitioning(tkey"),
+      s"members window must key on the hashed text:\n$mplan")
+    assert("Project \\[doc_id#\\d+L, xxhash64\\(text#\\d+, 42\\) AS tkey".r.findFirstIn(mplan).isDefined,
+      s"text must be consumed by the hash projection before the exchange, not carried:\n$mplan")
+    val rplan = executedPlan(reps)
+    assert(rplan.contains("hashpartitioning(tkey"),
+      s"reps window must key on the hashed text:\n$rplan")
+  }
+
+  test("exact-dup grouping shuffles on the 12-byte hashed key, never the raw text") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (_, members) = graft.textops.Dedup.textGroups(docs)
+    val plan = executedPlan(members)
+    assert(plan.contains("hashpartitioning(tkey"),
+      s"expected the window exchange keyed on xxhash64(text):\n$plan")
+    assert(!"hashpartitioning\\(text#".r.findFirstIn(plan).isDefined,
+      s"raw text must not be a shuffle key:\n$plan")
+    // listener-measured shuffle: the grouping moves each row exactly once
+    // (records == corpus rows), with the text as payload, not key
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = docs.count()
+      records.set(0)
+      // collect, not count: count() prunes the window + exchange entirely
+      assert(members.collect().length == n)
+      // listener events are async: poll until the counter stabilizes
+      var last = -1L
+      var spins = 0
+      while (records.get() != last && spins < 50) {
+        last = records.get(); Thread.sleep(100); spins += 1
+      }
+      assert(records.get() == n, s"expected one shuffle record per doc, got ${records.get()} for $n docs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("ann lsh/ivf: query side broadcast, no cartesian product") {

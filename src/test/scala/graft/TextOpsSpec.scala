@@ -32,6 +32,22 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.hamming(TextHash.simHash(a), TextHash.simHash(b)) <= 12)
     assert(TextHash.hamming(TextHash.simHash(a), TextHash.simHash(c)) > 12)
   }
+  test("simHashKeys are lossless at hamming <= 3 (every <=3-bit flip shares a key)") {
+    // deterministic exhaustive-ish sweep: seeds from splitmix64, flips over
+    // positions derived from the seed — no RNG state, fully reproducible
+    for (s <- 0 until 200) {
+      val h = TextHash.splitmix64(0xfeed0000L + s)
+      val flips = (0 until 3).map(i =>
+        (TextHash.splitmix64(h + i) & 0x3f).toInt).distinct // 1-3 distinct positions
+      val h2 = flips.foldLeft(h)((x, b) => x ^ (1L << b))
+      val shared = TextHash.simHashKeys(h).toSet.intersect(TextHash.simHashKeys(h2).toSet)
+      assert(shared.nonEmpty, s"seed $s: flips $flips must share a key")
+    }
+    // sanity: 20 keys, distinct table tags
+    assert(TextHash.simHashKeys(0L).length == 20)
+    assert(TextHash.simHashKeys(0x123456789abcdefL).map(_ >>> 34).distinct.length == 20)
+  }
+
   test("winnow fingerprint deterministic and locally stable") {
     val (g1, f1) = TextHash.winnow("the quick brown fox jumps over the lazy dog")
     val (g2, f2) = TextHash.winnow("the quick brown fox jumps over the lazy dog")
@@ -192,6 +208,26 @@ class DedupSparkSpec extends AnyFunSuite {
     val planted = emb.select("vec_id").collect().map(_.getLong(0))
       .map(id => (id, id + textops.Dedup.PlantOffset)).toSet
     assert(planted.subsetOf(pairs), s"missing ${(planted -- pairs).take(3)}")
+  }
+
+  test("embedding mega-group: 1k identical vectors collapse before the bucket join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1000 bit-identical vectors: the pre-r3 bucket self-join emitted
+    // C(1000,2) pairs through the cosine stage; rep-grain keeps that linear
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val copies = (1L to 1000L).map(i => (i, v))
+    val others = (1L to 5L).map(i => (5000L + i, Array.tabulate(8)(d => (i * 31 + d).toFloat)))
+    val emb = (copies ++ others).toDF("vec_id", "embedding")
+    val (reps, members) = textops.Ann.vectorGroups(emb)
+    assert(reps.count() == 6 && members.count() == 1005)
+    val cand = textops.Ann.repBucketCandidates(reps).count()
+    assert(cand < 30, s"rep-level candidates must be near-linear, got $cand")
+    // member-level output still pair-complete: all within pairs at cos 1.0
+    val pairs = textops.Ann.nearDupPairs(emb, 0.999)
+    val within = pairs.filter(col("b") <= 1000)
+    assert(within.count() == 1000L * 999 / 2)
+    assert(within.filter(col("cos") =!= 1.0).count() == 0, "identical vectors must have cos 1.0")
   }
 
   test("ann brute force matches a local recompute; lsh recall is reasonable") {
