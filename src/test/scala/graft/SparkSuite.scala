@@ -122,17 +122,30 @@ class ScalePlumbingSpec extends AnyFunSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
-  test("checkpoint resume processes exactly the uncommitted half, then nothing") {
-    import pageplus.spark.Checkpoint
-    val manifestDir = java.nio.file.Files.createTempDirectory("graft_ckpt_test_").toString
+  test("checkpoint resume processes exactly the uncommitted half, then nothing (both backends)") {
+    import pageplus.spark.{Checkpoint, CommitLog, ManifestCommitLog, TableCommitLog}
     val pages = pageplus.data.PagesFromDocuments.clean(spark, sf).toDF()
     val half = pages.filter(expr("CAST(substring(url, 7) AS LONG) % 2 = 0"))
-    Checkpoint.commit(half.select("url"), manifestDir)
-    val pending1 = Checkpoint.pending(pages, manifestDir)
-    assert(pending1.count() == pages.count() - half.count())
-    // committing the remainder leaves nothing pending (idempotent re-run)
-    Checkpoint.commit(pending1.select("url"), manifestDir)
-    assert(Checkpoint.pending(pages, manifestDir).count() == 0)
+    def drive(log: CommitLog): Unit = {
+      log.commit(half.select("url"))
+      val pending1 = Checkpoint.pending(pages, log)
+      assert(pending1.count() == pages.count() - half.count())
+      // committing the remainder leaves nothing pending (idempotent re-run)
+      log.commit(pending1.select("url"))
+      assert(Checkpoint.pending(pages, log).count() == 0)
+    }
+    drive(ManifestCommitLog(
+      java.nio.file.Files.createTempDirectory("graft_ckpt_test_").toString))
+    // catalog-table backend: same flow through the session catalog (with an
+    // Iceberg catalog this is the snapshot-append path, config-only switch)
+    spark.sql("DROP TABLE IF EXISTS graft_ckpt_manifest")
+    drive(TableCommitLog("graft_ckpt_manifest"))
+    // config routing picks the table backend when set
+    spark.conf.set("graft.checkpoint.table", "graft_ckpt_manifest")
+    assert(Checkpoint.fromConf(spark) == TableCommitLog("graft_ckpt_manifest"))
+    spark.conf.set("graft.checkpoint.table", "")
+    spark.conf.set("graft.checkpoint.dir", "/tmp/x")
+    assert(Checkpoint.fromConf(spark) == ManifestCommitLog("/tmp/x"))
   }
 
   test("catalog seam: same pipeline runs off a catalog table or a parquet path") {
