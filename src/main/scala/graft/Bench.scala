@@ -244,14 +244,15 @@ object Bench {
         // r2's "fulltext_with_words 3.2 s" was exactly that artifact; warm
         // the query is 0.7 s, byte-identical plan. The min of two runs is
         // the per-query signal that's comparable across rounds.
-        def once(): Double = {
+        // a failed run must never win the min (a fast fail would fabricate an
+        // improvement); a query failing BOTH runs reports -1 as the marker
+        def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
         }
-        val a = once()
-        name -> math.min(a, once())
+        val ok = Seq(once(), once()).flatten
+        name -> (if (ok.isEmpty) -1.0 else ok.min)
       }
     spark.stop()
 

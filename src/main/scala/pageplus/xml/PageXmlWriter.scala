@@ -33,9 +33,15 @@ object PageXmlWriter {
     sb.toString
   }
 
+  /** Attribute-value escape: also emits character references for \n/\t/\r —
+    * raw ones would be folded to spaces by attribute-value normalization on
+    * re-parse, breaking pass-through round-trip stability. */
+  private def escAttr(s: String): String =
+    esc(s).replace("\n", "&#10;").replace("\t", "&#9;").replace("\r", "&#13;")
+
   private def attrs(xs: Seq[AttrT]): String = {
     val sb = new java.lang.StringBuilder
-    xs.foreach(a => sb.append(' ').append(a.name).append("=\"").append(esc(a.value)).append('"'))
+    xs.foreach(a => sb.append(' ').append(a.name).append("=\"").append(escAttr(a.value)).append('"'))
     sb.toString
   }
 

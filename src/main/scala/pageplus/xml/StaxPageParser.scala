@@ -93,12 +93,27 @@ object StaxPageParser {
         case '<' => sb.append("&lt;")
         case '>' => sb.append("&gt;")
         case '"' => if (quot) sb.append("&quot;") else sb.append('"')
+        // attribute-value normalization would fold raw \n/\t/\r to spaces on
+        // re-parse; character references survive the round trip
+        case '\n' if quot => sb.append("&#10;")
+        case '\t' if quot => sb.append("&#9;")
+        case '\r' if quot => sb.append("&#13;")
         case c   => sb.append(c)
       }
       i += 1
     }
     sb.toString
   }
+
+  /** PAGE elements that are safe to capture opaquely: per the schema they
+    * never contain TextLine/TextRegion/TableRegion, so opaque capture cannot
+    * hide text from extraction. Everything else unknown is DESCENDED instead
+    * (the reference's root.iter/ele.iter find modeled elements at any depth).
+    * Glyph is listed — its TextEquiv must NOT join the word's ./TextEquiv set,
+    * and its Unicode reaches extraction through the capture sink. */
+  private val Passthrough: Set[String] = Set(
+    "Metadata", "TextStyle", "AlternativeImage", "Border", "PrintSpace",
+    "UserDefined", "Labels", "Relations", "Layers", "Glyph", "Grid", "GridPoints")
 
   /** Attributes of the current START_ELEMENT that are NOT in `modeled` —
     * pass-through payload (`custom`, `orientation`, ...). */
@@ -107,31 +122,61 @@ object StaxPageParser {
     var i = r.getAttributeCount - 1
     while (i >= 0) {
       val n = r.getAttributeLocalName(i)
-      if (!modeled.contains(n)) out = AttrT(n, r.getAttributeValue(i)) :: out
+      if (!modeled.contains(n)) {
+        val p = r.getAttributePrefix(i)
+        val q = if (p != null && p.nonEmpty) p + ":" + n else n
+        out = AttrT(q, r.getAttributeValue(i)) :: out
+      }
+      i -= 1
+    }
+    out
+  }
+
+  /** Non-default namespace declarations on the current START_ELEMENT, as
+    * pass-through `xmlns:p` attributes (e.g. `xmlns:xsi` on PcGts) — needed
+    * for prefixed pass-through attributes like `xsi:schemaLocation` to stay
+    * well-formed after the writer round trip. */
+  private def nsDeclAttrs(r: XMLStreamReader): Seq[AttrT] = {
+    var out: List[AttrT] = Nil
+    var i = r.getNamespaceCount - 1
+    while (i >= 0) {
+      val p = r.getNamespacePrefix(i)
+      if (p != null && p.nonEmpty) out = AttrT("xmlns:" + p, r.getNamespaceURI(i)) :: out
       i -= 1
     }
     out
   }
 
   /** Re-serialize the current element (reader ON its START_ELEMENT) as
-    * canonical XML text, consuming through its END_ELEMENT. Any `Unicode`
-    * text inside is ALSO forwarded to `unicodeSink` so `.//Unicode`
-    * extraction parity survives opaque capture (a `Glyph`'s Unicode is part
-    * of the reference's iterfind node set even though Glyph is unmodeled).
-    * Caveat (vs the reference's root.iter): a region nested inside an
-    * UNMODELED wrapper is captured opaquely instead of being discovered —
-    * out-of-schema for PAGE, documented divergence. */
+    * canonical XML text, consuming through its END_ELEMENT. Prefixes and
+    * namespace declarations are preserved, so foreign-namespace content stays
+    * foreign after a writer round trip. Any PAGE-namespace `Unicode` text
+    * inside is ALSO forwarded to `unicodeSink` so `.//Unicode` extraction
+    * parity survives opaque capture (a `Glyph`'s Unicode is part of the
+    * reference's iterfind node set even though Glyph is unmodeled). Called
+    * only for [[Passthrough]]-whitelisted elements — anything else unknown is
+    * descended, never captured, so modeled elements inside arbitrary wrappers
+    * are still discovered (reference root.iter parity). */
   private def captureElement(r: XMLStreamReader, ns: String,
                              unicodeSink: Seq[String] => Unit): String = {
     val sb = new java.lang.StringBuilder(64)
     val collected = Seq.newBuilder[String]
     val uniBuf = new java.lang.StringBuilder
     var uniDepth = -1
+    def qname(pfx: String, local: String): String =
+      if (pfx != null && pfx.nonEmpty) pfx + ":" + local else local
     def emitStart(): Unit = {
-      sb.append('<').append(r.getLocalName)
+      sb.append('<').append(qname(r.getPrefix, r.getLocalName))
       var i = 0
+      while (i < r.getNamespaceCount) {
+        val p = r.getNamespacePrefix(i)
+        sb.append(' ').append(if (p != null && p.nonEmpty) "xmlns:" + p else "xmlns")
+          .append("=\"").append(escXml(r.getNamespaceURI(i), quot = true)).append('"')
+        i += 1
+      }
+      i = 0
       while (i < r.getAttributeCount) {
-        sb.append(' ').append(r.getAttributeLocalName(i))
+        sb.append(' ').append(qname(r.getAttributePrefix(i), r.getAttributeLocalName(i)))
           .append("=\"").append(escXml(r.getAttributeValue(i), quot = true)).append('"')
         i += 1
       }
@@ -150,7 +195,7 @@ object StaxPageParser {
           depth += 1
         case XMLStreamConstants.END_ELEMENT =>
           depth -= 1
-          sb.append("</").append(r.getLocalName).append('>')
+          sb.append("</").append(qname(r.getPrefix, r.getLocalName)).append('>')
           if (uniDepth == depth) {
             if (uniBuf.length > 0) collected += uniBuf.toString
             uniDepth = -1
@@ -227,7 +272,7 @@ object StaxPageParser {
 
   private def parseWord(r: XMLStreamReader, ns: String, unicodeSink: Seq[String] => Unit, geom: Boolean): WordT = {
     val id = Option(attr(r, "id")).getOrElse("")
-    val xattrs = extraAttrs(r, Set("id"))
+    val xattrs = if (geom) extraAttrs(r, Set("id")) else Nil
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
@@ -241,9 +286,13 @@ object StaxPageParser {
               val (h, c) = parsePoints(r, geom); hasCoords = h; coords = c
             case "TextEquiv" =>
               texts += parseTextEquiv(r, ns, unicodeSink)
-            // Glyph etc: opaque pass-through; its Unicode still reaches the
-            // line's .//Unicode extraction set through the sink
-            case _ => xkids += captureElement(r, ns, unicodeSink)
+            // whitelisted boilerplate (Glyph, TextStyle, ...): opaque
+            // pass-through on the full parse; Glyph Unicode still reaches the
+            // line's .//Unicode extraction set through the sink. Text-only
+            // parse and unknown wrappers descend (reference .// parity).
+            case other =>
+              if (geom && Passthrough.contains(other)) xkids += captureElement(r, ns, unicodeSink)
+              else depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
@@ -254,7 +303,7 @@ object StaxPageParser {
 
   private def parseLine(r: XMLStreamReader, ns: String, geom: Boolean): LineT = {
     val id = Option(attr(r, "id")).getOrElse("")
-    val xattrs = extraAttrs(r, Set("id"))
+    val xattrs = if (geom) extraAttrs(r, Set("id")) else Nil
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     var hasBaseline = false
@@ -277,8 +326,12 @@ object StaxPageParser {
               texts += parseTextEquiv(r, ns, sink)
             case "Word" =>
               words += parseWord(r, ns, sink, geom)
-            // TextStyle etc: opaque pass-through, Unicode inside still sinks
-            case _ => xkids += captureElement(r, ns, sink)
+            // whitelisted boilerplate: opaque pass-through on the full
+            // parse; unknown wrappers and text-only parse descend, so a
+            // TextLine inside a wrapper still extracts (.// parity)
+            case other =>
+              if (geom && Passthrough.contains(other)) xkids += captureElement(r, ns, sink)
+              else depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
@@ -290,7 +343,7 @@ object StaxPageParser {
 
   private def parseCell(r: XMLStreamReader, ns: String, geom: Boolean): (CellT, Seq[RegionT]) = {
     val id = Option(attr(r, "id")).getOrElse("")
-    val xattrs = extraAttrs(r, Set("id"))
+    val xattrs = if (geom) extraAttrs(r, Set("id")) else Nil
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
@@ -315,7 +368,9 @@ object StaxPageParser {
               lines ++= nested.lines
               descendants += nested; descendants ++= nd
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
-            case _           => xkids += captureElement(r, ns, _ => ())
+            case other =>
+              if (geom && Passthrough.contains(other)) xkids += captureElement(r, ns, _ => ())
+              else depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
@@ -335,7 +390,7 @@ object StaxPageParser {
   private def parseRegion(r: XMLStreamReader, ns: String, kind: String,
                           geom: Boolean): (RegionT, Seq[RegionT]) = {
     val id = Option(attr(r, "id")).getOrElse("")
-    val xattrs = extraAttrs(r, Set("id"))
+    val xattrs = if (geom) extraAttrs(r, Set("id")) else Nil
     var hasCoords = false
     var coords: Seq[Pt] = Nil
     val texts = Seq.newBuilder[TextEquivT]
@@ -362,7 +417,9 @@ object StaxPageParser {
               lines ++= nested.lines
               descendants += nested; descendants ++= nd
             case "TextEquiv" => texts += parseTextEquiv(r, ns, _ => ())
-            case _           => xkids += captureElement(r, ns, _ => ())
+            case other =>
+              if (geom && Passthrough.contains(other)) xkids += captureElement(r, ns, _ => ())
+              else depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
@@ -425,9 +482,11 @@ object StaxPageParser {
     var readingOrder: Seq[String] = Nil
     val regions = Seq.newBuilder[RegionT]
     val docOrderIds = Seq.newBuilder[String]
-    // pass-through: PcGts-level attrs (pcGtsId) + children (Metadata), and
-    // Page-level attrs (custom, orientation) + children (Border, PrintSpace)
-    val pcAttrs = extraAttrs(r, Set.empty)
+    // pass-through: PcGts-level attrs (pcGtsId, xmlns:xsi, xsi:schemaLocation)
+    // + children (Metadata), and Page-level attrs (custom, orientation) +
+    // children (Border, PrintSpace). Full parse only — the text-only
+    // extraction hot path skips capture the way it skips geometry decoding.
+    val pcAttrs = if (geom) nsDeclAttrs(r) ++ extraAttrs(r, Set.empty) else Nil
     var pageAttrs: Seq[AttrT] = Nil
     val pcKids = Seq.newBuilder[String]
     val pageKids = Seq.newBuilder[String]
@@ -442,7 +501,8 @@ object StaxPageParser {
               height = intAttr(r, "imageHeight", 0)
               val f = attr(r, "imageFilename")
               if (f != null) imageFilename = f
-              pageAttrs = extraAttrs(r, Set("imageFilename", "imageWidth", "imageHeight"))
+              if (geom)
+                pageAttrs = extraAttrs(r, Set("imageFilename", "imageWidth", "imageHeight"))
               depth += 1
             case "ReadingOrder" =>
               readingOrder = parseReadingOrder(r, ns)
@@ -458,9 +518,11 @@ object StaxPageParser {
                 if (g.id.nonEmpty) docOrderIds += g.id
                 regions += g
               }
-            case _ =>
-              val captured = captureElement(r, ns, _ => ())
-              if (depth == 1) pcKids += captured else pageKids += captured
+            case other =>
+              if (geom && Passthrough.contains(other)) {
+                val captured = captureElement(r, ns, _ => ())
+                if (depth == 1) pcKids += captured else pageKids += captured
+              } else depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>

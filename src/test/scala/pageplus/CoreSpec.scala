@@ -277,6 +277,48 @@ class NestedStructureSpec extends AnyFunSuite {
     assert(PageXmlWriter.write(d2) == written)
   }
 
+  test("a TextLine inside an UNKNOWN wrapper still extracts (descend, not capture)") {
+    // only whitelisted PAGE boilerplate is captured opaquely; arbitrary
+    // wrappers are walked like the reference's .//TextLine discovery,
+    // on both the full and the text-only parse
+    val xml =
+      s"""<PcGts xmlns="$ns"><Page imageWidth="10" imageHeight="10">
+         | <TextRegion id="r0">
+         |  <SomeWrapper level="1">
+         |   <TextLine id="l0"><TextEquiv><Unicode>hidden text</Unicode></TextEquiv></TextLine>
+         |  </SomeWrapper>
+         | </TextRegion>
+         |</Page></PcGts>""".stripMargin
+    for (d <- Seq(StaxPageParser.parse("u", xml.getBytes("UTF-8")),
+                  StaxPageParser.parseTextOnly("u", xml.getBytes("UTF-8")))) {
+      assert(d.regions.head.lines.map(_.id) == Seq("l0"))
+      assert(FullText.extract(d) == "hidden text")
+    }
+  }
+
+  test("xsi:schemaLocation keeps its prefix and xmlns:xsi declaration through the round trip") {
+    val xml =
+      s"""<PcGts xmlns="$ns" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"
+         |       xsi:schemaLocation="$ns http://example/pagecontent.xsd">
+         | <Page imageWidth="10" imageHeight="10" custom="a&#10;b">
+         |  <TextRegion id="r0">
+         |   <TextLine id="l0"><TextEquiv><Unicode>t</Unicode></TextEquiv></TextLine>
+         |  </TextRegion>
+         | </Page>
+         |</PcGts>""".stripMargin
+    val d1 = StaxPageParser.parse("u", xml.getBytes("UTF-8"))
+    val written = PageXmlWriter.write(d1)
+    assert(written.contains("xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\""))
+    assert(written.contains("xsi:schemaLocation="))
+    // raw newline in an attribute would be normalized to a space on re-parse;
+    // the writer must emit the character reference instead
+    assert(written.contains("custom=\"a&#10;b\""))
+    val d2 = StaxPageParser.parse("u", written.getBytes("UTF-8"))
+    assert(d2.extras == d1.extras)
+    assert(d2.extras.page.attrs == Seq(pageplus.model.AttrT("custom", "a\nb")))
+    assert(PageXmlWriter.write(d2) == written)
+  }
+
   test("extras-free documents serialize byte-identically to the pre-pass-through writer") {
     val d = StaxPageParser.parse("u",
       pageplus.data.SyntheticCorpus.clean(7).getBytes("UTF-8"))
