@@ -121,6 +121,24 @@ object SparkEntry {
           Pipeline.Extracted(d.url, pageplus.text.FullText.extract(re))
         }.toDF()
     }),
+    "xml_extras_roundtrip" -> ((s, dir) => {
+      // pass-through fidelity, oracle-checked: documents lifted WITH unmodeled
+      // XML (Metadata, TextStyle, custom attrs — deterministic functions of
+      // doc_id) go parse -> serialize -> reparse; the captured extras and the
+      // extracted text must both survive both hops bit-for-bit
+      import s.implicits._
+      Pipeline.parse(PagesFromDocuments.withExtras(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
+        .map { d =>
+          val xml = pageplus.xml.PageXmlWriter.write(d)
+          val re = pageplus.xml.StaxPageParser.parse(d.url, xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (re.url,
+            pageplus.text.FullText.extract(re),
+            re.extras.pcgts.children.mkString,
+            re.regions.head.extras.attrs.find(_.name == "custom").map(_.value).getOrElse(""),
+            re.regions.head.extras.children.mkString,
+            re.extras.page.attrs.find(_.name == "custom").map(_.value).getOrElse(""))
+        }.toDF("url", "extracted_text", "metadata_xml", "region_custom", "region_style", "page_custom")
+    }),
     "split_region" -> ((s, dir) => {
       import s.implicits._
       Pipeline.parse(PagesFromDocuments.twoColumn(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism)
@@ -724,6 +742,15 @@ object SparkEntry {
       """SELECT 'doc://' || doc_id AS url,
         |       array_to_string([array_to_string(words[i:i+7], ' ')
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "xml_extras_roundtrip" ->
+      """SELECT 'doc://'||doc_id AS url,
+        |  array_to_string([array_to_string(words[i:i+7], ' ')
+        |                   for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text,
+        |  '<Metadata><Creator>gen-'||(doc_id%7)||'</Creator></Metadata>' AS metadata_xml,
+        |  'structure {type:paragraph; idx:'||(doc_id%5)||'}' AS region_custom,
+        |  '<TextStyle fontSize="'||(doc_id%7)||'.5" bold="true"></TextStyle>' AS region_style,
+        |  'readingDirection {ltr} n:'||(doc_id%7) AS page_custom
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
     "fulltext_with_words" ->
       """SELECT 'doc://'||doc_id AS url,

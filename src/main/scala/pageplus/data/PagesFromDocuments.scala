@@ -247,6 +247,25 @@ object PagesFromDocuments {
     } else mutated
   }
 
+  /** Clean document decorated with deterministic UNMODELED XML (metadata,
+    * text style, custom attributes) — drives the oracle-checked pass-through
+    * round trip: every extra is a pure function of doc_id, already in the
+    * capture serializer's canonical form, so the DuckDB oracle recomputes the
+    * exact strings that must survive parse -> write -> parse. */
+  def extrasDoc(docId: Long, text: String): PageDoc = {
+    val base = cleanDoc(docId, text)
+    val k = docId % 7
+    val region = base.regions.head
+    val r2 = region.copy(extras = NodeExtras(
+      Seq(AttrT("custom", s"structure {type:paragraph; idx:${docId % 5}}")),
+      Seq(s"""<TextStyle fontSize="$k.5" bold="true"></TextStyle>""")))
+    base.copy(
+      regions = Seq(r2),
+      extras = DocExtras(
+        pcgts = NodeExtras(Nil, Seq(s"<Metadata><Creator>gen-$k</Creator></Metadata>")),
+        page = NodeExtras(Seq(AttrT("custom", s"readingDirection {ltr} n:$k")), Nil)))
+  }
+
   // ---- DataFrame lifters ----------------------------------------------------
 
   /** Works on both batch and streaming DataFrames (pure mapPartitions). */
@@ -275,4 +294,5 @@ object PagesFromDocuments {
   def twoColumn(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(twoColumnDoc)
   def hyphenated(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(hyphenatedDoc)
   def messy(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(messyDoc)
+  def withExtras(spark: SparkSession, sfDir: String): Dataset[PageRow] = lift(spark, sfDir)(extrasDoc)
 }
