@@ -489,6 +489,13 @@ object SparkEntry {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaFromDocuments(tp(s, dir, "documents"))).toDF()
     }),
+    "multimodal_dims" -> ((s, dir) => {
+      // REAL container-format decode (PNG IHDR / JPEG SOF marker walk / GIF
+      // LSD) over payloads carrying spec-conformant headers — the min-res /
+      // aspect-ratio gate a corpus pipeline runs before paying for pixels
+      graft.textops.Multimodal.decodeHeaders(
+        graft.textops.Multimodal.mediaWithHeaders(tp(s, dir, "documents"))).toDF()
+    }),
 
     // ---- dedup / similarity / ANN (every query below is fully oracle-checked;
     // ScalaTest adds recall/content properties on top) ----
@@ -1457,6 +1464,14 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       CAST(list_sum([ascii(c) for c in string_split(text,'')]) AS BIGINT) AS sum_bytes,
         |       CAST(list_max([ascii(c) for c in string_split(text,'')]) AS INT) AS max_byte
+        |FROM documents""".stripMargin,
+    // the payload headers are spec-conformant, so the decoded dimensions are
+    // the generator's arithmetic — the oracle recomputes them directly
+    "multimodal_dims" ->
+      """SELECT doc_id,
+        |       CASE doc_id%3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |       CAST(16 + doc_id%97 AS INT) AS width,
+        |       CAST(16 + doc_id%53 AS INT) AS height
         |FROM documents""".stripMargin
   )
 }

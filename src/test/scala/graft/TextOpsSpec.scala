@@ -260,6 +260,25 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(kmeansRecall >= 0.4, s"kmeans ivf recall $kmeansRecall")
   }
 
+  test("image header decode: real PNG/JPEG/GIF/BMP bytes, not just our generator") {
+    import textops.Multimodal
+    // canonical 1x1 transparent PNG (public, widely published byte sequence)
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(Multimodal.imageHeader(png1x1) == Some(("png", 1, 1)))
+    // hand-built JPEG with APP0 before SOF0 (marker walk must skip segments)
+    val jpeg = Multimodal.imagePayload(1L, "x") // docId%3==1 -> jpeg, 16+1 x 16+1
+    assert(Multimodal.imageHeader(jpeg) == Some(("jpeg", 17, 17)))
+    val gif = Multimodal.imagePayload(2L, "x")
+    assert(Multimodal.imageHeader(gif) == Some(("gif", 18, 18)))
+    val png = Multimodal.imagePayload(0L, "x")
+    assert(Multimodal.imageHeader(png) == Some(("png", 16, 16)))
+    // truncated / junk payloads degrade to None, never throw
+    assert(Multimodal.imageHeader(png1x1.take(10)) == None)
+    assert(Multimodal.imageHeader("not an image".getBytes) == None)
+    assert(Multimodal.imageHeader(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)) == None)
+  }
+
   test("multimodal resize and frame-sample keep the schema shape deterministic") {
     import textops.Multimodal
     val media = Multimodal.mediaFromDocuments(spark.read.parquet(s"$sf/documents.parquet"))
