@@ -499,6 +499,13 @@ object SparkEntry {
 
     // ---- dedup / similarity / ANN (every query below is fully oracle-checked;
     // ScalaTest adds recall/content properties on top) ----
+    "decontaminate" -> ((s, dir) => {
+      // 13-gram eval-set overlap (GPT-3/PaLM decontamination): eval set =
+      // every doc_id % 41 == 0 document's first 13-gram, broadcast; one
+      // map-side pass over the corpus, zero shuffle
+      val docs = tp(s, dir, "documents")
+      graft.textops.Curate.contamination(docs, docs.filter(col("doc_id") % 41 === 0))
+    }),
     "minhash_neardup" -> ((s, dir) => {
       graft.textops.Dedup.minhashPairs(
         graft.textops.Dedup.planted(tp(s, dir, "documents")), threshold = 0.8)
@@ -1465,6 +1472,18 @@ object SparkEntry {
         |       CAST(list_sum([ascii(c) for c in string_split(text,'')]) AS BIGINT) AS sum_bytes,
         |       CAST(list_max([ascii(c) for c in string_split(text,'')]) AS INT) AS max_byte
         |FROM documents""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |     g AS (SELECT doc_id, CASE WHEN len(ws) >= 13
+        |                  THEN [array_to_string(ws[i:i+12],' ') for i in range(1, len(ws)-11)]
+        |                  ELSE [] END AS grams FROM w),
+        |     bench AS (SELECT DISTINCT grams[1] AS gram FROM g WHERE doc_id%41=0 AND len(grams)>0),
+        |     x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |     m AS (SELECT x.doc_id, count(*) AS nc FROM x JOIN bench USING (gram) GROUP BY x.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
+        |       coalesce(m.nc, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id""".stripMargin,
     // the payload headers are spec-conformant, so the decoded dimensions are
     // the generator's arithmetic — the oracle recomputes them directly
     "multimodal_dims" ->

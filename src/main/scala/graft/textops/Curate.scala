@@ -80,4 +80,46 @@ object Curate {
           col("word_chars") >= lit(minMean) * col("n_words") &&
           col("word_chars") <= lit(maxMean) * col("n_words")).cast("long"))
   }
+
+  /** Benchmark decontamination (the GPT-3/PaLM-style 13-gram overlap check):
+    * flag training documents sharing any 13-word-gram with the evaluation
+    * set, BEFORE the eval set leaks into training. The bench-gram set is
+    * BROADCAST (eval sets are bounded — ~10^6-10^7 grams; production would
+    * broadcast a Bloom filter over the same hashes), so the check is one
+    * map-side pass with ZERO shuffle over the corpus — the only design that
+    * survives 10^12 documents.
+    *
+    * `benchDocs` contributes each qualifying document's FIRST 13-gram (the
+    * eval prompt head); membership is tested on the exact gram string here
+    * (at production scale the broadcast carries xxhash64 of the gram; at
+    * eval-set sizes a 64-bit collision is ~10^-5 per corpus and only widens
+    * the flag conservatively). Single-space word split, matching the corpus
+    * contract the other curation ops use. */
+  def contamination(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def words(t: String): Array[String] =
+      if (t == null || t.isEmpty) Array.empty else t.split(" ", -1)
+    val bench: Set[String] = benchDocs.select("text").as[String]
+      .flatMap { t =>
+        val ws = words(t)
+        if (ws.length >= n) Some(ws.take(n).mkString(" ")) else None
+      }
+      .distinct().collect().toSet // bounded: the EVAL set, not the corpus
+    val bc = spark.sparkContext.broadcast(bench)
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val ws = words(t)
+        val total = math.max(ws.length - n + 1, 0)
+        var hits = 0L
+        var i = 0
+        while (i < total) {
+          // sliding join is O(words * n) chars; documents are paragraph grain
+          if (bc.value.contains(ws.slice(i, i + n).mkString(" "))) hits += 1
+          i += 1
+        }
+        (id, total.toLong, hits, hits > 0)
+      }
+      .toDF("doc_id", "n_grams", "n_contaminated", "contaminated")
+  }
 }

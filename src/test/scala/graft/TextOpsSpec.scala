@@ -260,6 +260,24 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(kmeansRecall >= 0.4, s"kmeans ivf recall $kmeansRecall")
   }
 
+  test("decontamination flags cross-document 13-gram overlap, not just eval-set copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evalGram = (1 to 13).map("e" + _).mkString(" ")
+    val docs = Seq(
+      (1L, evalGram + " " + (1 to 10).map("tail" + _).mkString(" ")), // the eval doc
+      (2L, (1 to 5).map("pre" + _).mkString(" ") + " " + evalGram),   // leaks the gram mid-text
+      (3L, (1 to 30).map("clean" + _).mkString(" ")),                 // clean
+      (4L, (1 to 8).map("short" + _).mkString(" "))                   // < 13 words: 0 grams
+    ).toDF("doc_id", "text")
+    val got = textops.Curate.contamination(docs, docs.filter(col("doc_id") === 1))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((11L, 1L, true)))  // 23 words -> 11 grams, self-hit on gram 1
+    assert(got(2L) == ((6L, 1L, true)))   // 18 words -> 6 grams, hit at offset 5
+    assert(got(3L) == ((18L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, false)))
+  }
+
   test("image header decode: real PNG/JPEG/GIF/BMP bytes, not just our generator") {
     import textops.Multimodal
     // canonical 1x1 transparent PNG (public, widely published byte sequence)
