@@ -499,6 +499,19 @@ object SparkEntry {
 
     // ---- dedup / similarity / ANN (every query below is fully oracle-checked;
     // ScalaTest adds recall/content properties on top) ----
+    "url_normalize" -> ((s, dir) => {
+      // crawl-url canonicalization (case folding, www./default-port strip,
+      // fragment drop, tracking-param removal) over planted messy urls —
+      // the canonical key URL-exact dedup and host blocklists run on
+      graft.webtext.UrlOps.withNormalized(
+        graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents")))
+        .select("doc_id", "url_norm", "host")
+    }),
+    "host_stats" -> ((s, dir) => {
+      // host-grain rollup on the canonical host: docs + content chars per host
+      graft.webtext.UrlOps.hostStats(
+        graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents")), "text")
+    }),
     "decontaminate" -> ((s, dir) => {
       // 13-gram eval-set overlap (GPT-3/PaLM decontamination): eval set =
       // every doc_id % 41 == 0 document's first 13-gram, broadcast; one
@@ -1472,6 +1485,16 @@ object SparkEntry {
         |       CAST(list_sum([ascii(c) for c in string_split(text,'')]) AS BIGINT) AS sum_bytes,
         |       CAST(list_max([ascii(c) for c in string_split(text,'')]) AS INT) AS max_byte
         |FROM documents""".stripMargin,
+    "url_normalize" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id%2=0 THEN 'http' ELSE 'https' END)||'://site'||(doc_id%7)||'.example.com/Path/p'||(doc_id%11)||
+        |  (CASE WHEN doc_id%5 IN (0,1) THEN '?q='||(doc_id%13) ELSE '' END) AS url_norm,
+        |  'site'||(doc_id%7)||'.example.com' AS host
+        |FROM documents""".stripMargin,
+    "host_stats" ->
+      """SELECT 'site'||(doc_id%7)||'.example.com' AS host,
+        |       count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |     g AS (SELECT doc_id, CASE WHEN len(ws) >= 13

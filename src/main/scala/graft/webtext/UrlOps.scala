@@ -1,0 +1,119 @@
+package graft.webtext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + host-grain aggregation — the first dedup/quality
+  * axis of a Common-Crawl pipeline (URL-exact dedup, host blocklists,
+  * per-host quality priors) runs on CANONICAL urls, not raw crawl strings.
+  *
+  * [[normalize]] is a hand-rolled splitter, not `java.net.URI`: crawl URLs
+  * routinely violate RFC 3986 and a parser that throws (or worse, partially
+  * normalizes) on 10^12 rows is a correctness hazard — unparseable inputs
+  * pass through unchanged, which keeps the op total. Rules (the common
+  * crawler canonicalization core):
+  *  - scheme and host lowercased; leading `www.` stripped (SURT-style
+  *    host folding; documented as a dedup-canonical choice, not a claim the
+  *    two hosts always serve identical content)
+  *  - default ports stripped (`:80` for http, `:443` for https)
+  *  - fragment dropped
+  *  - tracking parameters removed (`utm_*`, `gclid`, `fbclid`), remaining
+  *    query-param order preserved; a now-empty query drops its `?`
+  *  - path case preserved (paths are case-sensitive)
+  */
+object UrlOps {
+
+  private val TrackingExact = Set("gclid", "fbclid")
+
+  def normalize(url: String): String = {
+    if (url == null) return null
+    val si = url.indexOf("://")
+    if (si <= 0) return url // no scheme: pass through untouched
+    val scheme = url.substring(0, si).toLowerCase
+    val rest = url.substring(si + 3)
+    // authority ends at the first of / ? #
+    var ai = rest.length
+    var i = 0
+    while (i < ai) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') ai = i else i += 1
+    }
+    var hostPort = rest.substring(0, ai).toLowerCase
+    if (hostPort.startsWith("www.")) hostPort = hostPort.substring(4)
+    val defaultPort = if (scheme == "http") ":80" else if (scheme == "https") ":443" else ""
+    if (defaultPort.nonEmpty && hostPort.endsWith(defaultPort))
+      hostPort = hostPort.substring(0, hostPort.length - defaultPort.length)
+    var tail = rest.substring(ai)
+    val hi = tail.indexOf('#')
+    if (hi >= 0) tail = tail.substring(0, hi) // drop fragment
+    val qi = tail.indexOf('?')
+    val (path, query) = if (qi >= 0) (tail.substring(0, qi), tail.substring(qi + 1)) else (tail, null)
+    val cleanQuery =
+      if (query == null) null
+      else {
+        val kept = query.split("&", -1).filter { p =>
+          val name = p.takeWhile(_ != '=').toLowerCase
+          !(name.startsWith("utm_") || TrackingExact.contains(name))
+        }
+        if (kept.isEmpty) null else kept.mkString("&")
+      }
+    scheme + "://" + hostPort + path + (if (cleanQuery == null) "" else "?" + cleanQuery)
+  }
+
+  /** Host of a NORMALIZED url ("" when there is no scheme://host shape). */
+  def hostOf(normalizedUrl: String): String = {
+    if (normalizedUrl == null) return ""
+    val si = normalizedUrl.indexOf("://")
+    if (si <= 0) return ""
+    val rest = normalizedUrl.substring(si + 3)
+    val end = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+    val hp = if (end < 0) rest else rest.substring(0, end)
+    val pi = hp.lastIndexOf(':')
+    if (pi >= 0) hp.substring(0, pi) else hp
+  }
+
+  /** pages/docs with a `url` column -> (.., url_norm, host). Map-side. */
+  def withNormalized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val normUdf = udf((u: String) => normalize(u))
+    val hostUdf = udf((u: String) => hostOf(normalize(u)))
+    // scalar normalization is branchy string slicing — a UDF is appropriate
+    // here (no regex-builtin composition expresses param filtering + port
+    // stripping without multiple passes); it stays map-side and codegen wraps
+    // the call, so the plan shape (zero shuffle) is unchanged
+    df.withColumn("url_norm", normUdf(col("url")))
+      .withColumn("host", hostUdf(col("url")))
+  }
+
+  /** Deterministically plant MESSY crawl urls (the driver corpus has clean
+    * synthetic ones): case-mangled scheme/host, `www.`, default ports,
+    * tracking params in several positions, fragments — every branch of
+    * [[normalize]], all pure doc_id arithmetic so the oracle recomputes the
+    * canonical result directly. */
+  def plantMessyUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      concat(
+        when(col("doc_id") % 2 === 0, "HTTP").otherwise("HTTPS"), lit("://"),
+        lit("WWW.Site"), (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0,
+          when(col("doc_id") % 2 === 0, ":80").otherwise(":443")).otherwise(lit("")),
+        lit("/Path/p"), (col("doc_id") % 11).cast("string"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?utm_source=x&q="), (col("doc_id") % 13).cast("string")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("?q="), (col("doc_id") % 13).cast("string"), lit("&utm_campaign=y")))
+          .when(col("doc_id") % 5 === 2, lit("?utm_medium=z"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, "#Frag").otherwise(lit(""))
+      ).as("url"))
+
+  /** Host-grain rollup: docs and content bytes per canonical host — the
+    * shape host blocklists and per-host quality priors consume. One hash
+    * aggregation; host cardinality is ~10^7 at web scale, far below the
+    * corpus, so partial aggregation collapses map-side. */
+  def hostStats(df: DataFrame, contentCol: String): DataFrame =
+    withNormalized(df)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(contentCol)).cast("long")).as("total_chars"))
+}

@@ -203,3 +203,39 @@ class WebTextSparkSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 }
+
+class UrlOpsSpec extends AnyFunSuite {
+  import graft.webtext.UrlOps.{normalize, hostOf}
+
+  test("normalize: case, www, default ports, fragments, tracking params") {
+    assert(normalize("HTTP://WWW.Example.COM:80/Path/A?utm_source=x&q=1#frag") ==
+      "http://example.com/Path/A?q=1")
+    assert(normalize("https://www.site.org:443/") == "https://site.org/")
+    // non-default port kept; path case kept; param order preserved
+    assert(normalize("https://Site.org:8443/P?b=2&utm_campaign=c&a=1") ==
+      "https://site.org:8443/P?b=2&a=1")
+    // all params tracking -> '?' dropped entirely
+    assert(normalize("http://a.com/x?utm_medium=z") == "http://a.com/x")
+    assert(normalize("http://a.com/x?gclid=123") == "http://a.com/x")
+    // bare authority, query without path, fragment only
+    assert(normalize("http://A.com?q=1") == "http://a.com?q=1")
+    assert(normalize("http://A.com#f") == "http://a.com")
+    // utm must match the NAME prefix, not a value or substring
+    assert(normalize("http://a.com/x?q=utm_source&myutm_x=1") ==
+      "http://a.com/x?q=utm_source&myutm_x=1")
+  }
+
+  test("normalize is total: schemeless/garbage/null pass through, never throw") {
+    assert(normalize("doc://123") == "doc://123") // non-http scheme: port/www rules no-op
+    assert(normalize("not a url") == "not a url")
+    assert(normalize("") == "")
+    assert(normalize(null) == null)
+    assert(normalize("://weird") == "://weird")
+  }
+
+  test("hostOf on normalized urls") {
+    assert(hostOf("http://example.com/Path") == "example.com")
+    assert(hostOf("https://site.org:8443/x") == "site.org")
+    assert(hostOf("no scheme") == "")
+  }
+}
