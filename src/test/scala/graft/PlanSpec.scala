@@ -205,6 +205,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("decontaminate and url_normalize stay map-side: zero shuffles beyond the input spread") {
+    for (name <- Seq("decontaminate", "url_normalize")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
+      // the only exchange allowed is the explicit input repartition (tp);
+      // the op itself must add none — at 10^12 docs any per-op shuffle is
+      // the difference between a map pass and a corpus-wide sort
+      assert("Exchange".r.findAllIn(plan).size <= 1,
+        s"$name must not shuffle beyond the input spread:\n$plan")
+    }
+    // host_stats adds exactly the one hash-agg exchange on host
+    val plan = executedPlan(SparkEntry.queries("host_stats")(spark, sf))
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"host_stats: input spread + one agg exchange only:\n$plan")
+    assert(plan.contains("HashAggregate"), s"host_stats must partial-aggregate:\n$plan")
+  }
+
   test("ann lsh/ivf: query side broadcast, no cartesian product") {
     for (name <- Seq("ann_lsh", "ann_ivf")) {
       val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
