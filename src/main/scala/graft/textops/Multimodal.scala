@@ -55,12 +55,16 @@ object Multimodal {
              (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       Some(("gif", le16(6), le16(8)))
     else if (b.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
-      Some(("bmp", le32(18), le32(22)))
+      // negative biHeight only encodes top-down row order on valid BMPs
+      Some(("bmp", le32(18), math.abs(le32(22))))
     else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk marker segments to the first frame header (SOFn)
       var i = 2
       while (i + 3 < b.length) {
         if (u8(i) != 0xff) return None
+        // spec B.1.1.2: any number of 0xff FILL bytes may precede a marker id
+        while (i + 1 < b.length && u8(i + 1) == 0xff) i += 1
+        if (i + 3 >= b.length) return None
         val m = u8(i + 1)
         if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
         else {
@@ -95,9 +99,12 @@ object Multimodal {
     * width = 16 + doc_id % 97, height = 16 + doc_id % 53, followed by
     * text-derived body bytes. Any standards-based header reader recovers the
     * same dimensions — which is what makes [[decodeHeaders]] oracle-checkable. */
+  /** The single source of the generator's dimensions (the SQL oracle is the
+    * only other copy, and that one is required by the gate design). */
+  def imageDims(docId: Long): (Int, Int) = ((16 + docId % 97).toInt, (16 + docId % 53).toInt)
+
   def imagePayload(docId: Long, text: String): Array[Byte] = {
-    val w = (16 + docId % 97).toInt
-    val h = (16 + docId % 53).toInt
+    val (w, h) = imageDims(docId)
     val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(64)
     val buf = new java.io.ByteArrayOutputStream(128)
     def be16(v: Int): Unit = { buf.write((v >> 8) & 0xff); buf.write(v & 0xff) }
@@ -134,8 +141,9 @@ object Multimodal {
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)].map { case (id, t) =>
       val bytes = imagePayload(id, if (t == null) "" else t)
+      val (w, h) = imageDims(id)
       MediaRow(id, Seq("png", "jpeg", "gif")((id % 3).toInt), bytes,
-        meta_width = (16 + id % 97).toInt, meta_height = (16 + id % 53).toInt)
+        meta_width = w, meta_height = h)
     }
   }
 

@@ -25,6 +25,20 @@ object UrlOps {
 
   private val TrackingExact = Set("gclid", "fbclid")
 
+  /** Split an authority into (userinfo-with-@ or "", hostport). Userinfo is
+    * case-sensitive and preserved verbatim; folding rules act on hostport. */
+  private def splitUserinfo(authority: String): (String, String) = {
+    val at = authority.lastIndexOf('@')
+    if (at < 0) ("", authority) else (authority.substring(0, at + 1), authority.substring(at + 1))
+  }
+
+  /** Port separator of a hostport, IPv6-bracket aware: the colon counts only
+    * AFTER the closing `]` of a literal address. -1 when there is no port. */
+  private def portIndex(hostPort: String): Int = {
+    val from = if (hostPort.startsWith("[")) hostPort.indexOf(']') else 0
+    if (from < 0) -1 else hostPort.indexOf(':', math.max(from, 0) + (if (hostPort.startsWith("[")) 1 else 0))
+  }
+
   def normalize(url: String): String = {
     if (url == null) return null
     val si = url.indexOf("://")
@@ -38,10 +52,12 @@ object UrlOps {
       val c = rest.charAt(i)
       if (c == '/' || c == '?' || c == '#') ai = i else i += 1
     }
-    var hostPort = rest.substring(0, ai).toLowerCase
+    val (userinfo, rawHostPort) = splitUserinfo(rest.substring(0, ai))
+    var hostPort = rawHostPort.toLowerCase
     if (hostPort.startsWith("www.")) hostPort = hostPort.substring(4)
     val defaultPort = if (scheme == "http") ":80" else if (scheme == "https") ":443" else ""
-    if (defaultPort.nonEmpty && hostPort.endsWith(defaultPort))
+    if (defaultPort.nonEmpty && hostPort.endsWith(defaultPort) &&
+        portIndex(hostPort) == hostPort.length - defaultPort.length)
       hostPort = hostPort.substring(0, hostPort.length - defaultPort.length)
     var tail = rest.substring(ai)
     val hi = tail.indexOf('#')
@@ -51,38 +67,44 @@ object UrlOps {
     val cleanQuery =
       if (query == null) null
       else {
+        // empty segments ('?', '?&') are dropped too, so a query emptied by
+        // the filters loses its '?' — URLs differing only by a bare '?'
+        // canonicalize together
         val kept = query.split("&", -1).filter { p =>
           val name = p.takeWhile(_ != '=').toLowerCase
-          !(name.startsWith("utm_") || TrackingExact.contains(name))
+          p.nonEmpty && !(name.startsWith("utm_") || TrackingExact.contains(name))
         }
         if (kept.isEmpty) null else kept.mkString("&")
       }
-    scheme + "://" + hostPort + path + (if (cleanQuery == null) "" else "?" + cleanQuery)
+    scheme + "://" + userinfo + hostPort + path + (if (cleanQuery == null) "" else "?" + cleanQuery)
   }
 
-  /** Host of a NORMALIZED url ("" when there is no scheme://host shape). */
+  /** Host of a NORMALIZED url ("" when there is no scheme://host shape):
+    * userinfo stripped, IPv6 bracket literals kept intact (minus the port). */
   def hostOf(normalizedUrl: String): String = {
     if (normalizedUrl == null) return ""
     val si = normalizedUrl.indexOf("://")
     if (si <= 0) return ""
     val rest = normalizedUrl.substring(si + 3)
     val end = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
-    val hp = if (end < 0) rest else rest.substring(0, end)
-    val pi = hp.lastIndexOf(':')
+    val hp = splitUserinfo(if (end < 0) rest else rest.substring(0, end))._2
+    val pi = portIndex(hp)
     if (pi >= 0) hp.substring(0, pi) else hp
   }
 
-  /** pages/docs with a `url` column -> (.., url_norm, host). Map-side. */
+  /** pages/docs with a `url` column -> (.., url_norm, host). Map-side; ONE
+    * normalization per row (a single struct-returning UDF — two black-box
+    * UDFs on the same input get no common-subexpression elimination). */
   def withNormalized(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val normUdf = udf((u: String) => normalize(u))
-    val hostUdf = udf((u: String) => hostOf(normalize(u)))
+    val normHost = udf((u: String) => { val n = normalize(u); (n, hostOf(n)) })
     // scalar normalization is branchy string slicing — a UDF is appropriate
     // here (no regex-builtin composition expresses param filtering + port
-    // stripping without multiple passes); it stays map-side and codegen wraps
-    // the call, so the plan shape (zero shuffle) is unchanged
-    df.withColumn("url_norm", normUdf(col("url")))
-      .withColumn("host", hostUdf(col("url")))
+    // stripping without multiple passes); it stays map-side, so the plan
+    // shape (zero shuffle) is unchanged
+    df.withColumn("_nh", normHost(col("url")))
+      .withColumn("url_norm", col("_nh._1"))
+      .withColumn("host", col("_nh._2"))
+      .drop("_nh")
   }
 
   /** Deterministically plant MESSY crawl urls (the driver corpus has clean

@@ -295,6 +295,17 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(Multimodal.imageHeader(png1x1.take(10)) == None)
     assert(Multimodal.imageHeader("not an image".getBytes) == None)
     assert(Multimodal.imageHeader(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)) == None)
+    // JPEG fill bytes (spec B.1.1.2): extra 0xFF padding before a marker id
+    val jpegRaw = Multimodal.imagePayload(1L, "x")
+    val padded = jpegRaw.take(2) ++ Array.fill(3)(0xff.toByte) ++ jpegRaw.drop(3)
+    assert(padded(2) == 0xff.toByte && Multimodal.imageHeader(padded) == Some(("jpeg", 17, 17)))
+    // top-down BMP: negative biHeight is row order, not a negative dimension
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x80.toByte; bmp(19) = 0x07 // width 1920 LE
+    val negH = -1080
+    for (k <- 0 until 4) bmp(22 + k) = ((negH >> (8 * k)) & 0xff).toByte
+    assert(Multimodal.imageHeader(bmp) == Some(("bmp", 1920, 1080)))
   }
 
   test("multimodal resize and frame-sample keep the schema shape deterministic") {

@@ -225,6 +225,20 @@ class UrlOpsSpec extends AnyFunSuite {
       "http://a.com/x?q=utm_source&myutm_x=1")
   }
 
+  test("normalize + hostOf handle IPv6 literals, userinfo, and bare '?'") {
+    // IPv6: the bracket literal is the host; port colon only counts after ']'
+    assert(normalize("http://[2001:db8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(normalize("http://[2001:db8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+    assert(hostOf("http://[2001:db8::1]:8080/x") == "[2001:db8::1]")
+    assert(hostOf("http://[2001:db8::1]/x") == "[2001:db8::1]")
+    // userinfo: preserved verbatim (case-sensitive), folding acts on the host
+    assert(normalize("http://User:Pw@WWW.Example.COM:80/x") == "http://User:Pw@example.com/x")
+    assert(hostOf("http://User:Pw@example.com/x") == "example.com")
+    // a query emptied by filtering (or bare '?') loses its '?'
+    assert(normalize("http://a.com/x?") == "http://a.com/x")
+    assert(normalize("http://a.com/x?&") == "http://a.com/x")
+  }
+
   test("normalize is total: schemeless/garbage/null pass through, never throw") {
     assert(normalize("doc://123") == "doc://123") // non-http scheme: port/www rules no-op
     assert(normalize("not a url") == "not a url")
