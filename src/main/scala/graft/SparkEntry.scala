@@ -507,6 +507,15 @@ object SparkEntry {
         graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents")))
         .select("doc_id", "url_norm", "host")
     }),
+    "url_normalize_sql_expr" -> ((s, dir) => {
+      // codegen Catalyst-Expression twin of url_normalize (same static
+      // methods, SQL-registered) — no ScalaUDF boundary, WholeStageCodegen
+      graft.expr.UrlNormalizeExpr.register(s)
+      graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents"))
+        .createOrReplaceTempView("graft_urls_tmp")
+      s.sql("""SELECT doc_id, url_normalize(url) AS url_norm, url_host(url) AS host
+              |FROM graft_urls_tmp""".stripMargin)
+    }),
     "host_stats" -> ((s, dir) => {
       // host-grain rollup on the canonical host: docs + content chars per host
       graft.webtext.UrlOps.hostStats(
@@ -1486,6 +1495,12 @@ object SparkEntry {
         |       CAST(list_max([ascii(c) for c in string_split(text,'')]) AS INT) AS max_byte
         |FROM documents""".stripMargin,
     "url_normalize" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id%2=0 THEN 'http' ELSE 'https' END)||'://site'||(doc_id%7)||'.example.com/Path/p'||(doc_id%11)||
+        |  (CASE WHEN doc_id%5 IN (0,1) THEN '?q='||(doc_id%13) ELSE '' END) AS url_norm,
+        |  'site'||(doc_id%7)||'.example.com' AS host
+        |FROM documents""".stripMargin,
+    "url_normalize_sql_expr" ->
       """SELECT doc_id,
         |  (CASE WHEN doc_id%2=0 THEN 'http' ELSE 'https' END)||'://site'||(doc_id%7)||'.example.com/Path/p'||(doc_id%11)||
         |  (CASE WHEN doc_id%5 IN (0,1) THEN '?q='||(doc_id%13) ELSE '' END) AS url_norm,

@@ -205,6 +205,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("url_normalize Expression equals the UDF pipeline and stays in WholeStageCodegen") {
+    val udfSide = SparkEntry.queries("url_normalize")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val exprDf = SparkEntry.queries("url_normalize_sql_expr")(spark, sf)
+    val exprSide = exprDf.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(exprSide == udfSide && exprSide.nonEmpty)
+    // the '*(n)' markers denote WholeStageCodegen stages in the final plan
+    val plan = executedPlan(exprDf)
+    assert("\\*\\(\\d+\\) Project \\[.*url_normalize".r.findFirstIn(plan).isDefined,
+      s"expr path must stay in a codegen'd Project:\n$plan")
+    assert(!plan.contains("DeserializeToObject"),
+      s"no object-mode boundary expected:\n$plan")
+  }
+
   test("decontaminate and url_normalize stay map-side: zero shuffles beyond the input spread") {
     for (name <- Seq("decontaminate", "url_normalize")) {
       val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
