@@ -650,6 +650,11 @@ object SparkEntry {
       // same transforms under Structured Streaming; must equal the batch answer
       pageplus.streaming.StreamingExtract.extractOnce(s, dir)
     }),
+    "stream_dedup_exact" -> ((s, dir) => {
+      // exact dedup as custom streaming state on the narrow text key; must
+      // equal the batch dedup_exact answer
+      pageplus.streaming.StreamingExtract.dedupExactOnce(s, dir)
+    }),
     "stream_html_content" -> ((s, dir) => {
       // the HTML boilerplate-strip path under Structured Streaming; must
       // equal the batch html_main_content answer
@@ -1050,6 +1055,9 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "stream_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "text_quality" ->

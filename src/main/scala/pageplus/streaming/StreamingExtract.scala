@@ -109,6 +109,43 @@ object StreamingExtract {
         col("last.n_events").as("n_events"))
   }
 
+  /** Streaming exact dedup: one representative (min doc_id) + copy count per
+    * distinct text, as custom state keyed by the NARROW (xxhash64, length)
+    * text key — the same key [[graft.textops.Dedup.textGroups]] uses, so the
+    * full document text never becomes shuffle key or state payload (state is
+    * 16 bytes/distinct text; collision odds as documented there). Under the
+    * AvailableNow one-shot drain this equals the batch `dedup_exact` answer;
+    * across micro-batches the state keeps absorbing new members and re-emits
+    * the group's current (keep, count), so the LAST update per key wins —
+    * n_copies grows monotonically, which makes max(struct(n, ...)) the final
+    * state, same reduction the sessionize sink uses. */
+  def dedupExactOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val docs = streamTable(spark, sfDir, "documents.parquet")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"),
+        length(col("text")).as("tlen"))
+      .as[(Long, Long, Int)]
+    val groups = docs.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[(Long, Long), (Long, Int, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Long, Long)]) =>
+          var (keep, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          it.foreach { case (id, _, _) =>
+            if (id < keep) keep = id
+            n += 1
+          }
+          state.update((keep, n))
+          Iterator((key._1, key._2, keep, n))
+      }
+      .toDF("tkey", "tlen", "keep_id", "n_copies")
+    drainToTable(groups, "stream_dedup", "update")
+      .groupBy("tkey", "tlen")
+      .agg(max(struct(col("n_copies"), col("keep_id"))).as("last"))
+      .select(col("last.keep_id").as("keep_id"), col("last.n_copies").as("n_copies"))
+  }
+
   /** Streaming windowed aggregation over the events table: event-time watermark
     * + 1-hour tumbling windows (the Structured Streaming shape the engine
     * offers for incremental corpora metrics). Drained synchronously; complete

@@ -114,6 +114,14 @@ class ScalePlumbingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming exact dedup equals the batch groupBy answer") {
+    val batch = SparkEntry.queries("dedup_exact")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stream = SparkEntry.queries("stream_dedup_exact")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("stateful streaming sessionization equals the batch window-function answer") {
     val batch = SparkEntry.queries("q11_sessionize")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
