@@ -513,7 +513,10 @@ object SparkEntry {
       graft.expr.UrlNormalizeExpr.register(s)
       graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents"))
         .createOrReplaceTempView("graft_urls_tmp")
-      s.sql("""SELECT doc_id, url_normalize(url) AS url_norm, url_host(url) AS host
+      // url_host takes the NORMALIZED url: the repeated url_normalize(url)
+      // subtree is evaluated once by codegen subexpression elimination
+      s.sql("""SELECT doc_id, url_normalize(url) AS url_norm,
+              |       url_host(url_normalize(url)) AS host
               |FROM graft_urls_tmp""".stripMargin)
     }),
     "host_stats" -> ((s, dir) => {

@@ -37,7 +37,12 @@ case class UrlNormalizeExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_normalize"
 }
 
-/** Canonical host of a RAW url (normalize then hostOf, one pass). */
+/** Host of an already-NORMALIZED url ([[UrlOps.hostOf]]'s contract). Taking
+  * normalized input (vs re-normalizing a raw url internally) means
+  * `url_host(url_normalize(u))` alongside `url_normalize(u)` shares the
+  * repeated `url_normalize(u)` SUBTREE, which whole-stage codegen's
+  * subexpression elimination evaluates once — a raw-url variant would hide
+  * the normalization inside a black box and run it twice per row. */
 case class UrlHostExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -47,12 +52,12 @@ case class UrlHostExpr(child: Expression) extends UnaryExpression {
       s"url_host expects STRING, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(UrlNormalizeExpr.host(v.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(UrlOps.hostOf(v.asInstanceOf[UTF8String].toString))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.expr.UrlNormalizeExpr.host($c.toString()))")
+        s"graft.webtext.UrlOps.hostOf($c.toString()))")
 
   override protected def withNewChildInternal(newChild: Expression): UrlHostExpr =
     copy(child = newChild)
@@ -61,9 +66,6 @@ case class UrlHostExpr(child: Expression) extends UnaryExpression {
 }
 
 object UrlNormalizeExpr {
-
-  /** Static entry shared by interpreted eval and generated code. */
-  def host(url: String): String = UrlOps.hostOf(UrlOps.normalize(url))
 
   def urlNormalize(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(

@@ -54,9 +54,14 @@ object Multimodal {
     else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
              (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       Some(("gif", le16(6), le16(8)))
-    else if (b.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
-      // negative biHeight only encodes top-down row order on valid BMPs
-      Some(("bmp", le32(18), math.abs(le32(22))))
+    else if (b.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      // negative biHeight only encodes top-down row order on valid BMPs;
+      // abs via Long so biHeight = Int.MinValue can't stay negative, and
+      // non-positive dims are rejected as corrupt rather than passed on
+      val w = le32(18)
+      val h = math.abs(le32(22).toLong)
+      if (w <= 0 || h <= 0 || h > Int.MaxValue) None else Some(("bmp", w, h.toInt))
+    }
     else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk marker segments to the first frame header (SOFn)
       var i = 2
@@ -94,15 +99,15 @@ object Multimodal {
     }
   }
 
-  /** Deterministic VALID image payload for doc_id: a spec-conformant PNG /
-    * JPEG / GIF header (format rotates on doc_id % 3) carrying
-    * width = 16 + doc_id % 97, height = 16 + doc_id % 53, followed by
-    * text-derived body bytes. Any standards-based header reader recovers the
-    * same dimensions — which is what makes [[decodeHeaders]] oracle-checkable. */
   /** The single source of the generator's dimensions (the SQL oracle is the
     * only other copy, and that one is required by the gate design). */
   def imageDims(docId: Long): (Int, Int) = ((16 + docId % 97).toInt, (16 + docId % 53).toInt)
 
+  /** Deterministic VALID image payload for doc_id: a spec-conformant PNG /
+    * JPEG / GIF header (format rotates on doc_id % 3) carrying [[imageDims]],
+    * followed by text-derived body bytes. Any standards-based header reader
+    * recovers the same dimensions — which is what makes [[decodeHeaders]]
+    * oracle-checkable. */
   def imagePayload(docId: Long, text: String): Array[Byte] = {
     val (w, h) = imageDims(docId)
     val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(64)

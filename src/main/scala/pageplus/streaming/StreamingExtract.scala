@@ -29,6 +29,17 @@ object StreamingExtract {
       .parquet(sfDir)
   }
 
+  /** Update-mode memory sinks APPEND one row per key per micro-batch (no
+    * upsert); keep each key's LAST update by maximizing a monotone column
+    * (struct comparison: `orderCol` first, remaining payload rides along). */
+  private def lastUpdatePerKey(df: DataFrame, keyCols: Seq[String],
+                               orderCol: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((orderCol +: payloadCols).map(col): _*)).as("last"))
+      .select(keyCols.map(col) ++ (orderCol +: payloadCols).map(c => col(s"last.$c").as(c)): _*)
+  }
+
   /** Drain a streaming frame synchronously into a memory sink; returns the
     * result table. AvailableNow processes everything currently present. */
   private def drainToTable(df: DataFrame, namePrefix: String, outputMode: String): DataFrame = {
@@ -98,15 +109,11 @@ object StreamingExtract {
           Iterator((user, ns, ne))
       }
       .toDF("user_id", "n_sessions", "n_events")
-    // the memory sink in update mode APPENDS one row per user per micro-batch
-    // (no upsert); keep each user's LAST update — n_events grows monotonically,
-    // so the max (n_events, n_sessions) struct is the final state even if the
-    // source ever splits into multiple batches
-    drainToTable(sessions, "stream_sessions", "update")
-      .groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("n_sessions"))).as("last"))
-      .select(col("user_id"), col("last.n_sessions").as("n_sessions"),
-        col("last.n_events").as("n_events"))
+    // n_events grows monotonically, so the last update per user is the final
+    // state even if the source ever splits into multiple batches
+    lastUpdatePerKey(drainToTable(sessions, "stream_sessions", "update"),
+      Seq("user_id"), "n_events", Seq("n_sessions"))
+      .select("user_id", "n_sessions", "n_events")
   }
 
   /** Streaming exact dedup: one representative (min doc_id) + copy count per
@@ -123,9 +130,11 @@ object StreamingExtract {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    // NULL text is its own group in the batch groupBy("text"); tlen = -1
+    // keeps it distinct from the empty string (length 0) after coalescing
     val docs = streamTable(spark, sfDir, "documents.parquet")
-      .select(col("doc_id"), xxhash64(col("text")).as("tkey"),
-        length(col("text")).as("tlen"))
+      .select(col("doc_id"), xxhash64(coalesce(col("text"), lit(""))).as("tkey"),
+        coalesce(length(col("text")), lit(-1)).as("tlen"))
       .as[(Long, Long, Int)]
     val groups = docs.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[(Long, Long), (Long, Int, Long, Long)](
@@ -140,10 +149,9 @@ object StreamingExtract {
           Iterator((key._1, key._2, keep, n))
       }
       .toDF("tkey", "tlen", "keep_id", "n_copies")
-    drainToTable(groups, "stream_dedup", "update")
-      .groupBy("tkey", "tlen")
-      .agg(max(struct(col("n_copies"), col("keep_id"))).as("last"))
-      .select(col("last.keep_id").as("keep_id"), col("last.n_copies").as("n_copies"))
+    lastUpdatePerKey(drainToTable(groups, "stream_dedup", "update"),
+      Seq("tkey", "tlen"), "n_copies", Seq("keep_id"))
+      .select("keep_id", "n_copies")
   }
 
   /** Streaming windowed aggregation over the events table: event-time watermark

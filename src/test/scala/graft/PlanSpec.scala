@@ -217,6 +217,14 @@ class PlanSpec extends AnyFunSuite {
       s"expr path must stay in a codegen'd Project:\n$plan")
     assert(!plan.contains("DeserializeToObject"),
       s"no object-mode boundary expected:\n$plan")
+    // Column-API bridges agree with the SQL-registry path
+    import org.apache.spark.sql.functions.col
+    import graft.expr.UrlNormalizeExpr.{urlHost, urlNormalize}
+    val viaCol = graft.webtext.UrlOps.plantMessyUrls(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .select(col("doc_id"), urlNormalize(col("url")).as("n"), urlHost(urlNormalize(col("url"))).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(viaCol == exprSide)
   }
 
   test("decontaminate and url_normalize stay map-side: zero shuffles beyond the input spread") {
