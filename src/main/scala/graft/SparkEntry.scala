@@ -531,6 +531,13 @@ object SparkEntry {
       val docs = tp(s, dir, "documents")
       graft.textops.Curate.contamination(docs, docs.filter(col("doc_id") % 41 === 0))
     }),
+    "line_dedup" -> ((s, dir) => {
+      // C4-style corpus-frequency line removal: a constant boilerplate line
+      // planted into every document must vanish; lines repeated across >= 3
+      // docs go with it; each doc reassembles from its surviving lines
+      graft.textops.Dedup.lineDedup(
+        graft.textops.Dedup.plantBoilerplate(tp(s, dir, "documents")), minCount = 3)
+    }),
     "minhash_neardup" -> ((s, dir) => {
       graft.textops.Dedup.minhashPairs(
         graft.textops.Dedup.planted(tp(s, dir, "documents")), threshold = 0.8)
@@ -1063,6 +1070,15 @@ object SparkEntry {
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split('boiler plate nav menu spam footer links here ' || text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, i, array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+        |      FROM w, UNNEST(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT))) t(i)),
+        |f AS (SELECT line, count(*) AS n FROM c GROUP BY line),
+        |k AS (SELECT c.doc_id, c.i, c.line FROM c JOIN f USING (line) WHERE f.n < 3),
+        |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS clean_text FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -343,6 +343,46 @@ object Dedup {
     (labels, round)
   }
 
+  /** C4-style LINE-level dedup: drop every line that appears in >= `minCount`
+    * documents corpus-wide (boilerplate removal — nav text, cookie banners,
+    * footers repeat across a site's pages while real content doesn't), then
+    * reassemble each document from its surviving lines in order. Operates at
+    * the corpus' 8-word-chunk line grain.
+    *
+    * Scale shape: explode to (doc_id, pos, line) -> count by `xxhash64(line)`
+    * (NARROW 8-byte grouping key with map-side partial aggregation — the
+    * line-frequency table is vocabulary-sized, far below the corpus) -> join
+    * frequencies back on the same hash -> filter -> one groupBy(doc_id)
+    * reassembly with a deterministic array_sort. The line text itself is
+    * never a shuffle KEY; it rides as payload exactly twice (count-join,
+    * reassembly). Collision note: an xxhash64 collision merges two lines'
+    * counts (overcounts, never undercounts) — at 2^-64 per pair this only
+    * ever errs toward dropping a boilerplate-adjacent line. */
+  def lineDedup(docs: DataFrame, minCount: Long = 3, wordsPerLine: Int = 8): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val nl = ceil(size(ws).cast("double") / wordsPerLine).cast("int")
+    val chunks = transform(sequence(lit(0), greatest(nl, lit(1)) - 1),
+      i => array_join(slice(ws, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
+    val lines = docs.select(col("doc_id"), posexplode(chunks).as(Seq("pos", "line")))
+      .withColumn("lkey", xxhash64(col("line")))
+    val freq = lines.groupBy("lkey").agg(count(lit(1)).as("n"))
+    val kept = lines.join(freq, "lkey").filter(col("n") < minCount)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("clean_text"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Prepend one constant boilerplate line to every document (pure string
+    * concat, chunk-aligned) — the planted corpus-frequent line [[lineDedup]]
+    * must strip. */
+  val BoilerLine = "boiler plate nav menu spam footer links here"
+
+  def plantBoilerplate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(lit(BoilerLine + " "), col("text")).as("text"))
+
   /** Exact char n-gram Jaccard rerank of MinHash candidates — representative
     * grain + expansion like [[minhashPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {

@@ -260,6 +260,30 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(kmeansRecall >= 0.4, s"kmeans ivf recall $kmeansRecall")
   }
 
+  test("line_dedup drops corpus-frequent lines, keeps per-doc content in order") {
+    import spark.implicits._
+    val boiler = (1 to 8).map("b" + _).mkString(" ") // one exact 8-word chunk
+    def content(d: Int) = (1 to 16).map(w => s"d${d}w$w").mkString(" ")
+    // boiler appears in 3 docs (>= minCount) -> dropped; doc 4 lacks it;
+    // doc 5 shares doc 4's content ONCE more (freq 2 < 3) -> kept
+    val docs = Seq(
+      (1L, boiler + " " + content(1)),
+      (2L, boiler + " " + content(2)),
+      (3L, boiler + " " + content(3)),
+      (4L, content(4)),
+      (5L, content(4))
+    ).toDF("doc_id", "text")
+    val got = textops.Dedup.lineDedup(docs, minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == content(1) && got(2L) == content(2) && got(3L) == content(3))
+    assert(got(4L) == content(4) && got(5L) == content(4))
+    // and with minCount = 2 the duplicated content of docs 4/5 vanishes too
+    val strict = textops.Dedup.lineDedup(docs, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(4L) == "" && strict(5L) == "")
+    assert(strict(1L) == content(1))
+  }
+
   test("decontamination flags cross-document 13-gram overlap, not just eval-set copies") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
