@@ -243,6 +243,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"host_stats must partial-aggregate:\n$plan")
   }
 
+  test("line_dedup: narrow-key frequency agg with partials, no cartesian") {
+    val df = SparkEntry.queries("line_dedup")(spark, sf)
+    df.collect() // AQE finalizes the plan (frequency side becomes a broadcast)
+    val plan = executedPlan(df)
+    assert(plan.contains("HashAggregate"), s"frequency count must partial-aggregate:\n$plan")
+    assert(plan.contains("hashpartitioning(lkey") || plan.contains("BroadcastHashJoin"),
+      s"frequency join must key on the 8-byte line hash (or broadcast):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian expected:\n$plan")
+  }
+
   test("ann lsh/ivf: query side broadcast, no cartesian product") {
     for (name <- Seq("ann_lsh", "ann_ivf")) {
       val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
