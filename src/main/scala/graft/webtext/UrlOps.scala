@@ -54,7 +54,11 @@ object UrlOps {
     }
     val (userinfo, rawHostPort) = splitUserinfo(rest.substring(0, ai))
     var hostPort = rawHostPort.toLowerCase
-    if (hostPort.startsWith("www.")) hostPort = hostPort.substring(4)
+    // strip ALL leading www. labels (www.www.x exists in crawls) — one-pass
+    // stripping would make normalize non-idempotent, and idempotence is the
+    // property that lets already-canonical tables be re-canonicalized freely
+    while (hostPort.startsWith("www.") && hostPort.length > 4)
+      hostPort = hostPort.substring(4)
     val defaultPort = if (scheme == "http") ":80" else if (scheme == "https") ":443" else ""
     if (defaultPort.nonEmpty && hostPort.endsWith(defaultPort) &&
         portIndex(hostPort) == hostPort.length - defaultPort.length)

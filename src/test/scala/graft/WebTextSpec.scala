@@ -247,6 +247,23 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(normalize("://weird") == "://weird")
   }
 
+  test("normalize is idempotent and total over deterministic url-soup fuzz") {
+    // idempotence lets an already-canonical table be re-canonicalized freely
+    // (repeated www. labels were the one violation; now stripped to fixpoint)
+    assert(normalize("http://www.www.example.com/x") == "http://example.com/x")
+    assert(normalize("http://www./x") == "http://www./x") // never empty the host
+    val schemes = Seq("http://", "HTTPS://", "", "ftp://", "://")
+    val hosts = Seq("www.A.com", "www.www.b.org", "[::1]", "u:p@WWW.c.net", "", "x")
+    val ports = Seq("", ":80", ":443", ":8080", ":")
+    val tails = Seq("", "/P?utm_source=1", "/p?a=1&utm_x=2#f", "?", "#f", "/?&", "??a")
+    for (s <- schemes; h <- hosts; p <- ports; t <- tails) {
+      val u = s + h + p + t
+      val n1 = normalize(u) // must not throw
+      assert(normalize(n1) == n1, s"not idempotent: '$u' -> '$n1' -> '${normalize(n1)}'")
+      assert(hostOf(n1) != null)
+    }
+  }
+
   test("hostOf on normalized urls") {
     assert(hostOf("http://example.com/Path") == "example.com")
     assert(hostOf("https://site.org:8443/x") == "site.org")
