@@ -1074,7 +1074,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, string_split('boiler plate nav menu spam footer links here ' || text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, i, array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS line
         |      FROM w, UNNEST(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT))) t(i)),
-        |f AS (SELECT line, count(*) AS n FROM c GROUP BY line),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS n FROM c GROUP BY line),
         |k AS (SELECT c.doc_id, c.i, c.line FROM c JOIN f USING (line) WHERE f.n < 3),
         |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS clean_text FROM k GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text

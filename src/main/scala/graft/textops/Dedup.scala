@@ -365,7 +365,9 @@ object Dedup {
       i => array_join(slice(ws, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
     val lines = docs.select(col("doc_id"), posexplode(chunks).as(Seq("pos", "line")))
       .withColumn("lkey", xxhash64(col("line")))
-    val freq = lines.groupBy("lkey").agg(count(lit(1)).as("n"))
+    // DOCUMENT frequency, not occurrence count: a document repeating its own
+    // refrain must not push a private line over the corpus threshold
+    val freq = lines.groupBy("lkey").agg(countDistinct(col("doc_id")).as("n"))
     val kept = lines.join(freq, "lkey").filter(col("n") < minCount)
       .groupBy("doc_id")
       .agg(array_join(

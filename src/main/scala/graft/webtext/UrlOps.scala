@@ -56,8 +56,14 @@ object UrlOps {
     var hostPort = rawHostPort.toLowerCase
     // strip ALL leading www. labels (www.www.x exists in crawls) — one-pass
     // stripping would make normalize non-idempotent, and idempotence is the
-    // property that lets already-canonical tables be re-canonicalized freely
-    while (hostPort.startsWith("www.") && hostPort.length > 4)
+    // property that lets already-canonical tables be re-canonicalized freely.
+    // Never strip the HOST part (before any port) to empty: 'www.' and
+    // 'www.:8080' keep their label rather than collapse to a hostless url
+    def hostNonEmpty(hp: String): Boolean = {
+      val pi = portIndex(hp)
+      (if (pi >= 0) hp.substring(0, pi) else hp).nonEmpty
+    }
+    while (hostPort.startsWith("www.") && hostNonEmpty(hostPort.substring(4)))
       hostPort = hostPort.substring(4)
     val defaultPort = if (scheme == "http") ":80" else if (scheme == "https") ":443" else ""
     if (defaultPort.nonEmpty && hostPort.endsWith(defaultPort) &&

@@ -282,6 +282,17 @@ class DedupSparkSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(strict(4L) == "" && strict(5L) == "")
     assert(strict(1L) == content(1))
+    // DOCUMENT frequency: a doc repeating its own refrain (3 occurrences but
+    // only 2 distinct docs) stays under a minCount = 3 threshold
+    val refrain = (1 to 8).map("r" + _).mkString(" ")
+    val docs2 = Seq(
+      (1L, refrain + " " + refrain + " " + refrain),
+      (2L, refrain + " " + content(9))
+    ).toDF("doc_id", "text")
+    val df = textops.Dedup.lineDedup(docs2, minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(df(1L) == refrain + " " + refrain + " " + refrain)
+    assert(df(2L) == refrain + " " + content(9))
   }
 
   test("decontamination flags cross-document 13-gram overlap, not just eval-set copies") {

@@ -252,15 +252,21 @@ class UrlOpsSpec extends AnyFunSuite {
     // (repeated www. labels were the one violation; now stripped to fixpoint)
     assert(normalize("http://www.www.example.com/x") == "http://example.com/x")
     assert(normalize("http://www./x") == "http://www./x") // never empty the host
+    // a port must not defeat the never-empty-host guard, including via the
+    // subsequent default-port strip
+    assert(normalize("http://www.:8080/x") == "http://www.:8080/x")
+    assert(normalize("http://www.:80/x") == "http://www./x")
     val schemes = Seq("http://", "HTTPS://", "", "ftp://", "://")
-    val hosts = Seq("www.A.com", "www.www.b.org", "[::1]", "u:p@WWW.c.net", "", "x")
+    val hosts = Seq("www.A.com", "www.www.b.org", "[::1]", "u:p@WWW.c.net", "", "x", "www.")
     val ports = Seq("", ":80", ":443", ":8080", ":")
     val tails = Seq("", "/P?utm_source=1", "/p?a=1&utm_x=2#f", "?", "#f", "/?&", "??a")
     for (s <- schemes; h <- hosts; p <- ports; t <- tails) {
       val u = s + h + p + t
       val n1 = normalize(u) // must not throw
       assert(normalize(n1) == n1, s"not idempotent: '$u' -> '$n1' -> '${normalize(n1)}'")
-      assert(hostOf(n1) != null)
+      // canonicalization never turns a nonempty host into an empty one
+      if (hostOf(u).nonEmpty)
+        assert(hostOf(n1).nonEmpty, s"host emptied: '$u' -> '$n1'")
     }
   }
 
