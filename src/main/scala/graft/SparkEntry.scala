@@ -531,6 +531,38 @@ object SparkEntry {
       val docs = tp(s, dir, "documents")
       graft.textops.Curate.contamination(docs, docs.filter(col("doc_id") % 41 === 0))
     }),
+    "corpus_pipeline" -> ((s, dir) => {
+      // the full FineWeb-style curation pipeline as ONE composition of
+      // already-oracle-checked operators: canonical-URL dedup -> C4 line
+      // dedup -> Gopher quality gate -> 13-gram decontamination -> near-dup
+      // cluster representative. Every stage shrinks the corpus before the
+      // next (the expensive near-dup step sees only quality survivors).
+      val docs = tp(s, dir, "documents")
+      // urls planted to collide on doc_id % 250 (re-crawled pages)
+      val withUrls = docs.select(col("doc_id"), col("text"),
+        concat(lit("HTTPS://WWW.Dup.Example.com/p"), (col("doc_id") % 250).cast("string"),
+          lit("?utm_source=x")).as("url"))
+      val keep1 = graft.webtext.UrlOps.withNormalized(withUrls)
+        .groupBy("url_norm").agg(min("doc_id").as("doc_id"))
+      val stage1 = docs.join(keep1.select("doc_id"), "doc_id")
+      val cleaned = graft.textops.Dedup.lineDedup(
+        graft.textops.Dedup.plantBoilerplate(stage1.select("doc_id", "text")), minCount = 3)
+      val quality = graft.textops.Curate.gopherQuality(
+          cleaned.select(col("doc_id"), col("clean_text").as("text")))
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("n_words"))
+      val stage3 = cleaned.join(quality, "doc_id")
+      val decon = graft.textops.Curate.contamination(
+          stage3.select(col("doc_id"), col("clean_text").as("text")),
+          docs.filter(col("doc_id") % 41 === 0))
+        .filter(!col("contaminated")).select("doc_id")
+      val stage4 = stage3.join(decon, "doc_id")
+      val clusters = graft.textops.Dedup.neardupClusters(
+        stage4.select(col("doc_id"), col("clean_text").as("text")), threshold = 0.8)
+      stage4.join(clusters, "doc_id")
+        .filter(col("cluster_id") === col("doc_id"))
+        .select("doc_id", "n_words")
+    }),
     "line_dedup" -> ((s, dir) => {
       // C4-style corpus-frequency line removal: a constant boilerplate line
       // planted into every document must vanish; lines repeated across >= 3
@@ -1070,6 +1102,46 @@ object SparkEntry {
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "corpus_pipeline" ->
+      """WITH RECURSIVE
+        |u AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id%250),
+        |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN u USING (doc_id)),
+        |w AS (SELECT doc_id, string_split('boiler plate nav menu spam footer links here ' || text, ' ') AS ws FROM d1),
+        |c AS (SELECT doc_id, i, array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+        |      FROM w, UNNEST(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT))) t(i)),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS n FROM c GROUP BY line),
+        |k AS (SELECT c.doc_id, c.i, c.line FROM c JOIN f USING (line) WHERE f.n < 3),
+        |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS ct FROM k GROUP BY doc_id),
+        |d2 AS (SELECT d1.doc_id, coalesce(r.ct, '') AS ct FROM d1 LEFT JOIN r ON d1.doc_id = r.doc_id),
+        |q AS (SELECT doc_id, ct, CAST(len(string_split(ct,' ')) AS BIGINT) AS nw,
+        |             CAST(length(ct) - (len(string_split(ct,' ')) - 1) AS BIGINT) AS wc FROM d2),
+        |d3 AS (SELECT doc_id, ct, nw FROM q WHERE nw BETWEEN 50 AND 100000 AND wc >= 3*nw AND wc <= 10*nw),
+        |bw AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE doc_id%41=0),
+        |bench AS (SELECT DISTINCT array_to_string(ws[1:13],' ') AS gram FROM bw WHERE len(ws)>=13),
+        |g3 AS (SELECT doc_id, unnest(CASE WHEN len(string_split(ct,' ')) >= 13
+        |              THEN [array_to_string(string_split(ct,' ')[i:i+12],' ') for i in range(1, len(string_split(ct,' '))-11)]
+        |              ELSE [] END) AS gram FROM d3),
+        |cont AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN bench USING (gram)),
+        |d4 AS (SELECT d3.doc_id, d3.ct, d3.nw FROM d3 LEFT JOIN cont ON d3.doc_id = cont.doc_id WHERE cont.doc_id IS NULL),
+        |dw AS (SELECT doc_id, string_split(ct,' ') AS w FROM d4),
+        |sh AS (SELECT doc_id,
+        |              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                   ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
+        |       FROM dw),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM sh x, sh y
+        |  WHERE x.doc_id < y.doc_id
+        |    AND 5*len(list_intersect(x.s, y.s)) >= 4*(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT doc_id, doc_id FROM d4
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u),
+        |clus AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+        |SELECT d4.doc_id, d4.nw AS n_words
+        |FROM d4 JOIN clus ON d4.doc_id = clus.doc_id
+        |WHERE clus.cluster_id = d4.doc_id""".stripMargin,
     "line_dedup" ->
       """WITH w AS (SELECT doc_id, string_split('boiler plate nav menu spam footer links here ' || text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, i, array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS line
