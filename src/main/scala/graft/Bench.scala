@@ -187,7 +187,11 @@ object Bench {
     // noise-cancelling benefit of pairing; the MEDIAN of per-round ratios is
     // the statistic the pairing protocol is actually for
     val ratios = pairs.map { case (e, t) => e / t }.sorted
-    val medianRatio = ratios(ratios.size / 2)
+    // true median for even run counts too (ADVICE r3: the upper-middle
+    // element alone biases a 2-run "median" to the max)
+    val medianRatio =
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     (pairs.map(_._1).max, pairs.map(_._2).max, medianRatio)
   }
 

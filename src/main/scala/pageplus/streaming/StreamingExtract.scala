@@ -41,17 +41,32 @@ object StreamingExtract {
   }
 
   /** Drain a streaming frame synchronously into a memory sink; returns the
-    * result table. AvailableNow processes everything currently present. */
-  private def drainToTable(df: DataFrame, namePrefix: String, outputMode: String): DataFrame = {
+    * result table. AvailableNow processes everything currently present.
+    *
+    * `noDataBatch = false` suppresses the trailing empty micro-batch Spark
+    * appends after the data batches (`noDataMicroBatches.enabled`). That batch
+    * exists to fire event-time timeouts / advance watermarks; for NoTimeout
+    * `flatMapGroupsWithState` drains it is semantically empty yet still pays a
+    * full state-store load+commit round across every state partition — a pure
+    * fixed cost at one-shot drain scale (VERDICT r3 item 5). Watermarked
+    * queries keep the default. */
+  private def drainToTable(df: DataFrame, namePrefix: String, outputMode: String,
+                           noDataBatch: Boolean = true): DataFrame = {
     val name = s"${namePrefix}_${counter.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val spark = df.sparkSession
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key, "true")
+    if (!noDataBatch) spark.conf.set(key, "false")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally if (!noDataBatch) spark.conf.set(key, prev)
     df.sparkSession.table(name)
   }
 
@@ -111,7 +126,7 @@ object StreamingExtract {
       .toDF("user_id", "n_sessions", "n_events")
     // n_events grows monotonically, so the last update per user is the final
     // state even if the source ever splits into multiple batches
-    lastUpdatePerKey(drainToTable(sessions, "stream_sessions", "update"),
+    lastUpdatePerKey(drainToTable(sessions, "stream_sessions", "update", noDataBatch = false),
       Seq("user_id"), "n_events", Seq("n_sessions"))
       .select("user_id", "n_sessions", "n_events")
   }
@@ -149,7 +164,7 @@ object StreamingExtract {
           Iterator((key._1, key._2, keep, n))
       }
       .toDF("tkey", "tlen", "keep_id", "n_copies")
-    lastUpdatePerKey(drainToTable(groups, "stream_dedup", "update"),
+    lastUpdatePerKey(drainToTable(groups, "stream_dedup", "update", noDataBatch = false),
       Seq("tkey", "tlen"), "n_copies", Seq("keep_id"))
       .select("keep_id", "n_copies")
   }

@@ -131,7 +131,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup band join is an equi-join on the band key") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val plan = optimizedPlan(graft.textops.Dedup.minhashPairs(docs, 0.8))
+    val plan = optimizedPlan(graft.textops.Dedup.minhashPairs(docs))
     assert(plan.contains("Join Inner") && plan.contains("band"),
       s"expected band equi-join in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
@@ -202,6 +202,52 @@ class PlanSpec extends AnyFunSuite {
         last = records.get(); Thread.sleep(100); spins += 1
       }
       assert(records.get() == n, s"expected one shuffle record per doc, got ${records.get()} for $n docs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("CC min-label propagation shuffles edge-node-sized rows, never corpus-sized (VERDICT r3 item 3)") {
+    // The propagation loop takes ONLY the edge set — a corpus-wide label table
+    // is structurally impossible (neardupClusters attaches isolated docs with
+    // one final left join instead). This pins the per-round shuffle volume:
+    // records scale with (edge rows + edge nodes) * rounds. 20 chains of 3
+    // nodes -> 60 edge nodes, 40 undirected edges (80 symmetric rows).
+    import org.apache.spark.sql.functions._
+    import SparkSuite.spark.implicits._
+    val base = (0 until 20).flatMap { c =>
+      val n = c * 3 + 1L
+      Seq((n, n + 1), (n + 1, n + 2))
+    }
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst").cache()
+    val edgeRows = edges.count() // materialize before measuring
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      records.set(0)
+      val got = graft.textops.Dedup.minLabelPropagation(edges, maxRounds = 6)
+      assert(got.isDefined, "chain-of-3 graphs must converge in <= 3 rounds")
+      val labels = got.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 60)
+      for (c <- 0 until 20; k <- 0 until 3)
+        assert(labels(c * 3 + 1L + k) == c * 3 + 1L, s"chain $c mislabeled")
+      var last = -1L
+      var spins = 0
+      while (records.get() != last && spins < 50) {
+        last = records.get(); Thread.sleep(100); spins += 1
+      }
+      // generous linear budget: ~4 shuffled frames per round (edges side,
+      // labels side, agg partials, label update) x <= 4 rounds + the initial
+      // node distinct. A corpus-wide loop at even 10^4 docs would blow this
+      // by two orders of magnitude.
+      val budget = 20L * (edgeRows + 60)
+      assert(records.get() <= budget,
+        s"propagation shuffled ${records.get()} records for $edgeRows edge rows (budget $budget)")
+      got.get.unpersist()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -286,6 +332,46 @@ class PlanSpec extends AnyFunSuite {
       assert("SelectedBucketsCount|Bucketed: true".r.findFirstIn(plan).isDefined,
         s"scans must be bucketed:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("planted band-join skew: AQE splits the hot partition, result unchanged (VERDICT r3 stretch 7)") {
+    // Exact-duplicate mega-groups collapse at representative grain before any
+    // banding (TextOpsSpec pins linearity), so the RESIDUAL skew case is
+    // DISTINCT texts that still share band keys — e.g. boilerplate-dominated
+    // pages differing only in a tail. That skew cannot be collapsed away; the
+    // runtime answer is AQE skew-join splitting the hot partition. This pins
+    // that the band self-join actually takes that path under skew configs.
+    import org.apache.spark.sql.functions._
+    import SparkSuite.spark.implicits._
+    val common = (1 to 60).map("shared" + _).mkString(" ")
+    val docs = (0 until 400).map(i => (i.toLong, s"$common tail$i unique$i"))
+      .toDF("doc_id", "text")
+    def candidates(): (Long, String) = {
+      val df = graft.textops.Dedup.minhashPairs(docs)
+      // collect THIS df so its own AQE plan finalizes (a count() would build
+      // and execute a different QueryExecution, leaving this one unadapted)
+      val n = df.collect().length.toLong
+      (n, df.queryExecution.executedPlan.toString)
+    }
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val baseline = candidates() // default configs (broadcast allowed)
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (n, plan) = candidates()
+      assert(n == baseline._1, "skew-split run must produce identical candidates")
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed band-join partitions in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("lineage metrics: one explicit bucket repartition feeds the aggregation") {

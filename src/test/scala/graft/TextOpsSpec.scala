@@ -79,7 +79,7 @@ class DedupSparkSpec extends AnyFunSuite {
 
   test("minhash_neardup finds every planted pair with jaccard >= 0.8") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val pairs = textops.Dedup.minhashPairs(textops.Dedup.planted(docs), 0.8)
+    val pairs = textops.Dedup.minhashPairs(textops.Dedup.planted(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val nDocs = docs.count()
     val planted = docs.select("doc_id").collect().map(_.getLong(0))
@@ -110,7 +110,7 @@ class DedupSparkSpec extends AnyFunSuite {
     val j16 = textops.TextHash.jaccard(
       textops.TextHash.wordShingles(chain.head._2), textops.TextHash.wordShingles(chain.last._2))
     assert(j16 < 0.8, s"chain endpoints must not be a direct pair, j=$j16")
-    val got = textops.Dedup.neardupClusters(docs, 0.8)
+    val got = textops.Dedup.neardupClusters(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1L to 6L).foreach(id => assert(got(id) == 1L, s"doc $id should join cluster 1"))
     assert(got(100L) == 100L)
@@ -118,7 +118,7 @@ class DedupSparkSpec extends AnyFunSuite {
 
   test("neardup_clusters puts every planted twin in its base doc's cluster") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val got = textops.Dedup.neardupClusters(textops.Dedup.planted(docs), 0.8)
+    val got = textops.Dedup.neardupClusters(textops.Dedup.planted(docs))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     assert(got.size == 2 * ids.length)
@@ -141,7 +141,7 @@ class DedupSparkSpec extends AnyFunSuite {
     val cand = textops.Dedup.bandCandidates(reps).count()
     assert(cand < 100, s"rep-level candidates must be near-linear, got $cand")
     // member-level output is still pair-complete with exact payloads
-    val pairs = textops.Dedup.minhashPairs(docs, 0.8)
+    val pairs = textops.Dedup.minhashPairs(docs)
     val within = pairs.filter(col("b") <= 1000)
     assert(within.count() == 1000L * 999 / 2)
     assert(within.filter(col("inter") =!= col("un")).count() == 0, "identical texts must have inter == un")
@@ -164,7 +164,7 @@ class DedupSparkSpec extends AnyFunSuite {
   test("short-doc fallback: identical <3-token texts pair via the singleton shingle, different ones don't") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd")).toDF("doc_id", "text")
-    val pairs = textops.Dedup.minhashPairs(docs, 0.8).collect()
+    val pairs = textops.Dedup.minhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(pairs == Set((1L, 2L, 1L, 1L)), s"got $pairs")
   }
@@ -194,9 +194,9 @@ class DedupSparkSpec extends AnyFunSuite {
 
   test("neardupClusters via the star fallback (starAfter=0) equals the propagation path") {
     val docs = textops.Dedup.planted(spark.read.parquet(s"$sf/documents.parquet"))
-    val a = textops.Dedup.neardupClusters(docs, 0.8)
+    val a = textops.Dedup.neardupClusters(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = textops.Dedup.neardupClusters(docs, 0.8, starAfter = 0)
+    val b = textops.Dedup.neardupClusters(docs, starAfter = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
@@ -337,19 +337,104 @@ class DedupSparkSpec extends AnyFunSuite {
     // top-down BMP: negative biHeight is row order, not a negative dimension
     val bmp = new Array[Byte](26)
     bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(14) = 40 // BITMAPINFOHEADER size (the ADVICE r3 validity gate)
     bmp(18) = 0x80.toByte; bmp(19) = 0x07 // width 1920 LE
     val negH = -1080
     for (k <- 0 until 4) bmp(22 + k) = ((negH >> (8 * k)) & 0xff).toByte
     assert(Multimodal.imageHeader(bmp) == Some(("bmp", 1920, 1080)))
+    // ADVICE r3: ASCII text starting with 'BM' must NOT classify as bmp (the
+    // header-size field at 14 is a word, not a plausible {40..124} value)
+    assert(Multimodal.imageHeader("BMW dealerships near me, open saturday".getBytes) == None)
+    // ADVICE r3: EOI (FFD9) before any SOF is terminal — the walk must not
+    // read a bogus segment length past it
+    val eoiFirst = Array(0xff, 0xd8, 0xff, 0xd9, 0xff, 0xc0, 0x00, 0x0b).map(_.toByte)
+    assert(Multimodal.imageHeader(eoiFirst) == None)
   }
 
-  test("multimodal resize and frame-sample keep the schema shape deterministic") {
+  test("verifyJaccard threshold is integer-exact at the 4/5 boundary (VERDICT r3 item 4)") {
+    import spark.implicits._
+    // A has word-3-shingles {abc,bcd,cde,def,efg}; B drops the first word
+    // (4 shingles, all in A) -> inter 4, un 5: EXACTLY the threshold, must be
+    // kept by the integer filter inter*5 >= un*4. C drops two words -> 3/5,
+    // must be dropped. No double division anywhere on the path.
+    val docs = Seq((1L, "a b c d e f g"), (2L, "b c d e f g"), (3L, "c d e f g"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val got = textops.Dedup.verifyJaccard(docs, cands, 4L, 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 4L, 5L)))
+  }
+
+  test("neardupClusters labels a duplicate-free corpus with own ids (empty edge set)") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"unique document number $i with its own words $i"))
+      .toDF("doc_id", "text")
+    val got = textops.Dedup.neardupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 50 && got.forall { case (d, c) => d == c })
+  }
+
+  test("pixel PNG roundtrip is exact: encodeGrayPng -> ImageIO -> generator formula") {
     import textops.Multimodal
-    val media = Multimodal.mediaFromDocuments(spark.read.parquet(s"$sf/documents.parquet"))
-    val resized = Multimodal.resize(media, stride = 4).collect()
-    assert(resized.forall(m => m.meta_width == m.payload.length))
-    val frames = Multimodal.frameSample(media).collect()
-    assert(frames.nonEmpty && frames.forall(_.frame_idx % 2 == 0))
-    assert(frames.forall(_.frame.length <= 64))
+    for (id <- Seq(0L, 1L, 7L, 123L, 999L)) {
+      val (w, h) = Multimodal.pixelDims(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pixelPng(id)))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == Multimodal.grayAt(id, 0, x, y),
+          s"doc $id pixel ($x,$y)")
+    }
+  }
+
+  test("resize pins the Java2D nearest-neighbor pixel-center mapping (oracle formula)") {
+    import textops.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val resized = Multimodal.resize(Multimodal.mediaWithPixels(docs)).collect()
+    assert(resized.length == 50)
+    resized.foreach { m =>
+      val (w, h) = Multimodal.pixelDims(m.doc_id)
+      val (ow, oh) = (w / 2, h / 2)
+      assert(m.meta_width == ow && m.meta_height == oh)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      assert(img.getWidth == ow && img.getHeight == oh)
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val sx = ((2 * x + 1) * w) / (2 * ow)
+        val sy = ((2 * y + 1) * h) / (2 * oh)
+        assert(img.getRaster.getSample(x, y, 0) == Multimodal.grayAt(m.doc_id, 0, sx, sy),
+          s"doc ${m.doc_id} resized pixel ($x,$y) != source ($sx,$sy) — " +
+            "the JDK's NN mapping changed; update the multimodal_resize oracle")
+      }
+    }
+  }
+
+  test("frame split walks PNG container boundaries; corrupt tails drop, never emit") {
+    import textops.Multimodal
+    val id = 42L
+    val payload = Multimodal.videoPayload(id)
+    val frames = Multimodal.splitPngFrames(payload)
+    assert(frames.length == Multimodal.frameCount(id))
+    // frames reassemble to the payload exactly (no bytes lost or duplicated)
+    assert(java.util.Arrays.equals(frames.reduce(_ ++ _), payload))
+    // each frame is a standalone decodable PNG with the per-frame pixels
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == Multimodal.FrameW)
+      assert(img.getRaster.getSample(3, 2, 0) == Multimodal.grayAt(id, i, 3, 2))
+    }
+    // truncated last frame is dropped, valid prefix preserved
+    val truncated = Multimodal.splitPngFrames(payload.dropRight(7))
+    assert(truncated.length == frames.length - 1)
+    // garbage payload yields no frames
+    assert(Multimodal.splitPngFrames("not a png stream at all".getBytes).isEmpty)
+  }
+
+  test("extractFeatures degrades undecodable payloads to (-1,-1) rows, never throws") {
+    import textops.Multimodal
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "junk", "definitely not an image".getBytes, 0, 0)))
+    val got = Multimodal.extractFeatures(bad).collect()
+    assert(got.length == 1 && got.head.width == -1 && got.head.px_sum == 0L)
   }
 }
