@@ -249,10 +249,17 @@ object Bench {
         // the query is 0.7 s, byte-identical plan. The min of two runs is
         // the per-query signal that's comparable across rounds.
         // a failed run must never win the min (a fast fail would fabricate an
-        // improvement); a query failing BOTH runs reports -1 as the marker
+        // improvement); a query failing BOTH runs reports -1 as the marker.
+        // collect(), NOT count() (r4 protocol fix): count() over a top-k
+        // (orderBy+limit) cannot plan TakeOrderedAndProject — it falls into a
+        // global range sort whose SAMPLING pass re-executes the entire child,
+        // so q3_topk measured the aggregation twice plus a sampling job
+        // (1.3 s) where the real terminal plan collects in 0.1 s. count() can
+        // also prune computed columns out of SQL-only queries entirely.
+        // collect() times what a caller actually gets: the materialized rows.
         def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { fn(spark, sfDir).collect(); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
         }
         val ok = Seq(once(), once()).flatten

@@ -27,7 +27,9 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // collect, not count — same protocol as Bench (count() over a top-k
+      // degrades to a sampled global sort that re-executes the child)
+      val n = fn(spark, sfDir).collect().length
       System.err.println(f"[benchone] $name run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()

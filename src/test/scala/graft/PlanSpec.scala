@@ -334,40 +334,58 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("planted band-join skew: AQE splits the hot partition, result unchanged (VERDICT r3 stretch 7)") {
-    // Exact-duplicate mega-groups collapse at representative grain before any
-    // banding (TextOpsSpec pins linearity), so the RESIDUAL skew case is
-    // DISTINCT texts that still share band keys — e.g. boilerplate-dominated
-    // pages differing only in a tail. That skew cannot be collapsed away; the
-    // runtime answer is AQE skew-join splitting the hot partition. This pins
-    // that the band self-join actually takes that path under skew configs.
+  test("planted mega-group skew: AQE splits the hot expansion-join partition, result unchanged (VERDICT r3 stretch 7)") {
+    // A mega duplicate group is the dedup layer's worst skew: candidate
+    // GENERATION stays linear (textGroups collapses the group to one
+    // representative — TextOpsSpec pins it), but the member-pair EXPANSION
+    // join legitimately concentrates every group row on ONE rep key. At bench
+    // scale the members side broadcasts (no skew possible); at corpus scale
+    // both sides are too big to broadcast, the plan is a sort-merge join, and
+    // the runtime defense is AQE skew-join splitting the hot partition. This
+    // pins that the expansion join actually takes that path under the skew
+    // configs SCALE.md prescribes, with byte-identical output.
     import org.apache.spark.sql.functions._
     import SparkSuite.spark.implicits._
-    val common = (1 to 60).map("shared" + _).mkString(" ")
-    val docs = (0 until 400).map(i => (i.toLong, s"$common tail$i unique$i"))
+    val mega = 1200
+    val docs = ((0 until mega).map(i => (i.toLong, "the same mega duplicate document text")) ++
+      (0 until 300).map(i => (10000L + i, s"unique$i words$i nothing$i shared$i here$i")))
       .toDF("doc_id", "text")
-    def candidates(): (Long, String) = {
-      val df = graft.textops.Dedup.minhashPairs(docs)
-      // collect THIS df so its own AQE plan finalizes (a count() would build
-      // and execute a different QueryExecution, leaving this one unadapted)
-      val n = df.collect().length.toLong
-      (n, df.queryExecution.executedPlan.toString)
+    val expected = mega.toLong * (mega - 1) / 2 // within-group pairs only
+    def pairsRun(): (Long, String) = {
+      // count through a wrapping aggregate and inspect THAT QueryExecution's
+      // finalized adaptive plan (it contains the joins; collecting 719k pair
+      // rows to the driver would prove nothing extra). No limit here, so
+      // count doesn't degrade the join plan.
+      val cdf = graft.textops.Dedup.minhashPairs(docs).groupBy().count()
+      // collect(), not head(): head() wraps a limit in a SEPARATE
+      // QueryExecution, leaving this one un-executed (isFinalPlan=false, no
+      // skew markers to inspect)
+      val n = cdf.collect()(0).getLong(0)
+      (n, cdf.queryExecution.executedPlan.toString)
     }
+    val baseline = pairsRun() // default configs: members side broadcasts
+    assert(baseline._1 == expected, s"expected $expected pairs, got ${baseline._1}")
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // the within-group join's output feeds a SECOND join on the same rep
+      // key with no exchange between them; by default AQE skips skew
+      // splitting rather than break that shared partitioning (extra
+      // shuffle). force mode takes the trade — one extra pair-sized shuffle
+      // buys splitting the mega-group partition, the right call whenever a
+      // hot key dominates a stage (SCALE.md records this as the lever)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    val baseline = candidates() // default configs (broadcast allowed)
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val (n, plan) = candidates()
-      assert(n == baseline._1, "skew-split run must produce identical candidates")
+      val (n, plan) = pairsRun()
+      assert(n == expected, "skew-split run must produce identical pairs")
       assert(plan.contains("skew=true"),
-        s"expected AQE to mark the skewed band-join partitions in:\n$plan")
+        s"expected AQE to mark the skewed expansion-join partitions in:\n$plan")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
