@@ -498,6 +498,13 @@ object SparkEntry {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaWithPixels(tp(s, dir, "documents"))).toDF()
     }),
+    "audio_features" -> ((s, dir) => {
+      // REAL audio decode: complete valid RIFF/WAVE PCM payloads parsed by
+      // chunk walk (a LIST chunk sits before data, so fixed-offset readers
+      // break), exact integer energy/peak/zero-crossing features
+      graft.textops.Multimodal.audioFeatures(
+        graft.textops.Multimodal.mediaWithAudio(tp(s, dir, "documents"))).toDF()
+    }),
     "multimodal_resize" -> ((s, dir) => {
       // real Graphics2D nearest-neighbor downscale, PNG re-encode, re-decode:
       // encode -> decode -> resize -> encode -> decode, all real, with the
@@ -752,6 +759,11 @@ object SparkEntry {
       // (graft.checkpoint.table), no other code change vs checkpoint_resume
       val table = "graft_ckpt_resume_q"
       s.sql(s"DROP TABLE IF EXISTS $table") // re-runnable (bench min-of-two)
+      // a PREVIOUS session's drop removes catalog metadata but can leave the
+      // managed location on disk, which fails the next saveAsTable with
+      // LOCATION_ALREADY_EXISTS — clear it too
+      val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), table)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       s.conf.set("graft.checkpoint.table", table)
       val log = pageplus.spark.Checkpoint.fromConf(s)
       val pages = PagesFromDocuments.clean(s, dir).toDF()
@@ -1648,6 +1660,16 @@ object SparkEntry {
         |       CAST(list_max(px) AS INT) AS px_max,
         |       CAST(len(list_filter(px, g -> g < 128)) AS BIGINT) AS n_dark
         |FROM p""".stripMargin,
+    "audio_features" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n FROM documents),
+        |     s AS (SELECT doc_id, n,
+        |                  [ CAST(((doc_id*7919 + 2663*i) % 65536) - 32768 AS BIGINT) for i in range(0, n) ] AS sm
+        |           FROM d)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(list_sum(list_transform(sm, v -> v*v)) AS BIGINT) AS sum_sq,
+        |       CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT) AS peak,
+        |       CAST(len(list_filter(range(1, CAST(n AS BIGINT)), i -> (sm[i+1] >= 0) != (sm[i] >= 0))) AS BIGINT) AS zero_crossings
+        |FROM s""".stripMargin,
     // resized pixel (x, y) samples source (((2x+1)*w)//(2*ow), ((2y+1)*h)//(2*oh))
     // — Java2D's nearest-neighbor pixel-center rule, pinned by ScalaTest
     // (MultimodalPixelSpec) so a JDK rendering change is caught locally

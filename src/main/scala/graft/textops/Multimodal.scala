@@ -379,6 +379,120 @@ object Multimodal {
     frames.result()
   }
 
+  // ---- REAL audio codec (RIFF/WAVE PCM — raw samples, zero dependencies) ----
+
+  /** Deterministic 16-bit PCM sample i of doc_id's audio clip. The SQL oracle
+    * is the only other copy of this formula. */
+  def audioSample(docId: Long, i: Int): Int =
+    (((docId * 7919 + 2663L * i) % 65536) - 32768).toInt
+
+  def audioSampleCount(docId: Long): Int = (64 + docId % 64).toInt
+
+  val AudioSampleRate = 8000
+
+  /** A complete valid RIFF/WAVE file: fmt chunk (PCM, mono, 16-bit, 8 kHz),
+    * a LIST metadata chunk (so the reader must genuinely WALK chunks, not
+    * assume data starts at a fixed offset), then the data chunk. */
+  def wavPayload(docId: Long): Array[Byte] = {
+    val n = audioSampleCount(docId)
+    val out = new java.io.ByteArrayOutputStream(64 + 2 * n)
+    def ascii(s: String): Unit = { val b = s.getBytes("US-ASCII"); out.write(b, 0, b.length) }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    val dataBytes = 2 * n
+    // RIFF size = everything after the 8-byte RIFF header:
+    // "WAVE"(4) + fmt(8+16) + LIST(8+4) + data(8+dataBytes)
+    ascii("RIFF"); le32(4 + 24 + 12 + 8 + dataBytes); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1) // PCM
+    le16(1) // mono
+    le32(AudioSampleRate)
+    le32(AudioSampleRate * 2) // byte rate
+    le16(2) // block align
+    le16(16) // bits/sample
+    ascii("LIST"); le32(4); ascii("INFO")
+    ascii("data"); le32(dataBytes)
+    var i = 0
+    while (i < n) { le16(audioSample(docId, i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
+  def mediaWithAudio(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long].map { id =>
+      MediaRow(id, "wav", wavPayload(id),
+        meta_width = audioSampleCount(id), meta_height = 1)
+    }
+  }
+
+  /** REAL audio features from parsed PCM samples: energy (exact sum of
+    * squares), peak amplitude, zero crossings — the loudness/silence gates an
+    * audio-corpus pipeline filters on. Undecodable/unsupported payloads
+    * degrade to (-1, ...) rows, never throw. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                                 sum_sq: Long, peak: Long, zero_crossings: Long)
+
+  /** Parse a RIFF/WAVE payload by walking its chunk structure (word-aligned,
+    * unknown chunks skipped). Returns (sampleRate, samples) for mono 16-bit
+    * PCM; None for anything else. */
+  def parseWav(b: Array[Byte]): Option[(Int, Array[Int])] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    if (b.length < 44) return None
+    if (new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    var p = 12
+    var fmt: Option[(Int, Int, Int)] = None // (format, channels, bits)
+    var rate = 0
+    var data: Option[(Int, Int)] = None // (offset, bytes)
+    while (p + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = le32(p + 4)
+      if (size < 0 || p + 8 + size > b.length) return None
+      if (id == "fmt " && size >= 16) {
+        fmt = Some((le16(p + 8), le16(p + 10), le16(p + 22)))
+        rate = le32(p + 12).toInt
+      } else if (id == "data") data = Some((p + 8, size.toInt))
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, 1, 16)), Some((off, bytes))) =>
+        val n = bytes / 2
+        val samples = Array.tabulate(n) { i =>
+          val v = le16(off + 2 * i)
+          if (v >= 0x8000) v - 0x10000 else v // two's complement int16
+        }
+        Some((rate, samples))
+      case _ => None
+    }
+  }
+
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      parseWav(m.payload) match {
+        case None => AudioFeatures(m.doc_id, -1, -1L, 0L, 0L, 0L)
+        case Some((rate, s)) =>
+          var sumSq = 0L
+          var peak = 0L
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          AudioFeatures(m.doc_id, rate, s.length.toLong, sumSq, peak, zc)
+      }
+    })
+  }
+
   /** Per-frame pixel features: each sampled frame decoded via the same real
     * ImageIO batch path, keyed back to (doc_id, frame_idx). */
   final case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int, height: Int,

@@ -429,6 +429,35 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(Multimodal.splitPngFrames("not a png stream at all".getBytes).isEmpty)
   }
 
+  test("wav roundtrip is exact; the chunk walk skips LIST and handles odd-size padding") {
+    import textops.Multimodal
+    for (id <- Seq(0L, 5L, 63L, 977L)) {
+      val Some((rate, s)) = Multimodal.parseWav(Multimodal.wavPayload(id))
+      assert(rate == Multimodal.AudioSampleRate)
+      assert(s.length == Multimodal.audioSampleCount(id))
+      s.indices.foreach(i => assert(s(i) == Multimodal.audioSample(id, i), s"doc $id sample $i"))
+    }
+    // odd-size unknown chunk before data: the pad byte must be skipped
+    val base = Multimodal.wavPayload(1L)
+    val insertAt = 36 // after fmt chunk, before LIST
+    val odd = Array('j', 'u', 'n', 'k').map(_.toByte) ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val patched = base.take(insertAt) ++ odd ++ base.drop(insertAt)
+    // fix RIFF size (+12 for the injected chunk incl. pad)
+    val riffSize = (patched(4) & 0xff) | ((patched(5) & 0xff) << 8) |
+      ((patched(6) & 0xff) << 16) | ((patched(7) & 0xff) << 24)
+    val ns = riffSize + 12
+    patched(4) = (ns & 0xff).toByte; patched(5) = ((ns >> 8) & 0xff).toByte
+    patched(6) = ((ns >> 16) & 0xff).toByte; patched(7) = ((ns >> 24) & 0xff).toByte
+    val Some((_, s2)) = Multimodal.parseWav(patched)
+    assert(s2.length == Multimodal.audioSampleCount(1L) && s2(3) == Multimodal.audioSample(1L, 3))
+    // junk / truncated payloads degrade to None, never throw
+    assert(Multimodal.parseWav("RIFFnot really a wave file".getBytes) == None)
+    assert(Multimodal.parseWav(base.take(30)) == None)
+    // stereo/non-PCM is unsupported, not mis-decoded
+    val stereo = base.clone(); stereo(22) = 2 // channels field
+    assert(Multimodal.parseWav(stereo) == None)
+  }
+
   test("extractFeatures degrades undecodable payloads to (-1,-1) rows, never throws") {
     import textops.Multimodal
     import spark.implicits._
