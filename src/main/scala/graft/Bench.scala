@@ -250,17 +250,23 @@ object Bench {
         // the per-query signal that's comparable across rounds.
         // a failed run must never win the min (a fast fail would fabricate an
         // improvement); a query failing BOTH runs reports -1 as the marker.
-        // collect(), NOT count() (r4 protocol fix): count() over a top-k
-        // (orderBy+limit) cannot plan TakeOrderedAndProject — it falls into a
-        // global range sort whose SAMPLING pass re-executes the entire child,
-        // so q3_topk measured the aggregation twice plus a sampling job
-        // (1.3 s) where the real terminal plan collects in 0.1 s. count() can
-        // also prune computed columns out of SQL-only queries entirely.
-        // collect() times what a caller actually gets: the materialized rows.
+        // drain the EXECUTED PLAN, not count() (r4 protocol fix): count()
+        // over a top-k (orderBy+limit) cannot plan TakeOrderedAndProject — it
+        // falls into a global range sort whose SAMPLING pass re-executes the
+        // entire child, so q3_topk measured the aggregation twice plus a
+        // sampling job (1.3 s) where the real terminal plan materializes in
+        // 0.1 s. count() can also prune computed columns out of SQL-only
+        // queries entirely. Draining toRdd executes the same terminal plan a
+        // caller gets (TakeOrderedAndProject included) while streaming rows
+        // executor-side — no driver-side accumulation, so a corpus-grain text
+        // query at a large sf cannot OOM the driver the way collect() would.
         def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).collect(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+          try {
+            fn(spark, sfDir).queryExecution.toRdd
+              .foreachPartition(it => while (it.hasNext) it.next())
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
         }
         val ok = Seq(once(), once()).flatten
         name -> (if (ok.isEmpty) -1.0 else ok.min)

@@ -27,9 +27,10 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      // collect, not count — same protocol as Bench (count() over a top-k
-      // degrades to a sampled global sort that re-executes the child)
-      val n = fn(spark, sfDir).collect().length
+      // drain the executed plan's RDD — same protocol as Bench (a Dataset
+      // count() over a top-k degrades to a sampled global sort that
+      // re-executes the child; an RDD count over the compiled plan doesn't)
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       System.err.println(f"[benchone] $name run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()

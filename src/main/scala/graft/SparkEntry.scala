@@ -764,8 +764,17 @@ object SparkEntry {
       // LOCATION_ALREADY_EXISTS — clear it too
       val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), table)
       loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      // exercise the config-driven backend selection, then RESTORE the conf:
+      // queries share one session, and a leaked graft.checkpoint.table would
+      // silently redirect any later fromConf caller to this scratch table
+      val prevConf = s.conf.getOption("graft.checkpoint.table")
       s.conf.set("graft.checkpoint.table", table)
-      val log = pageplus.spark.Checkpoint.fromConf(s)
+      val log =
+        try pageplus.spark.Checkpoint.fromConf(s)
+        finally prevConf match {
+          case Some(v) => s.conf.set("graft.checkpoint.table", v)
+          case None    => s.conf.unset("graft.checkpoint.table")
+        }
       val pages = PagesFromDocuments.clean(s, dir).toDF()
       val docIdFromUrl = expr("CAST(substring(url, 7) AS LONG)")
       log.commit(pages.filter(docIdFromUrl % 2 === 0).select("url"))

@@ -244,13 +244,24 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, width: Int, height: Int,
                                  px_sum: Long, px_min: Int, px_max: Int, n_dark: Long)
 
+  /** One shared decode entry: in-memory payloads need no ImageIO disk cache
+    * (the default wraps every read in a temp-file-backed stream — one
+    * create/write/delete per image on the hot path), and JDK readers throw
+    * UNCHECKED exceptions on malformed-but-recognized payloads (fuzzed GIF
+    * LZW codes, inconsistent PNG metadata), so the degrade-never-throw
+    * contract needs NonFatal, not just IOException. Returns null on any
+    * decode failure. */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Decode one batch via `javax.imageio` (shared static registry; the batch
     * grouping bounds per-call allocation the way a Pandas-UDF batch would). */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { m =>
-      val img = try {
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-      } catch { case _: java.io.IOException => null }
+      val img = readImage(m.payload)
       if (img == null) MediaFeatures(m.doc_id, m.kind, -1, -1, 0L, 0, 0, 0L)
       else {
         val raster = img.getRaster
@@ -295,9 +306,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val img = try {
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-      } catch { case _: java.io.IOException => null }
+      val img = readImage(m.payload)
       if (img == null || img.getWidth < factor || img.getHeight < factor) m
       else {
         val ow = img.getWidth / factor
@@ -360,8 +369,11 @@ object Multimodal {
     while (i + 8 <= payload.length &&
            PngSignature.indices.forall(k => payload(i + k) == PngSignature(k))) {
       var p = i + 8
-      var end = -1
-      while (end < 0 && p + 12 <= payload.length) {
+      var end = -1 // -1 = walking, -2 = corrupt (terminal), >= 0 = frame end
+      // loop ONLY while walking: a corrupt length must exit, not re-read the
+      // same chunk forever (r4 review: end = -2 kept `end < 0` true with p
+      // unchanged — an executor-thread hang on a truncated IDAT header)
+      while (end == -1 && p + 12 <= payload.length) {
         val len = be32(p)
         if (len > payload.length) end = -2 // corrupt length: abort frame
         else {

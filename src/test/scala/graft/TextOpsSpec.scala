@@ -425,6 +425,11 @@ class DedupSparkSpec extends AnyFunSuite {
     // truncated last frame is dropped, valid prefix preserved
     val truncated = Multimodal.splitPngFrames(payload.dropRight(7))
     assert(truncated.length == frames.length - 1)
+    // r4 review: dropRight(13) leaves the last IDAT header readable but its
+    // body overrunning the payload (end = -2 path) — must TERMINATE with the
+    // partial frame dropped, not spin on the same chunk forever
+    val overrun = Multimodal.splitPngFrames(payload.dropRight(13))
+    assert(overrun.length == frames.length - 1)
     // garbage payload yields no frames
     assert(Multimodal.splitPngFrames("not a png stream at all".getBytes).isEmpty)
   }
