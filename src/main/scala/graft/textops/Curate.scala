@@ -81,6 +81,34 @@ object Curate {
           col("word_chars") <= lit(maxMean) * col("n_words")).cast("long"))
   }
 
+  /** Deterministic stratified mixture sampling — the data-mixing stage of a
+    * training pipeline: each domain (host) gets a keep RATE in basis points,
+    * and a document survives iff a salted content-free hash of its identity
+    * lands under the rate. Three properties a mixing stage needs at 10^12
+    * docs, all by construction:
+    *  - reproducible: the decision is a pure function of (doc key, salt) —
+    *    re-running the pipeline, on any cluster size or engine (the oracle
+    *    recomputes FNV-1a in SQL), keeps exactly the same documents;
+    *  - map-side: rates broadcast as a plain map, ZERO shuffle over the
+    *    corpus, no RNG state to coordinate;
+    *  - composable: changing one domain's rate only adds/removes that
+    *    domain's documents (bucket values never move), so mixture iterations
+    *    don't churn the rest of the corpus.
+    * Unknown hosts fall back to `defaultBp`. Returns every row with its
+    * (bucket, keep) so downstream stages filter on `keep`. */
+  def sampleMixture(docs: DataFrame, ratesBp: Map[String, Int],
+                    defaultBp: Int = 0, salt: String = "mix"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ratesBp)
+    docs.select(col("doc_id"), col("host")).as[(Long, String)]
+      .map { case (id, host) =>
+        val bucket = java.lang.Long.remainderUnsigned(TextHash.fnv64(s"$salt:$id"), 10000L)
+        (id, host, bucket, bucket < bc.value.getOrElse(host, defaultBp).toLong)
+      }
+      .toDF("doc_id", "host", "bucket", "keep")
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM-style 13-gram overlap check):
     * flag training documents sharing any 13-word-gram with the evaluation
     * set, BEFORE the eval set leaks into training. The bench-gram set is

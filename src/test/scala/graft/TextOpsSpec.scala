@@ -434,6 +434,36 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(Multimodal.splitPngFrames("not a png stream at all".getBytes).isEmpty)
   }
 
+  test("mixture sampling: reproducible, composable across rate changes, rate-accurate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 2000L).map(i => (i, s"site${i % 4}.example.com")).toDF("doc_id", "host")
+    val rates = Map("site0.example.com" -> 1000, "site1.example.com" -> 5000,
+      "site2.example.com" -> 9000, "site3.example.com" -> 0)
+    def run(r: Map[String, Int]) = textops.Curate.sampleMixture(docs, r)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getBoolean(3)))).toMap
+    val a = run(rates)
+    // reproducible: bit-identical decisions on a second run
+    assert(run(rates) == a)
+    // composable: raising ONE host's rate flips only that host's documents
+    val b = run(rates + ("site1.example.com" -> 9999))
+    assert(a.forall { case (id, (h, bk, k)) =>
+      val (h2, bk2, k2) = b(id)
+      h2 == h && bk2 == bk && (if (h == "site1.example.com") k2 || !k else k2 == k)
+    })
+    // rate-accurate: kept fraction within a loose binomial band; 0 bp keeps none
+    val perHost = a.values.groupBy(_._1).map { case (h, vs) =>
+      h -> (vs.count(_._3), vs.size)
+    }
+    assert(perHost("site3.example.com")._1 == 0)
+    val (k1, n1) = perHost("site1.example.com")
+    assert(math.abs(k1.toDouble / n1 - 0.5) < 0.08, s"50% rate kept $k1/$n1")
+    // unknown host falls back to defaultBp = 0
+    val other = textops.Curate.sampleMixture(
+      Seq((1L, "nowhere.example.org")).toDF("doc_id", "host"), rates).collect()
+    assert(!other.head.getBoolean(3))
+  }
+
   test("wav roundtrip is exact; the chunk walk skips LIST and handles odd-size padding") {
     import textops.Multimodal
     for (id <- Seq(0L, 5L, 63L, 977L)) {
