@@ -123,17 +123,25 @@ object Curate {
     * eval-set sizes a 64-bit collision is ~10^-5 per corpus and only widens
     * the flag conservatively). Single-space word split, matching the corpus
     * contract the other curation ops use. */
-  def contamination(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
-    val spark = docs.sparkSession
+  private def words(t: String): Array[String] =
+    if (t == null || t.isEmpty) Array.empty else t.split(" ", -1)
+
+  private def benchGrams(benchDocs: DataFrame, n: Int): org.apache.spark.sql.Dataset[String] = {
+    val spark = benchDocs.sparkSession
     import spark.implicits._
-    def words(t: String): Array[String] =
-      if (t == null || t.isEmpty) Array.empty else t.split(" ", -1)
-    val bench: Set[String] = benchDocs.select("text").as[String]
+    benchDocs.select("text").as[String]
       .flatMap { t =>
         val ws = words(t)
         if (ws.length >= n) Some(ws.take(n).mkString(" ")) else None
       }
-      .distinct().collect().toSet // bounded: the EVAL set, not the corpus
+      .distinct()
+  }
+
+  def contamination(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bench: Set[String] =
+      benchGrams(benchDocs, n).collect().toSet // bounded: the EVAL set, not the corpus
     val bc = spark.sparkContext.broadcast(bench)
     docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) =>
@@ -149,5 +157,49 @@ object Curate {
         (id, total.toLong, hits, hits > 0)
       }
       .toDF("doc_id", "n_grams", "n_contaminated", "contaminated")
+  }
+
+  /** The 100 TB form of [[contamination]]: the eval-gram set rides as a
+    * BROADCAST Bloom filter (`org.apache.spark.util.sketch.BloomFilter`, the
+    * codegen'd sketch Spark's own runtime filters use) instead of an exact
+    * string set — ~3.6 bytes/gram at the 1e-6 default fpp, so a 10^7-gram
+    * eval suite broadcasts in ~36 MB where the exact strings would not.
+    * fpp is PER GRAM and compounds per document (a 300-gram doc is falsely
+    * flagged w.p. ~300*fpp), which is why the default is 1e-6, not the
+    * sketch-typical 1e-3: at 1e-6 even a 10^12-doc corpus mis-drops only
+    * ~0.03% of documents. Guarantees the dedup direction cares about: NO
+    * false negatives (a contaminated doc is always flagged —
+    * property-tested as a superset of the exact op), and false positives
+    * only ever widen the removal conservatively. Bit-layout is deterministic
+    * for a given (gram set, expectedItems, fpp): inserts OR bits, so order
+    * doesn't matter. */
+  def contaminationBloom(docs: DataFrame, benchDocs: DataFrame, n: Int = 13,
+                         fpp: Double = 1e-6, minCapacity: Long = 1L << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = benchGrams(benchDocs, n).cache()
+    // capacity floor: Spark's BloomFilterImpl derives bit positions by 32-bit
+    // double hashing (h1 + i*h2), whose effective independence collapses on
+    // tiny filters — measured 0.5% practical fpp at a CONFIGURED 1e-6 with a
+    // 384-bit filter. Sizing for at least 2^16 items (~230 KB at 1e-6) keeps
+    // occupancy, and therefore the practical rate, at spec; at real
+    // eval-suite cardinalities the floor is a no-op.
+    val expected = math.max(grams.count(), minCapacity)
+    val bloom = grams.toDF("gram").stat.bloomFilter("gram", expected, fpp)
+    grams.unpersist()
+    val bc = spark.sparkContext.broadcast(bloom)
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val ws = words(t)
+        val total = math.max(ws.length - n + 1, 0)
+        var hits = 0L
+        var i = 0
+        while (i < total) {
+          if (bc.value.mightContainString(ws.slice(i, i + n).mkString(" "))) hits += 1
+          i += 1
+        }
+        (id, total.toLong, hits, hits > 0)
+      }
+      .toDF("doc_id", "n_grams", "n_flagged", "flagged")
   }
 }

@@ -434,6 +434,25 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(Multimodal.splitPngFrames("not a png stream at all".getBytes).isEmpty)
   }
 
+  test("bloom decontamination: superset of exact flags, bounded false positives, deterministic") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 41 === 0)
+    def flagsOf(df: org.apache.spark.sql.DataFrame, flagCol: String) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val exact = flagsOf(textops.Curate.contamination(docs, bench), "contaminated")
+    val bloom = flagsOf(textops.Curate.contaminationBloom(docs, bench), "flagged")
+    assert(bloom.keySet == exact.keySet)
+    // no false negatives: every exactly-contaminated doc is bloom-flagged
+    exact.foreach { case (id, c) => if (c) assert(bloom(id), s"doc $id lost by bloom") }
+    // false positives bounded: at fpp 0.1% over clean docs, a handful at most
+    val falsePos = exact.count { case (id, c) => !c && bloom(id) }
+    val clean = exact.count(!_._2)
+    assert(falsePos <= math.max(2, clean / 100), s"$falsePos false positives of $clean clean docs")
+    // deterministic: identical flags on a second run
+    assert(flagsOf(textops.Curate.contaminationBloom(docs, bench), "flagged") == bloom)
+  }
+
   test("mixture sampling: reproducible, composable across rate changes, rate-accurate") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
