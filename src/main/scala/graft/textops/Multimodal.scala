@@ -251,8 +251,10 @@ object Multimodal {
     * LZW codes, inconsistent PNG metadata), so the degrade-never-throw
     * contract needs NonFatal, not just IOException. Returns null on any
     * decode failure. */
+  // once per JVM (object init), not per decode: it's a process-global static
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
-    javax.imageio.ImageIO.setUseCache(false)
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     catch { case scala.util.control.NonFatal(_) => null }
   }

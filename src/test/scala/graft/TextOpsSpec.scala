@@ -438,8 +438,10 @@ class DedupSparkSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 41 === 0)
-    def flagsOf(df: org.apache.spark.sql.DataFrame, flagCol: String) =
-      df.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    def flagsOf(df: org.apache.spark.sql.DataFrame, flagCol: String) = {
+      val i = df.columns.indexOf(flagCol)
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(i)).toMap
+    }
     val exact = flagsOf(textops.Curate.contamination(docs, bench), "contaminated")
     val bloom = flagsOf(textops.Curate.contaminationBloom(docs, bench), "flagged")
     assert(bloom.keySet == exact.keySet)
