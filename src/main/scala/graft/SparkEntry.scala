@@ -577,6 +577,17 @@ object SparkEntry {
       val docs = tp(s, dir, "documents")
       graft.textops.Curate.contamination(docs, docs.filter(col("doc_id") % 41 === 0))
     }),
+    "decontaminate_bloom" -> ((s, dir) => {
+      // the 100 TB broadcast form of decontaminate: eval grams ride a Bloom
+      // sketch (treeAggregate-built, ~3.6 B/gram) instead of an exact string
+      // set. The bit layout is deterministic, so the flags are too; the
+      // oracle is the EXACT overlap, which means green ALSO pins "zero false
+      // positives at this capacity/fpp on this corpus" — the no-false-
+      // negative guarantee makes any mismatch a widened flag, never a lost
+      // one, and the ScalaTest property bounds the widening separately
+      val docs = tp(s, dir, "documents")
+      graft.textops.Curate.contaminationBloom(docs, docs.filter(col("doc_id") % 41 === 0))
+    }),
     "corpus_pipeline" -> ((s, dir) => {
       // the full FineWeb-style curation pipeline as ONE composition of
       // already-oracle-checked operators: canonical-URL dedup -> C4 line
@@ -722,6 +733,22 @@ object SparkEntry {
       graft.webtext.WebText.blockStats(
         graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
     }),
+    "html_links" -> ((s, dir) => {
+      // link-graph extraction: every anchor in pre-order with its raw href,
+      // absolute resolved target, decoded anchor text, and main-block
+      // membership. Map-side flatMap, no shuffle.
+      graft.webtext.WebText.pageLinks(
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
+    }),
+    "link_targets_top" -> ((s, dir) => {
+      // cross-corpus target popularity (the frontier/blocklist rollup over
+      // the exploded link table): partial-agg on href, then top-k — plans as
+      // TakeOrderedAndProject, no global sort materialization
+      graft.webtext.WebText.pageLinks(
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF())
+        .groupBy("href").agg(count(lit(1)).as("n_docs"))
+        .orderBy(desc("n_docs"), asc("href")).limit(20)
+    }),
     // ---- layout-text reading order (north_rule: PDF/layout parse): spans
     // (page, x, y, text-run) in scrambled stream order -> column clustering
     // -> (page, column, row) reading order -> byte-identical document text ----
@@ -866,6 +893,45 @@ object SparkEntry {
       |       array_to_string([array_to_string(words[i:i+23], ' ')
       |                        for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
+
+  /** Shared link-inventory CTE (`rows`): every anchor of every generated
+    * page as (doc_id, ord0, href, anchor_text, in_main), recomputed from
+    * HtmlGen's modular arithmetic — the final SELECT runs over it. */
+  private def LinkRowsSql(select: String): String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS w,
+      |         CAST(ceil(len(string_split(text, ' '))/24.0) AS BIGINT) AS np,
+      |         CAST(4 + doc_id % 4 AS BIGINT) AS navn,
+      |         CAST(3 + doc_id % 3 AS BIGINT) AS siden
+      |  FROM documents
+      |), nav AS (
+      |  SELECT doc_id, k AS ord0, '/nav/' || k AS href,
+      |         list_extract(['homepage','politics','business','sciences','cultures','archives','weathers','sportive','contacts','newsfeed','features'],
+      |                      CAST(1 + (doc_id + k) % 11 AS BIGINT)) AS anchor_text,
+      |         FALSE AS in_main
+      |  FROM (SELECT doc_id, unnest(range(0, navn)) AS k FROM base)
+      |), rel AS (
+      |  SELECT doc_id, navn + k AS ord0, '/rel/' || k AS href,
+      |         list_extract(['trending now','most shared','editor desk','latest wire','top stories','deep dives'],
+      |                      CAST(1 + (doc_id + 2*k) % 6 AS BIGINT)) AS anchor_text,
+      |         FALSE AS in_main
+      |  FROM (SELECT doc_id, unnest(range(0, siden)) AS k, navn FROM base)
+      |), inl AS (
+      |  SELECT doc_id, navn + siden + (p - 2) // 3 AS ord0,
+      |         '/w/' || doc_id || '/' || p AS href,
+      |         list_extract(ws, CAST(least(24*(p+1), w) AS BIGINT)) AS anchor_text,
+      |         TRUE AS in_main
+      |  FROM (SELECT doc_id, unnest(range(0, np)) AS p, navn, siden, ws, w FROM base)
+      |  WHERE p % 3 = 2
+      |), foot AS (
+      |  SELECT doc_id, navn + siden + np // 3 + f.i AS ord0,
+      |         f.href AS href, f.anchor_text AS anchor_text, FALSE AS in_main
+      |  FROM base, (VALUES (0, '/about', 'about us!'), (1, '/terms', 'terms!!!')) AS f(i, href, anchor_text)
+      |), rows AS (
+      |  SELECT * FROM nav UNION ALL SELECT * FROM rel
+      |  UNION ALL SELECT * FROM inl UNION ALL SELECT * FROM foot
+      |)
+      |""".stripMargin + select
 
   private val RoLastWinsOracleSql =
     """SELECT 'doc://' || doc_id AS url,
@@ -1510,6 +1576,20 @@ object SparkEntry {
         |       np AS main_paragraphs,
         |       CAST(tl - (np - 1) AS BIGINT) AS main_chars
         |FROM d""".stripMargin,
+    // link inventory recomputed from the generator's arithmetic (HtmlGen):
+    // nav k in [0, 4+id%4) labeled from the 11-label pool at (id+k)%11;
+    // sidebar k in [0, 3+id%3) labeled at (id+2k)%6; inline anchors at
+    // paragraph indices p%3==2 wrapping the paragraph's LAST word (word
+    // index min(24(p+1), W)); footer /about + /terms. Ordinals follow
+    // document pre-order: nav, sidebar, inline, footer. Only inline anchors
+    // sit inside the chosen main block. Validated bit-for-bit against an
+    // independent Python recompute before wiring (CLAUDE.md protocol).
+    "html_links" -> LinkRowsSql("""SELECT 'doc://' || doc_id AS url, ord0 AS link_ord, href,
+        |       'doc://' || doc_id || href AS resolved, anchor_text, in_main
+        |FROM rows""".stripMargin),
+    "link_targets_top" -> LinkRowsSql("""SELECT href, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM rows GROUP BY href
+        |ORDER BY n_docs DESC, href LIMIT 20""".stripMargin),
     "lang_id" ->
       """WITH cj AS (SELECT doc_id,
         |              CAST(length(text) AS BIGINT) AS cps,
@@ -1772,6 +1852,22 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
         |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
         |       coalesce(m.nc, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id""".stripMargin,
+    // the bloom variant's oracle is the EXACT overlap under the bloom's
+    // column names: deterministic sketch layout + verified-FP-free corpus
+    // make the approximate result bit-for-bit recomputable (the same move
+    // the LSH/IVF oracles use, CLAUDE.md "approximate ops" rule)
+    "decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |     g AS (SELECT doc_id, CASE WHEN len(ws) >= 13
+        |                  THEN [array_to_string(ws[i:i+12],' ') for i in range(1, len(ws)-11)]
+        |                  ELSE [] END AS grams FROM w),
+        |     bench AS (SELECT DISTINCT grams[1] AS gram FROM g WHERE doc_id%41=0 AND len(grams)>0),
+        |     x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |     m AS (SELECT x.doc_id, count(*) AS nc FROM x JOIN bench USING (gram) GROUP BY x.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_flagged,
+        |       coalesce(m.nc, 0) > 0 AS flagged
         |FROM g LEFT JOIN m ON g.doc_id = m.doc_id""".stripMargin,
     // the payload headers are spec-conformant, so the decoded dimensions are
     // the generator's arithmetic — the oracle recomputes them directly

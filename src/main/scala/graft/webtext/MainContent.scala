@@ -99,6 +99,36 @@ object MainContent {
   def extract(html: String): String =
     bestBlock(HtmlDom.parse(html)).map(_.agg.paragraphs.mkString("\n")).getOrElse("")
 
+  /** One anchor in document pre-order: raw `href`, decoded text content, and
+    * whether the anchor sits inside the chosen main-content block. */
+  final case class Link(href: String, text: String, inMain: Boolean)
+
+  /** All `<a>` elements in document pre-order. `inMain` replays
+    * [[blocksWithRoot]]'s pre-order element numbering so membership means
+    * descendant-of the exact block [[pick]] chooses — including the wrapper
+    * tie-break (a `#content` shell that ties with the article marks the
+    * article's inline anchors as main either way, since the wrapper contains
+    * them). The link-graph/anchor-text stage of a crawl pipeline keys off
+    * this split: main-block anchors are editorial citations, the rest are
+    * boilerplate chrome. */
+  def links(html: String): Vector[Link] = {
+    val root = HtmlDom.parse(html)
+    val bestOrder = pick(blocks(root)).map(_.order).getOrElse(-1)
+    val out = Vector.newBuilder[Link]
+    var order = 0
+    def walk(node: HNode, inBest: Boolean): Unit = node match {
+      case e @ HElem(tag, _, kids) =>
+        val mine = order
+        order += 1
+        val in = inBest || mine == bestOrder
+        if (tag == "a") out += Link(e.attr("href").getOrElse(""), HtmlDom.textOf(e), in)
+        kids.foreach(walk(_, in))
+      case _ => ()
+    }
+    walk(root, inBest = false)
+    out.result()
+  }
+
   /** Whole-document block statistics (oracle-checkable counts). */
   final case class DocStats(n_anchors: Long, n_paragraphs: Long, n_comment_divs: Long,
                             main_paragraphs: Long, main_chars: Long)

@@ -139,6 +139,58 @@ object UrlOps {
         when(col("doc_id") % 4 === 0, "#Frag").otherwise(lit(""))
       ).as("url"))
 
+  /** Resolve `href` against an absolute base url. Total (never throws, never
+    * returns null) — crawl hrefs are attacker-controlled garbage, so every
+    * branch degrades to passing something through. Minimal RFC 3986 subset a
+    * link graph needs: absolute hrefs pass through, protocol-relative (`//h`)
+    * take the base scheme, rooted paths (`/p`) replace the base path,
+    * query/fragment-relative (`?q`, `#f`) replace from that component, and
+    * bare relative paths resolve against the base directory (no `..`
+    * normalization — [[normalize]] downstream owns canonical form). */
+  def resolve(base: String, href: String): String = {
+    if (href == null || href.isEmpty) return if (base == null) "" else base
+    if (base == null || base.isEmpty) return href
+    val si = base.indexOf("://")
+    if (si < 0) return href // schemeless base: nothing to resolve against
+    // any scheme-prefixed href is absolute — covers "x://..." and the
+    // non-hierarchical forms crawl pages carry (mailto:, tel:, javascript:,
+    // data:). RFC 3986: a leading segment with ':' can only be a scheme.
+    val ci = href.indexOf(':')
+    if (ci > 0 && href.charAt(0).isLetter &&
+        href.substring(0, ci).forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+      return href
+    val scheme = base.substring(0, si)
+    if (href.startsWith("//")) return scheme + ":" + href
+    val rest = base.substring(si + 3)
+    var pathStart = rest.length
+    var i = 0
+    while (i < rest.length && pathStart == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') pathStart = i
+      i += 1
+    }
+    val origin = scheme + "://" + rest.substring(0, pathStart)
+    val tail = rest.substring(pathStart) // "" or starts with / ? #
+    val c0 = href.charAt(0)
+    if (c0 == '/') origin + href
+    else if (c0 == '#') {
+      val cut = tail.indexOf('#')
+      origin + (if (cut < 0) tail else tail.substring(0, cut)) + href
+    } else if (c0 == '?') {
+      val q = tail.indexOf('?'); val h = tail.indexOf('#')
+      val cut = if (q >= 0 && (h < 0 || q < h)) q else h
+      origin + (if (cut < 0) tail else tail.substring(0, cut)) + href
+    } else {
+      // relative path: replace everything after the last '/' of the base
+      // path (query/fragment included); a path-less base resolves at root
+      val stop0 = { val q = tail.indexOf('?'); val h = tail.indexOf('#')
+        if (q < 0) h else if (h < 0) q else math.min(q, h) }
+      val path = if (stop0 < 0) tail else tail.substring(0, stop0)
+      val dir = path.lastIndexOf('/')
+      origin + (if (dir < 0) "/" else path.substring(0, dir + 1)) + href
+    }
+  }
+
   /** Host-grain rollup: docs and content bytes per canonical host — the
     * shape host blocklists and per-host quality priors consume. One hash
     * aggregation; host cardinality is ~10^7 at web scale, far below the

@@ -41,6 +41,32 @@ object WebText {
       })
   }
 
+  final case class PageLink(url: String, link_ord: Long, href: String,
+                            resolved: String, anchor_text: String, in_main: Boolean)
+
+  /** pages -> exploded anchor rows: raw href, absolute resolved target,
+    * decoded anchor text, pre-order ordinal within the page, and whether the
+    * anchor sits inside the chosen main-content block (editorial citation vs
+    * boilerplate chrome). The link-graph stage of a crawl pipeline: feed
+    * `resolved` to the frontier/PageRank side, `anchor_text` to the
+    * anchor-mining side. Map-side document-grain flatMap — no shuffle; at
+    * 10^12 pages the output is ~50x the row count but each row is tiny, and
+    * downstream consumers aggregate it immediately (see link_targets_top). */
+  def pageLinks(pages: DataFrame, saltPartitions: Int = 0): Dataset[PageLink] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Pipeline.saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        val ls = MainContent.links(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        var i = -1
+        ls.map { l =>
+          i += 1
+          PageLink(url, i.toLong, l.href, UrlOps.resolve(url, l.href), l.text, l.inMain)
+        }
+      }
+  }
+
   final case class BlockStats(url: String, n_anchors: Long, n_paragraphs: Long,
                               n_comment_divs: Long, main_paragraphs: Long, main_chars: Long)
 

@@ -289,6 +289,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"host_stats must partial-aggregate:\n$plan")
   }
 
+  test("html_links stays map-side; link_targets_top plans partial-agg + top-k") {
+    // exploded link table: document-grain flatMap, the only exchange is the
+    // explicit input repartition — at 10^12 pages a shuffle of the ~50x-row
+    // link table would dwarf the extraction itself
+    val links = executedPlan(SparkEntry.queries("html_links")(spark, sf))
+    assert("Exchange".r.findAllIn(links).size <= 1,
+      s"html_links must not shuffle beyond the input spread:\n$links")
+    // the rollup partial-aggregates on href map-side and takes top-k without
+    // materializing a global sort
+    val top = executedPlan(SparkEntry.queries("link_targets_top")(spark, sf))
+    assert(top.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$top")
+    assert(top.contains("HashAggregate"), s"href rollup must partial-aggregate:\n$top")
+  }
+
   test("line_dedup: narrow-key frequency agg with partials, no cartesian") {
     val df = SparkEntry.queries("line_dedup")(spark, sf)
     df.collect() // AQE finalizes the plan (frequency side becomes a broadcast)

@@ -175,6 +175,32 @@ class MainContentSpec extends AnyFunSuite {
       "<p>bare article paragraph</p></body></html>"
     assert(MainContent.extract(html) == "bare article paragraph")
   }
+
+  test("links: pre-order inventory, anchor text, and main-block membership match the generator") {
+    // independent recompute of HtmlGen's documented arithmetic (nav 4+id%4
+    // labeled at (id+k)%11, sidebar 3+id%3 at (id+2k)%6, inline at p%3==2
+    // wrapping the paragraph's last word, footer about/terms)
+    val nav = Array("homepage", "politics", "business", "sciences", "cultures",
+      "archives", "weathers", "sportive", "contacts", "newsfeed", "features")
+    val side = Array("trending now", "most shared", "editor desk", "latest wire",
+      "top stories", "deep dives")
+    for (docId <- 0L until 12L; n <- Seq(2, 10, 24, 73, 100)) {
+      val text = words(n)
+      val ws = text.split(" ", -1)
+      val p = (ws.length + 23) / 24
+      val exp = Vector.newBuilder[(String, String, Boolean)]
+      for (k <- 0 until (4 + docId % 4).toInt)
+        exp += (("/nav/" + k, nav(((docId + k) % 11).toInt), false))
+      for (k <- 0 until (3 + docId % 3).toInt)
+        exp += (("/rel/" + k, side(((docId + 2 * k) % 6).toInt), false))
+      for (pi <- 0 until p if pi % 3 == 2)
+        exp += ((s"/w/$docId/$pi", ws(math.min(24 * (pi + 1), ws.length) - 1), true))
+      exp += (("/about", "about us!", false))
+      exp += (("/terms", "terms!!!", false))
+      val got = MainContent.links(HtmlGen.page(docId, text)).map(l => (l.href, l.text, l.inMain))
+      assert(got == exp.result(), s"docId=$docId n=$n")
+    }
+  }
 }
 
 class WebTextSparkSpec extends AnyFunSuite {
@@ -201,6 +227,21 @@ class WebTextSparkSpec extends AnyFunSuite {
       saltPartitions = 3).toDF()
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
     assert(a.sameElements(b))
+  }
+
+  test("html_links is partition-invariant and marks exactly the inline anchors as main") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getBoolean(5))).sorted
+    val a = rows(SparkEntry.queries("html_links")(spark, sf))
+    val b = rows(graft.webtext.WebText.pageLinks(
+      graft.webtext.WebText.htmlPages(
+        spark.read.parquet(s"$sf/documents.parquet").repartition(7)).toDF(),
+      saltPartitions = 3).toDF())
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.forall { case (url, _, href, resolved, _, main) =>
+      main == href.startsWith("/w/") && resolved == url + href
+    })
   }
 }
 
@@ -237,6 +278,26 @@ class UrlOpsSpec extends AnyFunSuite {
     // a query emptied by filtering (or bare '?') loses its '?'
     assert(normalize("http://a.com/x?") == "http://a.com/x")
     assert(normalize("http://a.com/x?&") == "http://a.com/x")
+  }
+
+  test("resolve: absolute, scheme-prefixed, protocol-relative, rooted, query/fragment, relative") {
+    import graft.webtext.UrlOps.resolve
+    assert(resolve("doc://123", "/nav/0") == "doc://123/nav/0")
+    assert(resolve("https://a.com/x/y?q=1#f", "/p") == "https://a.com/p")
+    assert(resolve("https://a.com/x/y", "z") == "https://a.com/x/z")
+    assert(resolve("https://a.com", "z") == "https://a.com/z")
+    assert(resolve("https://a.com/x/y?q=1", "?r=2") == "https://a.com/x/y?r=2")
+    assert(resolve("https://a.com/x/y?q=1#f", "#g") == "https://a.com/x/y?q=1#g")
+    assert(resolve("https://a.com/x", "//b.com:443/z") == "https://b.com:443/z")
+    assert(resolve("https://a.com/x", "http://b.com/z") == "http://b.com/z")
+    assert(resolve("https://a.com/x", "mailto:u@b.c") == "mailto:u@b.c")
+    assert(resolve("https://a.com/x", "tel:+1-555") == "tel:+1-555")
+    // total: null/empty/garbage degrade, never throw
+    assert(resolve("https://a.com/x", "") == "https://a.com/x")
+    assert(resolve("https://a.com/x", null) == "https://a.com/x")
+    assert(resolve(null, "/p") == "/p")
+    assert(resolve("not a url", "/p") == "/p")
+    assert(resolve("https://a.com/dir/page", "img/1.png") == "https://a.com/dir/img/1.png")
   }
 
   test("normalize is total: schemeless/garbage/null pass through, never throw") {
