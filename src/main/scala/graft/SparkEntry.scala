@@ -498,28 +498,17 @@ object SparkEntry {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaWithPixels(tp(s, dir, "documents"))).toDF()
     }),
-    "sample_mixture" -> ((s, dir) => {
-      // deterministic stratified data-mixing: host k keeps (k+1)*10% via a
-      // salted FNV bucket of the doc identity — reproducible on any engine
-      // (the oracle recomputes the hash), map-side, zero corpus shuffle
-      val rates = (0 until 7).map(k => s"site$k.example.com" -> (k + 1) * 1000).toMap
-      graft.textops.Curate.sampleMixture(
-        graft.webtext.UrlOps.withNormalized(
-          graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents")))
-          .select("doc_id", "host"), rates)
-    }),
-    "mixture_manifest" -> ((s, dir) => {
+    // deterministic stratified data-mixing: host k keeps (k+1)*10% via a
+    // salted FNV bucket of the doc identity — reproducible on any engine
+    // (the oracle recomputes the hash), map-side, zero corpus shuffle
+    "sample_mixture" -> ((s, dir) => mixtureSample(s, dir)),
+    "mixture_manifest" -> ((s, dir) =>
       // the mixing run's audit table: per host, how many documents existed
       // and how many the rate kept (partial-agg rollup of sample_mixture)
-      val rates = (0 until 7).map(k => s"site$k.example.com" -> (k + 1) * 1000).toMap
-      graft.textops.Curate.sampleMixture(
-        graft.webtext.UrlOps.withNormalized(
-          graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents")))
-          .select("doc_id", "host"), rates)
+      mixtureSample(s, dir)
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("keep").cast("long")).as("n_kept"))
-    }),
+          sum(col("keep").cast("long")).as("n_kept"))),
     "audio_features" -> ((s, dir) => {
       // REAL audio decode: complete valid RIFF/WAVE PCM payloads parsed by
       // chunk walk (a LIST chunk sits before data, so fixed-offset readers
@@ -893,6 +882,32 @@ object SparkEntry {
       |       array_to_string([array_to_string(words[i:i+23], ' ')
       |                        for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin
+
+  /** The mixture pair's shared recipe: host k keeps (k+1)*10% (basis points)
+    * via a salted-FNV bucket of the doc identity. Both queries and both
+    * oracles derive from this single definition + [[MixtureRowsSql]], so the
+    * hash/salt/rates cannot desynchronize between them. */
+  private val MixtureRates: Map[String, Int] =
+    (0 until 7).map(k => s"site$k.example.com" -> (k + 1) * 1000).toMap
+
+  private def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.textops.Curate.sampleMixture(
+      graft.webtext.UrlOps.withNormalized(
+        graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents")))
+        .select("doc_id", "host"), MixtureRates)
+
+  /** Shared mixture CTE (`k`): doc -> (host, salted-FNV-1a HUGEINT bucket
+    * hash); the final SELECT runs over it. */
+  private def MixtureRowsSql(select: String): String =
+    """WITH k AS (
+      |  SELECT doc_id, 'site' || (doc_id%7) || '.example.com' AS host,
+      |         list_reduce(
+      |           list_prepend(14695981039346656037::HUGEINT,
+      |                        [unicode(c)::HUGEINT for c in string_split('mix:' || doc_id, '')]),
+      |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
+      |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
+      |  FROM documents)
+      |""".stripMargin + select
 
   /** Shared link-inventory CTE (`rows`): every anchor of every generated
     * page as (doc_id, ord0, href, anchor_text, in_main), recomputed from
@@ -1774,30 +1789,12 @@ object SparkEntry {
     // the keep decision is FNV-1a over 'mix:<doc_id>' mod 10000 — recomputed
     // byte-for-byte in SQL (HUGEINT arithmetic; ASCII input so the 7-bit xor
     // trick is exact), same pattern as doc_fingerprint
-    "sample_mixture" ->
-      """WITH k AS (
-        |  SELECT doc_id, 'site' || (doc_id%7) || '.example.com' AS host,
-        |         list_reduce(
-        |           list_prepend(14695981039346656037::HUGEINT,
-        |                        [unicode(c)::HUGEINT for c in string_split('mix:' || doc_id, '')]),
-        |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
-        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
-        |  FROM documents)
-        |SELECT doc_id, host, CAST(h % 10000 AS BIGINT) AS bucket,
+    "sample_mixture" -> MixtureRowsSql("""SELECT doc_id, host, CAST(h % 10000 AS BIGINT) AS bucket,
         |       (h % 10000) < (doc_id%7 + 1) * 1000 AS keep
-        |FROM k""".stripMargin,
-    "mixture_manifest" ->
-      """WITH k AS (
-        |  SELECT doc_id, 'site' || (doc_id%7) || '.example.com' AS host,
-        |         list_reduce(
-        |           list_prepend(14695981039346656037::HUGEINT,
-        |                        [unicode(c)::HUGEINT for c in string_split('mix:' || doc_id, '')]),
-        |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
-        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
-        |  FROM documents)
-        |SELECT host, count(*) AS n_docs,
+        |FROM k""".stripMargin),
+    "mixture_manifest" -> MixtureRowsSql("""SELECT host, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN (h % 10000) < (doc_id%7 + 1) * 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM k GROUP BY host""".stripMargin,
+        |FROM k GROUP BY host""".stripMargin),
     "audio_features" ->
       """WITH d AS (SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n FROM documents),
         |     s AS (SELECT doc_id, n,

@@ -109,20 +109,8 @@ object Curate {
       .toDF("doc_id", "host", "bucket", "keep")
   }
 
-  /** Benchmark decontamination (the GPT-3/PaLM-style 13-gram overlap check):
-    * flag training documents sharing any 13-word-gram with the evaluation
-    * set, BEFORE the eval set leaks into training. The bench-gram set is
-    * BROADCAST (eval sets are bounded — ~10^6-10^7 grams; production would
-    * broadcast a Bloom filter over the same hashes), so the check is one
-    * map-side pass with ZERO shuffle over the corpus — the only design that
-    * survives 10^12 documents.
-    *
-    * `benchDocs` contributes each qualifying document's FIRST 13-gram (the
-    * eval prompt head); membership is tested on the exact gram string here
-    * (at production scale the broadcast carries xxhash64 of the gram; at
-    * eval-set sizes a 64-bit collision is ~10^-5 per corpus and only widens
-    * the flag conservatively). Single-space word split, matching the corpus
-    * contract the other curation ops use. */
+  /** Null-safe single-space word split — the corpus contract the other
+    * curation ops use. */
   private def words(t: String): Array[String] =
     if (t == null || t.isEmpty) Array.empty else t.split(" ", -1)
 
@@ -137,6 +125,20 @@ object Curate {
       .distinct()
   }
 
+  /** Benchmark decontamination (the GPT-3/PaLM-style 13-gram overlap check):
+    * flag training documents sharing any 13-word-gram with the evaluation
+    * set, BEFORE the eval set leaks into training. The bench-gram set is
+    * BROADCAST (eval sets are bounded — ~10^6-10^7 grams; production would
+    * broadcast a Bloom filter over the same hashes, see
+    * [[contaminationBloom]]), so the check is one map-side pass with ZERO
+    * shuffle over the corpus — the only design that survives 10^12
+    * documents.
+    *
+    * `benchDocs` contributes each qualifying document's FIRST 13-gram (the
+    * eval prompt head); membership is tested on the exact gram string here
+    * (at production scale the broadcast carries xxhash64 of the gram; at
+    * eval-set sizes a 64-bit collision is ~10^-5 per corpus and only widens
+    * the flag conservatively). */
   def contamination(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default decode path spills through a temp-file cache; disable
+  // it once per JVM at object init (process-global static), not per decode
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: payload is opaque bytes + typed metadata struct fields. */
   final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
                             meta_width: Int, meta_height: Int)
@@ -251,9 +255,6 @@ object Multimodal {
     * LZW codes, inconsistent PNG metadata), so the degrade-never-throw
     * contract needs NonFatal, not just IOException. Returns null on any
     * decode failure. */
-  // once per JVM (object init), not per decode: it's a process-global static
-  javax.imageio.ImageIO.setUseCache(false)
-
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     catch { case scala.util.control.NonFatal(_) => null }

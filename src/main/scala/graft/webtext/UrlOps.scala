@@ -154,10 +154,13 @@ object UrlOps {
     if (si < 0) return href // schemeless base: nothing to resolve against
     // any scheme-prefixed href is absolute — covers "x://..." and the
     // non-hierarchical forms crawl pages carry (mailto:, tel:, javascript:,
-    // data:). RFC 3986: a leading segment with ':' can only be a scheme.
+    // data:). RFC 3986 schemes are ASCII-only (ALPHA *(ALPHA/DIGIT/+/-/.)):
+    // a non-ASCII first segment with ':' is a relative path, not a scheme.
+    def asciiAlpha(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     val ci = href.indexOf(':')
-    if (ci > 0 && href.charAt(0).isLetter &&
-        href.substring(0, ci).forall(c => c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+    if (ci > 0 && asciiAlpha(href.charAt(0)) &&
+        href.substring(0, ci).forall(c =>
+          asciiAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'))
       return href
     val scheme = base.substring(0, si)
     if (href.startsWith("//")) return scheme + ":" + href

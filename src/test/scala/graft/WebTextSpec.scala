@@ -298,6 +298,9 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(resolve(null, "/p") == "/p")
     assert(resolve("not a url", "/p") == "/p")
     assert(resolve("https://a.com/dir/page", "img/1.png") == "https://a.com/dir/img/1.png")
+    // RFC 3986 schemes are ASCII-only: a non-ASCII first segment with ':'
+    // is a relative path, not a scheme
+    assert(resolve("https://a.com/dir/page", "café:menu") == "https://a.com/dir/café:menu")
   }
 
   test("normalize is total: schemeless/garbage/null pass through, never throw") {
