@@ -722,6 +722,23 @@ object SparkEntry {
       graft.webtext.WebText.blockStats(
         graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
     }),
+    "warc_extract" -> ((s, dir) => {
+      // the Common-Crawl ingestion edge: deterministic WARC segment blobs ->
+      // record-boundary walk -> boilerplate strip; must be byte-identical to
+      // reading the pages table directly, so it shares html_main_content's
+      // oracle
+      graft.webtext.Warc.extractFromSegments(
+        graft.webtext.Warc.segmentsFromDocuments(tp(s, dir, "documents"))).toDF()
+    }),
+    "warc_stats" -> ((s, dir) => {
+      // per-segment ingestion audit: record count, first target URI, earliest
+      // WARC-Date (ISO strings end-to-end — TZ-free by construction)
+      graft.webtext.Warc.parse(
+        graft.webtext.Warc.segmentsFromDocuments(tp(s, dir, "documents"))).toDF()
+        .groupBy("segment_id")
+        .agg(count(lit(1)).as("n_records"), min("url").as("first_url"),
+          min("warc_date").as("min_date"))
+    }),
     "html_links" -> ((s, dir) => {
       // link-graph extraction: every anchor in pre-order with its raw href,
       // absolute resolved target, decoded anchor text, and main-block
@@ -1576,6 +1593,17 @@ object SparkEntry {
     // codegen-Expression paths must produce identical bytes)
     "html_main_content" -> HtmlMainOracleSql,
     "html_main_sql_expr" -> HtmlMainOracleSql,
+    // the WARC path must recover the pages byte-identically, so its oracle
+    // IS the main-content oracle; warc_stats recomputes the segment audit
+    // from doc_id arithmetic (make_timestamp is NTZ in DuckDB — the strftime
+    // render is TZ-invariant, verified under Asia/Kolkata + America/New_York)
+    "warc_extract" -> HtmlMainOracleSql,
+    "warc_stats" ->
+      """SELECT CAST(doc_id//16 AS BIGINT) AS segment_id,
+        |       CAST(count(*) AS BIGINT) AS n_records,
+        |       min('doc://' || doc_id) AS first_url,
+        |       min(strftime(make_timestamp(doc_id*3600*1000000), '%Y-%m-%dT%H:%M:%SZ')) AS min_date
+        |FROM documents GROUP BY 1""".stripMargin,
     // DOM statistics recomputed from the generator's arithmetic: nav links
     // 4+id%4, sidebar 3+id%3, footer 2, inline anchors floor(P/3); paragraphs
     // P + promo + copyright; comment divs 2+id%2; the chosen block is the

@@ -1,0 +1,168 @@
+package graft.webtext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** WARC/1.0 ingestion — the record format Common-Crawl ships its raw crawl
+  * in, and therefore the format the north-rule `pages` table is loaded FROM
+  * at 10^12-document scale. Two halves:
+  *
+  *   - synthesis ([[segmentsFromDocuments]]): the sandbox stand-in for a
+  *     crawl's segment files — deterministic WARC response records around
+  *     the [[HtmlGen]] pages, concatenated `RecordsPerSegment` to a blob
+  *     (real segments are ~1 GB `warc.gz` files; the blob row is this
+  *     engine's file-split unit).
+  *   - parsing ([[parse]]): a single forward walk over each blob — version
+  *     magic, header block to the blank line, `Content-Length` payload
+  *     slice, record separator. Never throws: a corrupt header, bad length,
+  *     or truncated payload drops the record and STOPS the walk (crawl
+  *     tails are routinely cut mid-record), emitting everything parsed
+  *     before the damage — same degrade contract as the PNG frame walk.
+  *
+  * Scale shape: parsing is mapPartitions at segment grain, O(bytes) per
+  * segment with memory bounded by the largest single record (the payload
+  * slice), zero shuffle. Payload bytes are never scanned for the magic —
+  * `Content-Length` skips them — so hostile page content cannot desync the
+  * walk. `WARC-Date` is carried as its ISO-8601 STRING form end-to-end
+  * (TZ-free; CLAUDE.md forbids NTZ casts on oracle-checked paths).
+  */
+object Warc {
+
+  val RecordsPerSegment = 16
+
+  private val DateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+
+  /** ISO-8601 UTC second-grain render of an epoch-millis instant. */
+  def warcDate(epochMs: Long): String =
+    DateFmt.format(java.time.Instant.ofEpochMilli(epochMs))
+
+  /** One WARC/1.0 response record: version line, named headers, blank line,
+    * payload, CRLF CRLF separator. */
+  def record(url: String, epochMs: Long, payload: Array[Byte]): Array[Byte] = {
+    val header =
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: ${warcDate(epochMs)}\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n"
+    val hb = header.getBytes(UTF_8)
+    val out = new Array[Byte](hb.length + payload.length + 4)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(payload, 0, out, hb.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** documents -> (segment_id, warc): `perSegment` records per blob in
+    * doc_id order (doc_id / perSegment buckets). The groupByKey shuffle is
+    * the synthesis side only — the parse path is shuffle-free. */
+  def segmentsFromDocuments(docs: DataFrame, perSegment: Int = RecordsPerSegment): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        (id / perSegment, id,
+          record(pageplus.data.PagesFromDocuments.url(id), id * 3600 * 1000L,
+            HtmlGen.page(id, t).getBytes(UTF_8)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (seg, it) =>
+        val recs = it.toArray.sortBy(_._2)
+        val buf = new Array[Byte](recs.iterator.map(_._3.length).sum)
+        var off = 0
+        recs.foreach { r => System.arraycopy(r._3, 0, buf, off, r._3.length); off += r._3.length }
+        (seg, buf)
+      }
+      .toDF("segment_id", "warc")
+  }
+
+  final case class WarcRecord(segment_id: Long, url: String, warc_date: String,
+                              content_length: Long, html: Array[Byte])
+
+  private val Magic = "WARC/1.0\r\n".getBytes(UTF_8)
+
+  private def startsWith(b: Array[Byte], at: Int, pat: Array[Byte]): Boolean = {
+    if (at + pat.length > b.length) return false
+    var i = 0
+    while (i < pat.length) { if (b(at + i) != pat(i)) return false; i += 1 }
+    true
+  }
+
+  /** Index of CRLF CRLF at-or-after `from`, or -1. */
+  private def headerEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Walk one segment blob; emits parsed records until damage stops it. */
+  def parseSegment(segmentId: Long, blob: Array[Byte]): Vector[WarcRecord] = {
+    val out = Vector.newBuilder[WarcRecord]
+    var i = 0
+    var ok = true
+    while (ok && i < blob.length) {
+      if (!startsWith(blob, i, Magic)) ok = false
+      else {
+        val he = headerEnd(blob, i + Magic.length)
+        if (he < 0) ok = false
+        else {
+          var url: String = null; var date: String = null; var clen = -1L
+          new String(blob, i + Magic.length, he - i - Magic.length, UTF_8)
+            .split("\r\n", -1).foreach { line =>
+              val c = line.indexOf(':')
+              if (c > 0) {
+                val k = line.substring(0, c).trim.toLowerCase
+                val v = line.substring(c + 1).trim
+                k match {
+                  case "warc-target-uri" => url = v
+                  case "warc-date"       => date = v
+                  case "content-length" =>
+                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+            }
+          val payloadStart = he + 4
+          if (url == null || date == null || clen < 0 ||
+              payloadStart + clen + 4 > blob.length) ok = false // truncated/corrupt: drop + stop
+          else {
+            val payload = java.util.Arrays.copyOfRange(blob, payloadStart, payloadStart + clen.toInt)
+            val sep = payloadStart + clen.toInt
+            if (blob(sep) == '\r' && blob(sep + 1) == '\n' &&
+                blob(sep + 2) == '\r' && blob(sep + 3) == '\n') {
+              out += WarcRecord(segmentId, url, date, clen, payload)
+              i = sep + 4
+            } else ok = false
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** (segment_id, warc) -> exploded records. Map-side; no shuffle. */
+  def parse(segments: DataFrame): Dataset[WarcRecord] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select("segment_id", "warc").as[(Long, Array[Byte])]
+      .flatMap { case (seg, blob) => parseSegment(seg, blob) }
+  }
+
+  final case class WarcExtracted(url: String, extracted_text: String)
+
+  /** The full ingestion edge: segment blobs -> records -> boilerplate-strip
+    * -> (url, extracted_text), byte-identical to reading the pages table
+    * directly (the html_main_content oracle checks exactly that). */
+  def extractFromSegments(segments: DataFrame): Dataset[WarcExtracted] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    parse(segments.toDF()).map(r =>
+      WarcExtracted(r.url, MainContent.extract(new String(r.html, UTF_8))))
+  }
+}

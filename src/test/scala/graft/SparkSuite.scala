@@ -228,7 +228,10 @@ class TzInvarianceSpec extends AnyFunSuite {
     // rendering that leaks the session zone changes answers under a DST zone
     // (VERDICT r1: q11_sessionize failed exactly this way on the driver)
     val names = Seq("q11_sessionize", "q10_events_window", "q1_agg", "q6_filter",
-      "stream_events_window", "stream_sessionize")
+      "stream_events_window", "stream_sessionize",
+      // WARC-Date is an ISO string rendered by an explicit-UTC formatter
+      // from epoch millis — invariance here pins that no NTZ cast sneaks in
+      "warc_stats")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
