@@ -490,6 +490,17 @@ object SparkEntry {
       // within-document duplicate word/bigram counts (Gopher dup-fraction family)
       graft.textops.Curate.repetitionStats(tp(s, dir, "documents"))
     }),
+    "lm_quality" -> ((s, dir) => {
+      // CCNet-style LM filter: corpus-trained character-trigram model on the
+      // deterministic 30% slice, integer fixed-point inverse-probability
+      // surprise per doc (broadcast LM, two map-side passes)
+      graft.textops.Curate.lmQuality(tp(s, dir, "documents"))
+    }),
+    "tfidf_keywords" -> ((s, dir) => {
+      // per-doc TF-IDF top-5 keyword extraction, integer fixed-point IDF
+      // surrogate; term-keyed shuffle join (vocab not broadcast-assumed)
+      graft.textops.Keywords.tfidfTopK(tp(s, dir, "documents"))
+    }),
     "multimodal_features" -> ((s, dir) => {
       // REAL pixel decode (VERDICT r3 item 3): complete valid PNG payloads
       // (deflate + CRC32) -> javax.imageio batch decode -> exact integer
@@ -754,6 +765,15 @@ object SparkEntry {
         graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF())
         .groupBy("href").agg(count(lit(1)).as("n_docs"))
         .orderBy(desc("n_docs"), asc("href")).limit(20)
+    }),
+    "host_rank" -> ((s, dir) => {
+      // damped PageRank over the synthetic host graph, 3 fixed iterations in
+      // integer fixed-point (rank scaled 10^6, basis-point damping) so the
+      // oracle's unrolled CTEs recompute it bit-for-bit. tp(): the edge
+      // synthesis + partial count run pre-shuffle in the scan stage.
+      graft.webtext.HostRank.rank(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
+        .orderBy("host")
     }),
     // ---- layout-text reading order (north_rule: PDF/layout parse): spans
     // (page, x, y, text-run) in scrambled stream order -> column clustering
@@ -1633,6 +1653,37 @@ object SparkEntry {
     "link_targets_top" -> LinkRowsSql("""SELECT href, CAST(count(*) AS BIGINT) AS n_docs
         |FROM rows GROUP BY href
         |ORDER BY n_docs DESC, href LIMIT 20""".stripMargin),
+    // host_rank: the engine's integer fixed-point PageRank unrolled as 3 CTE
+    // iterations over the same edge recipe; // is DuckDB integral division
+    // (floor; all values non-negative so it matches Spark's trunc `div`).
+    "host_rank" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM e0 GROUP BY src, dst),
+        |ow AS (SELECT src, sum(weight) AS outw FROM e GROUP BY src),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT host, 1000000 // (SELECT n FROM nn) AS rank FROM nodes),
+        |r1 AS (SELECT n.host, ((10000-8500)*1000000//10000) // (SELECT n FROM nn) + coalesce(s.c, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS host, sum((r0.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
+        |         FROM e JOIN ow USING (src) JOIN r0 ON r0.host = e.src GROUP BY e.dst) s USING (host)),
+        |r2 AS (SELECT n.host, ((10000-8500)*1000000//10000) // (SELECT n FROM nn) + coalesce(s.c, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS host, sum((r1.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
+        |         FROM e JOIN ow USING (src) JOIN r1 ON r1.host = e.src GROUP BY e.dst) s USING (host)),
+        |r3 AS (SELECT n.host, ((10000-8500)*1000000//10000) // (SELECT n FROM nn) + coalesce(s.c, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS host, sum((r2.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
+        |         FROM e JOIN ow USING (src) JOIN r2 ON r2.host = e.src GROUP BY e.dst) s USING (host))
+        |SELECT host, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY host""".stripMargin,
     "lang_id" ->
       """WITH cj AS (SELECT doc_id,
         |              CAST(length(text) AS BIGINT) AS cps,
@@ -1774,6 +1825,37 @@ object SparkEntry {
         |                  AND c - (len(ws) - 1) BETWEEN 3*len(ws) AND 10*len(ws)
         |             THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM w""".stripMargin,
+    // lm_quality: DuckDB recomputes the trigram LM and the integer surprise
+    // surrogate exactly (// is integral floor; all values non-negative so it
+    // matches Spark's trunc `div`). Validated against a Python recompute.
+    "lm_quality" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
+        |        FROM t WHERE length(lt) >= 3),
+        |lm AS (SELECT tri, CAST(count(*) AS BIGINT) AS tc FROM tri WHERE doc_id%10<3 GROUP BY tri),
+        |bg AS (SELECT substring(tri,1,2) AS bi, sum(tc) AS bt FROM lm GROUP BY bi),
+        |sc AS (SELECT d.doc_id,
+        |              CASE WHEN lm.tc IS NULL THEN 4096000
+        |                   ELSE least((bg.bt*4096)//lm.tc, 4096000) END AS s
+        |       FROM tri d LEFT JOIN lm ON d.tri = lm.tri
+        |                  LEFT JOIN bg ON substring(d.tri,1,2) = bg.bi)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris, CAST(sum(s) AS BIGINT) AS surprise_total,
+        |       CAST(sum(s)//count(*) AS BIGINT) AS surprise_avg
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // tfidf_keywords: same integer IDF surrogate (N*4096)//df; ties broken
+    // by term so the per-doc top-5 is total-ordered on both sides.
+    "tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf * (((SELECT n FROM n)*4096)//df.df) AS score
+        |       FROM tf JOIN df USING (term)),
+        |rk AS (SELECT doc_id, term, score,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |       FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 5""".stripMargin,
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |b AS (SELECT doc_id, ws, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bg FROM w)

@@ -215,4 +215,54 @@ object Curate {
       }
       .toDF("doc_id", "n_grams", "n_flagged", "flagged")
   }
+
+  /** CCNet-style LM quality scoring with a corpus-trained character-trigram
+    * model, in integer fixed-point so the oracle recomputes it bit-for-bit.
+    *
+    * The pipeline stage: train a small LM on a trusted slice, score every
+    * document by how "surprising" its text is under that LM, and gate or
+    * bucket on the score (CCNet's perplexity head/middle/tail split). Here
+    * the trusted slice is the deterministic 30% `doc_id % 10 < 3`, and the
+    * float log-perplexity is replaced by an integer surrogate with the same
+    * ordering intent: per trigram occurrence,
+    *   surprise = min( (context_total * scale) div count(trigram), cap )
+    * i.e. the truncated fixed-point inverse conditional probability
+    * 1/P(c3|c1c2), capped at `scale*capFactor` (unseen trigrams score the
+    * cap). Per document: n_tris, surprise_total, surprise_avg (trunc mean).
+    * All divisions are single trunc-divisions on non-negative longs, so
+    * Spark `div` and DuckDB `//` agree exactly.
+    *
+    * Scale shape: two passes over the corpus (LM build, scoring) — the CCNet
+    * shape. Trigram extraction is a map-side explode; the LM build collapses
+    * to distinct-trigram grain via partial aggregation (key space bounded by
+    * charset^3, ≪ corpus); scoring joins the exploded stream to the
+    * BROADCAST LM (a few MB even for full unicode text in practice) and
+    * rolls up at doc grain, where partial aggregation again collapses each
+    * partition to one row per doc before the shuffle. No corpus-sized
+    * shuffle anywhere; switch the broadcast to a shuffle join only if the
+    * observed trigram space outgrows executor memory.
+    */
+  def lmQuality(docs: DataFrame, scale: Long = 4096L,
+                capFactor: Long = 1000L): DataFrame = {
+    val cap = scale * capFactor
+    val tris = docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .filter(length(col("lt")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))")).as("tri"))
+    val lmTri = tris.filter(col("doc_id") % 10 < 3)
+      .groupBy("tri").agg(count(lit(1)).as("tc"))
+      .withColumn("bi", substring(col("tri"), 1, 2))
+    // context totals derived from the trigram table itself (sum over c3), so
+    // boundary effects can't desync numerator and denominator
+    val lmBi = lmTri.groupBy("bi").agg(sum("tc").as("bt"))
+    val lm = lmTri.join(lmBi, "bi").select("tri", "tc", "bt")
+    tris.join(broadcast(lm), Seq("tri"), "left")
+      .select(col("doc_id"),
+        when(col("tc").isNull, lit(cap))
+          .otherwise(least(expr(s"(bt * ${scale}L) div tc"), lit(cap))).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tris"), sum("s").as("surprise_total"))
+      .withColumn("surprise_avg", expr("surprise_total div n_tris"))
+  }
 }

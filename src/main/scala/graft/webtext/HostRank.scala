@@ -1,0 +1,92 @@
+package graft.webtext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-rank: damped PageRank over the (src_host, dst_host, weight) link
+  * graph, in integer fixed-point so an SQL oracle can recompute the result
+  * bit-for-bit (the ann_oracle_check pattern — CLAUDE.md approximate-op rule).
+  *
+  * The crawl-curation use: hosts accumulating rank from many independent
+  * linking hosts are "endorsed" sources, a standard quality prior for
+  * corpus weighting (alongside the Gopher gates and host_stats rollups).
+  * The reference has no graph op (its corpus is a directory of PAGE-XML
+  * files); this belongs to the web-scale tier the north rule asks for.
+  *
+  * Arithmetic contract (shared verbatim by the DuckDB oracle):
+  *   - ranks carry `scale` fixed-point units (default 10^6); total mass
+  *     `scale` is floor-split as `scale div n` initial rank per host;
+  *   - per edge, contribution = (rank * weight * dampBp) div (outw * 10000)
+  *     where outw = sum of the source host's edge weights — a single
+  *     integral division AFTER the full product, so the oracle needs no
+  *     intermediate-rounding gymnastics;
+  *   - new rank = teleport + sum(contributions), teleport =
+  *     ((10000-dampBp) * scale div 10000) div n, a driver-side constant.
+  *   All values are non-negative so trunc-division (Spark `div`, DuckDB `//`)
+  *   and floor-division agree. Overflow bound: rank*weight*dampBp < 2^63
+  *   requires per-edge weight < ~10^9 at scale=10^6 — at 100 TB aggregate
+  *   host-pair weights approach that only for a handful of mega-pairs;
+  *   raise to a DECIMAL(38,0) product (same trunc semantics) if exceeded.
+  *
+  * Scale shape: one loop-invariant (src, dst, weight, outw) edge table,
+  * cached; each iteration is edges ⋈ rank on src (shuffle ∝ |edges|),
+  * a dst-grain partial-then-final aggregation, and a node-grain left join —
+  * the canonical distributed PageRank plan. Rank/node tables are host-grain
+  * (≪ corpus doc count), never broadcast-assumed, so the same plan runs at
+  * 10^7 hosts. Fixed small iteration count keeps lineage shallow; no
+  * checkpoint needed.
+  */
+object HostRank {
+
+  /** Deterministic synthetic host graph from `documents` (TESTDATA.md shape):
+    * 7 hosts site{0..6}.example.com; every doc links site(id%7) →
+    * site((2id+1)%7); docs with id%3==0 add a cross edge to site((3id+2)%7);
+    * docs with id%5<2 add a hub edge to site0 (skews in-degree so ranks
+    * differentiate: site0 ends ~3.3× site6 at sf0.01). Edge weight = number
+    * of contributing docs, aggregated at (src, dst) grain.
+    */
+  def hostEdges(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def site(e: org.apache.spark.sql.Column) =
+      concat(lit("site"), e.cast("string"), lit(".example.com"))
+    val base = docs.select(site(id % 7).as("src"), site((id * 2 + 1) % 7).as("dst"))
+    val cross = docs.filter(id % 3 === 0)
+      .select(site(id % 7).as("src"), site((id * 3 + 2) % 7).as("dst"))
+    val hub = docs.filter(id % 5 < 2)
+      .select(site(id % 7).as("src"), lit("site0.example.com").as("dst"))
+    base.unionByName(cross).unionByName(hub)
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+  }
+
+  /** Iterate damped PageRank over `edges` (src, dst, weight) for a fixed
+    * `iters` rounds. Returns (host, rank) with `rank` in `scale` fixed-point
+    * units. See the object scaladoc for the exact integer arithmetic.
+    */
+  def rank(edges: DataFrame, iters: Int = 3, dampBp: Long = 8500L,
+           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampBp >= 0 && dampBp <= 10000 && scale > 0)
+    val nodes = edges.select(col("src").as("host"))
+      .unionByName(edges.select(col("dst").as("host")))
+      .distinct().cache()
+    val n = nodes.count()
+    // Loop-invariant denominator fused onto the edge table once.
+    val outW = edges.groupBy("src").agg(sum("weight").as("outw"))
+    val edgesN = edges.join(outW, "src").cache()
+    val teleport = ((10000L - dampBp) * scale / 10000L) / n
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = edgesN
+        .join(ranks.withColumnRenamed("host", "src"), "src")
+        .select(col("dst").as("host"),
+          expr(s"(rank * weight * ${dampBp}L) div (outw * 10000L)").as("c"))
+        .groupBy("host").agg(sum("c").as("in_rank"))
+      ranks = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (lit(teleport) + coalesce(col("in_rank"), lit(0L))).as("rank"))
+    }
+    // nodes/edgesN stay cached: the returned plan references nodes in every
+    // iteration subtree, so unpersisting here would recompute it per subtree
+    // when the caller finally evaluates.
+    ranks
+  }
+}

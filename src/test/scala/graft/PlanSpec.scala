@@ -413,4 +413,47 @@ class PlanSpec extends AnyFunSuite {
       s"expected the explicit bucket repartition in:\n$plan")
     assert(plan.contains("HashAggregate"), "expected partial+final aggregation")
   }
+
+  test("lm_quality: LM side broadcasts, scoring stays doc-grain partial-agg") {
+    val plan = executedPlan(SparkEntry.queries("lm_quality")(spark, sf))
+    // the scoring join must be broadcast (LM is vocabulary-grain, tiny vs the
+    // exploded token stream) and the doc rollup a partial+final HashAggregate
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast LM join in:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected partial+final doc rollup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "no product joins on the scoring path")
+  }
+
+  test("tfidf_keywords: top-k is group-limited; term join degrades to shuffle when vocab outgrows broadcast") {
+    val plan = executedPlan(SparkEntry.queries("tfidf_keywords")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // Spark 4 must push the per-doc top-5 as WindowGroupLimit (partial+final),
+    // not a full per-doc sort-materialize
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected window group-limit pushdown in:\n$plan")
+    // at crawl scale the vocabulary outgrows any broadcast threshold: with
+    // broadcast disabled the term join must plan as a shuffle join — no
+    // hard-coded broadcast hint may block the scale path (at test scale the
+    // optimizer is free to broadcast the tiny df side, and does)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = executedPlan(SparkEntry.queries("tfidf_keywords")(spark, sf))
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        s"expected a shuffled term join with broadcast off:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("host_rank: per-iteration shuffles stay edge/node-grain, no product join") {
+    val ranks = graft.webtext.HostRank.rank(
+      graft.webtext.HostRank.hostEdges(spark.read.parquet(s"$sf/documents.parquet")))
+    val plan = executedPlan(ranks)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no product joins in the PageRank loop:\n$plan")
+    // the loop-invariant (src,dst,weight,outw) edge table must be cached once
+    // and reused by every iteration subtree
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the cached edge table to be scanned from memory:\n$plan")
+  }
 }

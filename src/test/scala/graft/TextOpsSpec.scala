@@ -526,3 +526,75 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.width == -1 && got.head.px_sum == 0L)
   }
 }
+
+class LmQualitySpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("lmQuality matches a driver-side integer recompute on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase)).toSeq
+    val S = 4096L; val CAP = S * 1000L
+    val tc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((id, lt) <- rows if id % 10 < 3; p <- 0 to lt.length - 3)
+      tc(lt.substring(p, p + 3)) += 1
+    val bt = tc.groupBy(_._1.substring(0, 2)).map { case (b, m) => b -> m.values.sum }
+    def surprise(tri: String): Long = tc.get(tri) match {
+      case None => CAP
+      case Some(c) => math.min(bt(tri.substring(0, 2)) * S / c, CAP)
+    }
+    val expected = rows.collect { case (id, lt) if lt.length >= 3 =>
+      val n = (lt.length - 2).toLong
+      val tot = (0 to lt.length - 3).map(p => surprise(lt.substring(p, p + 3))).sum
+      (id, n, tot, tot / n)
+    }.sortBy(_._1)
+
+    val got = Curate.lmQuality(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // scores must differentiate documents, and the trunc-mean bound holds
+    assert(got.map(_._4).distinct.size > 1)
+    assert(got.forall { case (_, n, tot, avg) => avg * n <= tot && tot < (avg + 1) * n })
+  }
+
+  test("lmQuality caps unseen trigrams and the cap dominates seen surprise") {
+    import spark.implicits._
+    // doc 3 is holdout (3%10>=3) and pure emoji — no trigram overlap with the
+    // training docs -> every trigram scores exactly the cap
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (10L, "the quick brown fox jumps again and again"),
+      (3L, "☺☻♠♣♥♦☺☻")
+    ).toDF("doc_id", "text")
+    val out = Curate.lmQuality(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(3L)._2 == 4096L * 1000L)        // all-unseen => avg == cap
+    assert(out(0L)._2 < 4096L * 1000L)         // training doc is below cap
+  }
+}
+
+class TfidfSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("tfidfTopK matches a driver-side integer recompute on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase)).toSeq
+    val S = 4096L
+    val n = rows.size.toLong
+    val toks = rows.map { case (i, lt) => i -> lt.split(" ", -1).toSeq }.toMap
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val expected = toks.toSeq.flatMap { case (i, ws) =>
+      val tf = ws.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      tf.toSeq.map { case (t, f) => (f * ((n * S) / df(t)), t) }
+        .sortBy { case (sc, t) => (-sc, t) }.take(5).zipWithIndex
+        .map { case ((sc, t), r0) => (i, (r0 + 1).toLong, t, sc) }
+    }.sorted
+
+    val got = Keywords.tfidfTopK(docs).orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.size == rows.size * 5)
+  }
+}

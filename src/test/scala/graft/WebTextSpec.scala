@@ -340,3 +340,48 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(hostOf("no scheme") == "")
   }
 }
+
+class HostRankSpec extends AnyFunSuite {
+  import SparkSuite._
+  import org.apache.spark.sql.functions._
+  import graft.webtext.HostRank
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("hostRank matches a driver-side integer recompute on the sf0.001 graph") {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // pure-Scala recompute of the exact arithmetic contract
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (i <- ids) {
+      w((i % 7, (2 * i + 1) % 7)) += 1
+      if (i % 3 == 0) w((i % 7, (3 * i + 2) % 7)) += 1
+      if (i % 5 < 2) w((i % 7, 0L)) += 1
+    }
+    val outw = w.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    val n = 7L; val scale = 1000000L; val damp = 8500L
+    val teleport = ((10000L - damp) * scale / 10000L) / n
+    var r = (0L until 7L).map(h => h -> scale / n).toMap
+    for (_ <- 1 to 3) {
+      val c = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (((s0, d), wt) <- w) c(d) += r(s0) * wt * damp / (outw(s0) * 10000L)
+      r = (0L until 7L).map(h => h -> (teleport + c(h))).toMap
+    }
+    val expected = r.map { case (h, v) => (s"site$h.example.com", v) }.toSeq.sorted
+
+    val got = HostRank.rank(HostRank.hostEdges(docs)).orderBy("host")
+      .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(got == expected)
+    // the hub edge class must actually differentiate ranks
+    assert(got.head._2 > 2 * got.last._2, s"no skew: $got")
+  }
+
+  test("hostRank conserves mass within truncation loss and respects damping bounds") {
+    val ranks = HostRank.rank(HostRank.hostEdges(docs))
+    val total = ranks.agg(sum("rank")).collect()(0).getLong(0)
+    // each of 3 iterations truncates at most (edges + 2) units of mass per
+    // division plus the teleport floor; at this scale loss stays tiny
+    assert(total > 900000L && total <= 1000000L, s"mass: $total")
+    val minR = ranks.agg(min("rank")).collect()(0).getLong(0)
+    assert(minR >= ((10000L - 8500L) * 1000000L / 10000L) / 7L) // >= teleport
+  }
+}
