@@ -766,6 +766,19 @@ object SparkEntry {
         .groupBy("href").agg(count(lit(1)).as("n_docs"))
         .orderBy(desc("n_docs"), asc("href")).limit(20)
     }),
+    "anchor_text_agg" -> ((s, dir) => {
+      // anchor-text mining: top-3 terms per cross-document target (citation
+      // floor >= 2 distinct pages) — target description by inbound anchors
+      graft.webtext.WebText.anchorTextAgg(
+        graft.webtext.WebText.pageLinks(
+          graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF())
+    }),
+    "crawl_delta" -> ((s, dir) => {
+      // recrawl snapshot diff: narrow (xxhash64, length) content keys into a
+      // co-partitioned full-outer join; added/removed/changed/unchanged
+      val a = tp(s, dir, "documents")
+      graft.webtext.Recrawl.delta(a, graft.webtext.Recrawl.snapshotB(a))
+    }),
     "host_rank" -> ((s, dir) => {
       // damped PageRank over the synthetic host graph, 3 fixed iterations in
       // integer fixed-point (rank scaled 10^6, basis-point damping) so the
@@ -1653,6 +1666,33 @@ object SparkEntry {
     "link_targets_top" -> LinkRowsSql("""SELECT href, CAST(count(*) AS BIGINT) AS n_docs
         |FROM rows GROUP BY href
         |ORDER BY n_docs DESC, href LIMIT 20""".stripMargin),
+    // anchor_text_agg: same link-inventory CTE; citation floor via HAVING on
+    // distinct doc_id, per-target top-3 terms with term tie-break.
+    "anchor_text_agg" -> LinkRowsSql(
+      """SELECT href, term, CAST(rank AS BIGINT) AS rank, cnt FROM (
+        |  SELECT href, term, CAST(count(*) AS BIGINT) AS cnt,
+        |         row_number() OVER (PARTITION BY href ORDER BY count(*) DESC, term) AS rank
+        |  FROM (SELECT href, unnest(string_split(anchor_text, ' ')) AS term
+        |        FROM rows WHERE href IN (SELECT href FROM rows GROUP BY href HAVING count(DISTINCT doc_id) >= 2))
+        |  GROUP BY href, term)
+        |WHERE rank <= 3""".stripMargin),
+    // crawl_delta: the oracle rebuilds snapshot B and classifies by direct
+    // text equality; the engine compares (xxhash64, length) content keys —
+    // same classification barring a 64-bit same-length collision (the
+    // dedup_exact tradeoff).
+    "crawl_delta" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, CASE WHEN doc_id%5=1 THEN text || ' updated' ELSE text END AS text
+        |      FROM documents WHERE doc_id%7<>3
+        |      UNION ALL
+        |      SELECT doc_id+1000000 AS doc_id, 'recrawl new page ' || doc_id AS text
+        |      FROM documents WHERE doc_id%11=0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.text = b.text THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
     // host_rank: the engine's integer fixed-point PageRank unrolled as 3 CTE
     // iterations over the same edge recipe; // is DuckDB integral division
     // (floor; all values non-negative so it matches Spark's trunc `div`).

@@ -83,4 +83,31 @@ object WebText {
           s.main_paragraphs, s.main_chars)
       })
   }
+
+  /** Anchor-text mining: for every cross-document target (cited by at least
+    * `minDocs` distinct pages), the top-`k` terms across all anchor texts
+    * pointing at it — the classic web-IR move of describing a target by how
+    * OTHERS link to it (query-independent doc augmentation / retrieval keys).
+    * Per-page-unique targets are excluded by the citation floor, not by URL
+    * pattern, so the rule generalizes to real crawls.
+    *
+    * Scale shape: citation floor = href-grain distinct-count partial agg;
+    * the floor table joins back LEFT SEMI (Catalyst broadcasts it when small,
+    * shuffles when not — no hard hint); term counting is (href, term)-grain
+    * partial agg on the exploded anchor stream; top-k plans as
+    * WindowGroupLimit. Nothing corpus-quadratic. */
+  def anchorTextAgg(links: DataFrame, minDocs: Long = 2L, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cited = links.groupBy("href")
+      .agg(count_distinct(col("url")).as("nd"))
+      .filter(col("nd") >= minDocs).select("href")
+    val counted = links.join(cited, Seq("href"), "left_semi")
+      .select(col("href"), explode(split(col("anchor_text"), " ", -1)).as("term"))
+      .groupBy("href", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("href").orderBy(desc("cnt"), asc("term"))
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("href"), col("term"), col("rank").cast("long").as("rank"), col("cnt"))
+  }
 }

@@ -385,3 +385,59 @@ class HostRankSpec extends AnyFunSuite {
     assert(minR >= ((10000L - 8500L) * 1000000L / 10000L) / 7L) // >= teleport
   }
 }
+
+class RecrawlSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.Recrawl
+
+  test("delta classifies added/removed/changed/unchanged per the snapshot recipe") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Recrawl.delta(docs, Recrawl.snapshotB(docs)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    for (i <- ids) {
+      val expect =
+        if (i % 7 == 3) "removed"
+        else if (i % 5 == 1) "changed"
+        else "unchanged"
+      assert(got(i) == expect, s"doc $i")
+      if (i % 11 == 0) assert(got(i + 1000000L) == "added", s"new doc from $i")
+    }
+    assert(got.size == ids.size + ids.count(_ % 11 == 0))
+    // every class must occur at this sf
+    assert(got.values.toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("delta is symmetric-safe: identical snapshots are all unchanged") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val st = Recrawl.delta(docs, docs).select("status").distinct().collect().map(_.getString(0))
+    assert(st.toSeq == Seq("unchanged"))
+  }
+}
+
+class AnchorTextAggSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.WebText
+
+  test("anchorTextAgg matches a driver-side recompute and honors the citation floor") {
+    val links = WebText.pageLinks(
+      WebText.htmlPages(spark.read.parquet(s"$sf/documents.parquet")).toDF()).toDF()
+    val raw = links.select("href", "anchor_text", "url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val docsPer = raw.groupBy(_._1).map { case (h, xs) => h -> xs.map(_._3).distinct.size }
+    val agg = raw.filter(x => docsPer(x._1) >= 2)
+      .flatMap { case (h, a, _) => a.split(" ", -1).map(h -> _) }
+      .groupBy(identity).map { case ((h, t), xs) => (h, t, xs.size.toLong) }
+    val expected = agg.groupBy(_._1).toSeq.flatMap { case (h, xs) =>
+      xs.toSeq.sortBy { case (_, t, c) => (-c, t) }.take(3).zipWithIndex
+        .map { case ((_, t, c), r0) => (h, t, (r0 + 1).toLong, c) }
+    }.sorted
+
+    val got = WebText.anchorTextAgg(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == expected)
+    // per-page-unique inline targets are excluded by the floor
+    assert(!got.exists(_._1.startsWith("/w/")))
+    assert(got.nonEmpty)
+  }
+}
