@@ -788,6 +788,26 @@ object SparkEntry {
         graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
         .orderBy("host")
     }),
+    "crawl_budget" -> ((s, dir) => {
+      // rank-proportional fetch-slot allocation composed on host_rank's
+      // fixed-point output: budget = (rank * 10^6) div sum(rank); the 1-row
+      // global sum is broadcast onto the host-grain table (no big-side
+      // shuffle, one map stage after rank() converges)
+      graft.webtext.HostRank.crawlBudget(
+        graft.webtext.HostRank.rank(
+          graft.webtext.HostRank.hostEdges(tp(s, dir, "documents"))))
+        .orderBy("host")
+    }),
+    "text_normalize" -> ((s, dir) => {
+      // NFC + NBSP/zero-width/CR cleanup + space collapse over planted messy
+      // text, via the codegen Catalyst Expression (no ScalaUDF boundary) —
+      // the canonical-bytes pass every exact-match op depends on
+      val raw = graft.textops.TextNorm.plantMessy(tp(s, dir, "documents"))
+      raw.select(col("doc_id"),
+          graft.expr.TextNormalizeExpr.textNormalize(col("raw")).as("text_norm"))
+        .withColumn("n_chars", length(col("text_norm")).cast("long"))
+        .orderBy("doc_id")
+    }),
     // ---- layout-text reading order (north_rule: PDF/layout parse): spans
     // (page, x, y, text-run) in scrambled stream order -> column clustering
     // -> (page, column, row) reading order -> byte-identical document text ----
@@ -1724,6 +1744,58 @@ object SparkEntry {
         |         SELECT e.dst AS host, sum((r2.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
         |         FROM e JOIN ow USING (src) JOIN r2 ON r2.host = e.src GROUP BY e.dst) s USING (host))
         |SELECT host, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY host""".stripMargin,
+    // crawl_budget: host_rank's CTE chain + a one-line budget split —
+    // floor((rank * 10^6) / sum(rank)), all non-negative so // matches div
+    "crawl_budget" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM e0 GROUP BY src, dst),
+        |ow AS (SELECT src, sum(weight) AS outw FROM e GROUP BY src),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT host, 1000000 // (SELECT n FROM nn) AS rank FROM nodes),
+        |r1 AS (SELECT n.host, ((10000-8500)*1000000//10000) // (SELECT n FROM nn) + coalesce(s.c, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS host, sum((r0.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
+        |         FROM e JOIN ow USING (src) JOIN r0 ON r0.host = e.src GROUP BY e.dst) s USING (host)),
+        |r2 AS (SELECT n.host, ((10000-8500)*1000000//10000) // (SELECT n FROM nn) + coalesce(s.c, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS host, sum((r1.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
+        |         FROM e JOIN ow USING (src) JOIN r1 ON r1.host = e.src GROUP BY e.dst) s USING (host)),
+        |r3 AS (SELECT n.host, ((10000-8500)*1000000//10000) // (SELECT n FROM nn) + coalesce(s.c, 0) AS rank
+        |       FROM nodes n LEFT JOIN (
+        |         SELECT e.dst AS host, sum((r2.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
+        |         FROM e JOIN ow USING (src) JOIN r2 ON r2.host = e.src GROUP BY e.dst) s USING (host)),
+        |rs AS (SELECT sum(rank) AS s FROM r3)
+        |SELECT host, CAST(rank AS BIGINT) AS rank,
+        |       CAST((rank * 1000000) // (SELECT s FROM rs) AS BIGINT) AS budget
+        |FROM r3 ORDER BY host""".stripMargin,
+    // text_normalize: the same messy-fixture arithmetic (decomposed accents,
+    // NBSP, CR/double-space, ZWSP..BOM wrap) re-planted in SQL, then DuckDB's
+    // nfc_normalize + the identical cleanup chain
+    "text_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id%4
+        |    WHEN 0 THEN replace(text, 'e', 'e' || chr(769))
+        |    WHEN 1 THEN replace(text, ' ', chr(160))
+        |    WHEN 2 THEN chr(13) || replace(text, ' ', '  ') || '  '
+        |    ELSE chr(8203) || text || chr(65279)
+        |  END AS raw FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(nfc_normalize(raw), chr(160), ' '), chr(8203), ''), chr(65279), ''), chr(13), ''),
+        |    ' +', ' ', 'g')) AS text_norm,
+        |  CAST(length(trim(regexp_replace(
+        |    replace(replace(replace(replace(nfc_normalize(raw), chr(160), ' '), chr(8203), ''), chr(65279), ''), chr(13), ''),
+        |    ' +', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM m ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH cj AS (SELECT doc_id,
         |              CAST(length(text) AS BIGINT) AS cps,

@@ -69,6 +69,7 @@ object HostRank {
       .unionByName(edges.select(col("dst").as("host")))
       .distinct().cache()
     val n = nodes.count()
+    require(n > 0, "hostRank needs a non-empty edge set")
     // Loop-invariant denominator fused onto the edge table once.
     val outW = edges.groupBy("src").agg(sum("weight").as("outw"))
     val edgesN = edges.join(outW, "src").cache()
@@ -88,5 +89,25 @@ object HostRank {
     // iteration subtree, so unpersisting here would recompute it per subtree
     // when the caller finally evaluates.
     ranks
+  }
+
+  /** Per-host crawl-budget allocation: floor-split `budgetTotal` fetch slots
+    * proportionally to rank — `budget = (rank * budgetTotal) div sum(rank)`.
+    * The crawl-scheduling use: politeness-capped fetch capacity is a fixed
+    * global resource; rank-proportional allocation spends it on endorsed
+    * hosts. Floor division under-allocates by at most (n_hosts - 1) slots
+    * total — the residual is the frontier's slack pool, never reassigned
+    * here so the oracle stays a one-line extension of host_rank's CTEs.
+    *
+    * Scale shape: `ranks` is host-grain (small by construction), so the
+    * 1-row global sum is broadcast back onto it — no shuffle of the big
+    * side, and the whole op adds one map stage after rank() converges.
+    */
+  def crawlBudget(ranks: DataFrame, budgetTotal: Long = 1000000L): DataFrame = {
+    require(budgetTotal > 0)
+    val total = ranks.agg(sum("rank").as("s"))
+    ranks.crossJoin(broadcast(total))
+      .select(col("host"), col("rank"),
+        expr(s"(rank * ${budgetTotal}L) div s").as("budget"))
   }
 }

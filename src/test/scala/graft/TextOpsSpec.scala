@@ -598,3 +598,52 @@ class TfidfSpec extends AnyFunSuite {
     assert(got.size == rows.size * 5)
   }
 }
+
+class TextNormSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.textops.TextNorm
+
+  test("normalize implements the five-step contract and is idempotent") {
+    // NFC composition: e + combining acute -> the single composed codepoint
+    assert(TextNorm.normalize("cafe\u0301") == "caf\u00E9")
+    // NBSP -> space, then collapse
+    assert(TextNorm.normalize("a\u00A0\u00A0b") == "a b")
+    // zero-width + CR dropped, even mid-space-run
+    assert(TextNorm.normalize("a \u200B b\uFEFF\rc") == "a bc")
+    // collapse + trim, including space runs created by drops at the edges
+    assert(TextNorm.normalize("\u200B  x   y  \uFEFF") == "x y")
+    assert(TextNorm.normalize("") == "")
+    assert(TextNorm.normalize(null) == null)
+    val messy = "\r cafe\u0301 \u200B\u00A0 bar \r"
+    assert(TextNorm.normalize(TextNorm.normalize(messy)) == TextNorm.normalize(messy))
+  }
+
+  test("the Expression twin equals the static method over the planted fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val raw = TextNorm.plantMessy(docs)
+    val got = raw.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.expr.TextNormalizeExpr.textNormalize(
+          org.apache.spark.sql.functions.col("raw")).as("text_norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rawLocal = raw.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rawLocal.nonEmpty)
+    for ((id, rv) <- rawLocal) assert(got(id) == TextNorm.normalize(rv), s"doc $id")
+    // the fixture actually planted mess: every class differs from its input
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, rv) <- rawLocal) assert(rv != orig(id), s"fixture no-op for doc $id")
+    // and normalization recovers the original text for the space/junk classes
+    for ((id, rv) <- rawLocal if id % 4 != 0)
+      assert(TextNorm.normalize(rv) == TextNorm.normalize(orig(id)), s"doc $id")
+  }
+
+  test("SQL registration keeps text_normalize inside whole-stage codegen") {
+    graft.expr.TextNormalizeExpr.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("tn_docs")
+    val df = spark.sql("SELECT doc_id, text_normalize(text) AS t FROM tn_docs")
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(n)' markers denote WholeStageCodegen stages in the final plan
+    assert(plan.contains("*(1) Project") && plan.contains("text_normalize"), plan)
+    assert(df.count() > 0)
+  }
+}

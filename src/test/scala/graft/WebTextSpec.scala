@@ -384,6 +384,18 @@ class HostRankSpec extends AnyFunSuite {
     val minR = ranks.agg(min("rank")).collect()(0).getLong(0)
     assert(minR >= ((10000L - 8500L) * 1000000L / 10000L) / 7L) // >= teleport
   }
+
+  test("crawlBudget floor-splits the global budget proportionally to rank") {
+    val ranks = HostRank.rank(HostRank.hostEdges(docs))
+    val rows = HostRank.crawlBudget(ranks).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val s = rows.map(_._2).sum
+    for ((h, rank, budget) <- rows)
+      assert(budget == rank * 1000000L / s, s"host $h")
+    // floor split: total within (n-1) of the budget, never over
+    val tot = rows.map(_._3).sum
+    assert(tot <= 1000000L && tot > 1000000L - rows.length, s"total: $tot")
+  }
 }
 
 class RecrawlSpec extends AnyFunSuite {
