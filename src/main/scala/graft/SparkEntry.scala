@@ -798,6 +798,37 @@ object SparkEntry {
           graft.webtext.HostRank.hostEdges(tp(s, dir, "documents"))))
         .orderBy("host")
     }),
+    "html_metadata" -> ((s, dir) => {
+      // head-metadata mining (title / description / canonical / og:title /
+      // lang attr) via a real DOM walk over the metadata-bearing page
+      // variant; map-side, zero shuffle
+      graft.webtext.Metadata.headMetadata(tp(s, dir, "documents")).toDF().orderBy("doc_id")
+    }),
+    "robots_gate" -> ((s, dir) => {
+      // RFC 9309 fetch-policy decisions: host-grain robots bodies joined onto
+      // the frontier (tiny side broadcast), longest-match evaluation map-side
+      // with a parse-once-per-host partition cache. Two agents: graftbot has
+      // its own group (exact token beats *), newsbot falls to the * group
+      val r = graft.webtext.Robots
+      r.decisions(r.plantFrontier(tp(s, dir, "documents")), r.robotsTable(s),
+          Seq("graftbot", "newsbot"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed_graftbot").cast("long").as("allowed_graftbot"),
+          col("allowed_newsbot").cast("long").as("allowed_newsbot"),
+          col("crawl_delay"))
+        .orderBy("doc_id")
+    }),
+    "fetch_schedule" -> ((s, dir) => {
+      // politeness schedule over the admitted frontier: host-partitioned
+      // window (one shuffle on the fetcher's natural shard key), per-host
+      // sequence spaced by the host's crawl-delay
+      val r = graft.webtext.Robots
+      r.schedule(
+          r.decisions(r.plantFrontier(tp(s, dir, "documents")), r.robotsTable(s),
+            Seq("graftbot", "newsbot")),
+          "allowed_newsbot")
+        .orderBy("doc_id")
+    }),
     "text_normalize" -> ((s, dir) => {
       // NFC + NBSP/zero-width/CR cleanup + space collapse over planted messy
       // text, via the codegen Catalyst Expression (no ScalaUDF boundary) —
@@ -1777,6 +1808,54 @@ object SparkEntry {
         |SELECT host, CAST(rank AS BIGINT) AS rank,
         |       CAST((rank * 1000000) // (SELECT s FROM rs) AS BIGINT) AS budget
         |FROM r3 ORDER BY host""".stripMargin,
+    // html_metadata: every field is generator arithmetic (title/og from
+    // doc_id, description = first 6 words, canonical from doc_id%7, lang
+    // passed through) — the extraction must recover them from the parsed DOM
+    "html_metadata" ->
+      """SELECT doc_id,
+        |  'document '||doc_id AS title,
+        |  'doc '||doc_id||': '||array_to_string((string_split(text,' '))[1:6],' ') AS description,
+        |  'https://site'||(doc_id%7)||'.example.com/articles/doc'||doc_id||'.html' AS canonical,
+        |  'document '||doc_id||' | site'||(doc_id%7) AS og_title,
+        |  lang AS html_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // robots_gate: the fixture's rule set collapses to a CASE truth table
+    // over (doc_id%5 path class, doc_id%7 host) — validated against BOTH an
+    // independent Python longest-match recompute and stdlib robotparser:
+    // graftbot's group: /private/ disallowed, /private/pub/ re-allowed on
+    // even hosts (longest match); * group: /tmp/ disallowed, /nav/ disallowed
+    // on hosts %3==0, crawl-delay 1 + host%4
+    "robots_gate" ->
+      """SELECT doc_id,
+        |  'site'||(doc_id%7)||'.example.com' AS host,
+        |  CASE doc_id%5 WHEN 0 THEN '/private/doc'||doc_id WHEN 1 THEN '/private/pub/doc'||doc_id
+        |       WHEN 2 THEN '/tmp/doc'||doc_id WHEN 3 THEN '/nav/doc'||doc_id
+        |       ELSE '/articles/doc'||doc_id||'.html' END AS path,
+        |  CASE WHEN doc_id%5=0 THEN 0::BIGINT
+        |       WHEN doc_id%5=1 THEN CASE WHEN (doc_id%7)%2=0 THEN 1::BIGINT ELSE 0::BIGINT END
+        |       ELSE 1::BIGINT END AS allowed_graftbot,
+        |  CASE WHEN doc_id%5=2 THEN 0::BIGINT
+        |       WHEN doc_id%5=3 AND (doc_id%7)%3=0 THEN 0::BIGINT
+        |       ELSE 1::BIGINT END AS allowed_newsbot,
+        |  CAST(1+(doc_id%7)%4 AS BIGINT) AS crawl_delay
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // fetch_schedule: row_number window over the *-group-admitted frontier,
+    // per-host, ordered by the (unique) path; start_sec spaces fetches by
+    // the host's crawl-delay
+    "fetch_schedule" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'site'||(doc_id%7)||'.example.com' AS host,
+        |    CASE doc_id%5 WHEN 0 THEN '/private/doc'||doc_id WHEN 1 THEN '/private/pub/doc'||doc_id
+        |         WHEN 2 THEN '/tmp/doc'||doc_id WHEN 3 THEN '/nav/doc'||doc_id
+        |         ELSE '/articles/doc'||doc_id||'.html' END AS path,
+        |    CASE WHEN doc_id%5=2 THEN 0 WHEN doc_id%5=3 AND (doc_id%7)%3=0 THEN 0 ELSE 1 END AS ok,
+        |    CAST(1+(doc_id%7)%4 AS BIGINT) AS delay
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY path) AS BIGINT) AS fetch_seq,
+        |  CAST((row_number() OVER (PARTITION BY host ORDER BY path) - 1) * delay AS BIGINT) AS start_sec
+        |FROM f WHERE ok=1 ORDER BY doc_id""".stripMargin,
     // text_normalize: the same messy-fixture arithmetic (decomposed accents,
     // NBSP, CR/double-space, ZWSP..BOM wrap) re-planted in SQL, then DuckDB's
     // nfc_normalize + the identical cleanup chain

@@ -39,6 +39,32 @@ object HtmlGen {
     * paragraphs joined with '\n', no trailing newline. */
   def expectedMainText(text: String): String = paragraphTexts(text).mkString("\n")
 
+  def escapeAttr(s: String): String = escape(s).replace("\"", "&quot;")
+
+  /** [[page]] plus a realistic document-metadata head block (FIXTURES family:
+    * all values doc_id/text arithmetic so the oracle is plain SQL):
+    * `lang` attribute on `<html>`, `<meta name=description>` = `"doc {id}: "`
+    * + first 6 words, `<link rel=canonical>` to the canonical article url on
+    * `site{id%7}`, and `<meta property=og:title>`. Spliced AFTER the charset
+    * meta so [[page]]'s byte layout (and every oracle derived from it) is
+    * untouched for other queries. */
+  def pageWithMeta(docId: Long, text: String, lang: String): String = {
+    val base = page(docId, text)
+    val words = (if (text == null) "" else text).split(" ", -1).take(6).mkString(" ")
+    val meta = new java.lang.StringBuilder(256)
+      .append("<meta name=\"description\" content=\"")
+      .append(escapeAttr(s"doc $docId: $words")).append("\">\n")
+      .append("<link rel=\"canonical\" href=\"https://site").append(docId % 7)
+      .append(".example.com/articles/doc").append(docId).append(".html\">\n")
+      .append("<meta property=\"og:title\" content=\"document ").append(docId)
+      .append(" | site").append(docId % 7).append("\">\n")
+    val anchor = "<meta charset=\"utf-8\">\n"
+    val at = base.indexOf(anchor) + anchor.length
+    val langAttr = "<html lang=\"" + escapeAttr(if (lang == null) "" else lang) + "\">"
+    (base.substring(0, at) + meta + base.substring(at))
+      .replaceFirst("<html>", java.util.regex.Matcher.quoteReplacement(langAttr))
+  }
+
   def escape(s: String): String = {
     if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) return s
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

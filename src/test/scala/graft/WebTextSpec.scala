@@ -453,3 +453,151 @@ class AnchorTextAggSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 }
+
+class RobotsSpec extends AnyFunSuite {
+  import SparkSuite._
+  import org.apache.spark.sql.functions._
+  import graft.webtext.Robots
+  import graft.webtext.Robots.{Rule, Group}
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("parser: groups, comments, case-insensitivity, empty Disallow, unknown directives") {
+    val txt =
+      """# top comment
+        |User-Agent: AlphaBot   # trailing comment
+        |user-agent: BetaBot
+        |DISALLOW: /a/
+        |Allow: /a/b/
+        |Sitemap: https://x.example/sitemap.xml
+        |
+        |User-agent: *
+        |Disallow:
+        |Crawl-Delay: 7
+        |Disallow: /z/
+        |broken line without colon
+        |""".stripMargin
+    val gs = Robots.parseGroups(txt)
+    assert(gs.size == 2)
+    assert(gs(0).agents == Vector("alphabot", "betabot"))
+    assert(gs(0).rules == Vector(Rule(false, "/a/"), Rule(true, "/a/b/")))
+    assert(gs(1).agents == Vector("*"))
+    assert(gs(1).rules == Vector(Rule(false, "/z/"))) // empty Disallow dropped
+    assert(gs(1).crawlDelay.contains(7L))
+  }
+
+  test("group selection: exact token beats *, merging, and no-group = allow-all") {
+    val gs = Robots.parseGroups(
+      "User-agent: a\nDisallow: /x/\n\nUser-agent: a\nDisallow: /y/\n\nUser-agent: *\nDisallow: /\n")
+    val ga = Robots.selectGroup(gs, "A")
+    assert(ga.rules == Vector(Rule(false, "/x/"), Rule(false, "/y/"))) // both exact groups merge
+    val gb = Robots.selectGroup(gs, "other")
+    assert(gb.rules == Vector(Rule(false, "/")))
+    val none = Robots.selectGroup(Robots.parseGroups("User-agent: b\nDisallow: /\n"), "a")
+    assert(none.rules.isEmpty && Robots.isAllowed(none.rules, "/anything"))
+  }
+
+  test("pattern matching: prefix, * wildcard, $ anchor, pattern-exhausted cases") {
+    assert(Robots.patternMatches("/private/", "/private/doc1"))
+    assert(!Robots.patternMatches("/private/pub/", "/private/doc1"))
+    assert(Robots.patternMatches("/a*z", "/abcz"))
+    assert(Robots.patternMatches("/a*z", "/abczzz"))    // prefix: may end anywhere
+    assert(Robots.patternMatches("/a*z$", "/abcz"))
+    assert(!Robots.patternMatches("/a*z$", "/abczX"))   // anchored rejects a tail
+    assert(Robots.patternMatches("/*.php", "/dir/x.php?q=1"))
+    assert(!Robots.patternMatches("/*.php$", "/dir/x.php?q=1"))
+    assert(Robots.patternMatches("/a*", "/a"))          // trailing * matches empty
+    assert(!Robots.patternMatches("/abc", "/ab"))       // path exhausts first
+  }
+
+  test("decision: longest match wins; Allow beats Disallow on equal length; no match allows") {
+    val rules = Vector(Rule(false, "/p/"), Rule(true, "/p/pub/"))
+    assert(!Robots.isAllowed(rules, "/p/x"))
+    assert(Robots.isAllowed(rules, "/p/pub/x"))
+    assert(Robots.isAllowed(Vector(Rule(false, "/abc/"), Rule(true, "/abc/")), "/abc/x"))
+    assert(Robots.isAllowed(rules, "/elsewhere"))
+  }
+
+  test("fixture decisions match the CASE truth table for both agents (spark end-to-end)") {
+    val out = Robots.decisions(Robots.plantFrontier(docs), Robots.robotsTable(spark),
+        Seq("graftbot", "newsbot"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    for ((id, ag, an, delay) <- out) {
+      val h = id % 7; val c = id % 5
+      val expG = if (c == 0) false else if (c == 1) h % 2 == 0 else true
+      val expN = if (c == 2) false else if (c == 3) h % 3 != 0 else true
+      assert(ag == expG && an == expN && delay == 1 + h % 4, s"doc $id")
+    }
+  }
+
+  test("schedule: per-host contiguous sequence spaced by crawl-delay, path-ordered") {
+    val decided = Robots.decisions(Robots.plantFrontier(docs), Robots.robotsTable(spark),
+      Seq("graftbot", "newsbot"))
+    val sched = Robots.schedule(decided, "allowed_newsbot").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(sched.nonEmpty)
+    for ((host, rows0) <- sched.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._3)
+      assert(rows.map(_._3).toSeq == (1L to rows.length).toSeq, s"seq gap on $host")
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq, s"path order on $host")
+      val h = host.stripPrefix("site").takeWhile(_.isDigit).toLong
+      for ((_, _, seq, start) <- rows) assert(start == (seq - 1) * (1 + h % 4))
+    }
+    // disallowed classes never scheduled
+    assert(!sched.exists(_._2.startsWith("/tmp/")))
+  }
+}
+
+class MetadataSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.{HtmlGen, Metadata}
+
+  test("extract recovers all five fields from the generated page, entity-decoded") {
+    val html = HtmlGen.pageWithMeta(13L, "alpha beta gamma delta epsilon zeta eta theta", "de")
+    val (t, d, c, og, hl) = Metadata.extract(html)
+    assert(t == "document 13")
+    assert(d == "doc 13: alpha beta gamma delta epsilon zeta")
+    assert(c == "https://site6.example.com/articles/doc13.html")
+    assert(og == "document 13 | site6")
+    assert(hl == "de")
+    // the meta splice must not disturb the content path's extraction
+    assert(graft.webtext.MainContent.extract(html) ==
+      HtmlGen.expectedMainText("alpha beta gamma delta epsilon zeta eta theta"))
+  }
+
+  test("tag soup: metadata still resolves after an unclosed tag; absences are null") {
+    // the <p> never closes, so the meta ends up NESTED under it in the
+    // recovered tree — the walk must still find it (head-substring regexes
+    // would too, but an unclosed <head> plus </html>-recovery would defeat
+    // them; the DOM walk is position-independent)
+    val soup = """<html lang="fr"><head><title>T &amp; U</title><p class="x">
+                 |<meta name="description" content="a &quot;b&quot;"></head></html>""".stripMargin
+    val (t, d, c, og, hl) = Metadata.extract(soup)
+    assert(t == "T & U" && d == "a \"b\"" && c == null && og == null && hl == "fr")
+    assert(Metadata.extract("<p>no head at all</p>") == (null, null, null, null, null))
+  }
+
+  test("short and empty documents degrade exactly like the oracle slice") {
+    val (_, d2, _, _, _) = Metadata.extract(HtmlGen.pageWithMeta(4L, "one two", "en"))
+    assert(d2 == "doc 4: one two")
+    val (_, d0, _, _, _) = Metadata.extract(HtmlGen.pageWithMeta(4L, "", "en"))
+    assert(d0 == "doc 4: ")
+  }
+
+  test("spark end-to-end matches a driver-side recompute at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Metadata.headMetadata(docs).collect()
+      .map(m => m.doc_id -> ((m.title, m.description, m.canonical, m.og_title, m.html_lang))).toMap
+    val local = docs.select("doc_id", "text", "lang").collect()
+    assert(local.nonEmpty && got.size == local.length)
+    for (r <- local) {
+      val (id, text, lang) = (r.getLong(0), r.getString(1), r.getString(2))
+      val exp = ("document " + id,
+        s"doc $id: " + text.split(" ", -1).take(6).mkString(" "),
+        s"https://site${id % 7}.example.com/articles/doc$id.html",
+        s"document $id | site${id % 7}", lang)
+      assert(got(id) == exp, s"doc $id")
+    }
+  }
+}
