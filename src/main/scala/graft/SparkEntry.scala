@@ -798,6 +798,14 @@ object SparkEntry {
           graft.webtext.HostRank.hostEdges(tp(s, dir, "documents"))))
         .orderBy("host")
     }),
+    "dup_spans" -> ((s, dir) => {
+      // exact-substring dedup stats (Lee et al.): per-doc coverage by word
+      // 20-grams shared with ANY other document; gram text never shuffles
+      // (8-byte xxhash64 keys), interval union via the sorted-gap identity
+      graft.textops.DupSpans.dupSpans(
+        graft.textops.DupSpans.plantDisclaimer(tp(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
     "html_metadata" -> ((s, dir) => {
       // head-metadata mining (title / description / canonical / og:title /
       // lang attr) via a real DOM walk over the metadata-bearing page
@@ -1808,6 +1816,32 @@ object SparkEntry {
         |SELECT host, CAST(rank AS BIGINT) AS rank,
         |       CAST((rank * 1000000) // (SELECT s FROM rs) AS BIGINT) AS budget
         |FROM r3 ORDER BY host""".stripMargin,
+    // dup_spans: full recompute by gram TEXT (the engine's 64-bit hash keys
+    // carry dedup_exact's documented collision tradeoff); coverage via the
+    // same sorted-gap window identity; planted 26-word licence disclaimer on
+    // doc_id%3==0 plus whatever naturally-duplicated texts the corpus holds
+    "dup_spans" ->
+      ("""WITH d AS (SELECT doc_id,
+        |             CASE WHEN doc_id%3=0 THEN text || ' """.stripMargin +
+        graft.textops.DupSpans.Disclaimer +
+        """' ELSE text END AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t,' ') AS ws FROM d),
+        |b AS (SELECT doc_id, len(ws) AS total_words, ws FROM w),
+        |g0 AS (SELECT doc_id, total_words,
+        |         CASE WHEN total_words >= 20
+        |              THEN [{'pos': i - 1, 'gram': array_to_string(ws[i:i+19],' ')} for i in range(1, total_words - 18)]
+        |              ELSE [] END AS gs FROM b),
+        |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+        |df AS (SELECT gram FROM (SELECT gram, doc_id FROM g GROUP BY gram, doc_id) GROUP BY gram HAVING count(*) >= 2),
+        |ds AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gram)),
+        |cov0 AS (SELECT doc_id, pos, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 20) AS gap FROM ds),
+        |cov AS (SELECT doc_id, count(*) AS n_dup_grams, sum(least(gap, 20)) AS covered FROM cov0 GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.total_words AS BIGINT) AS total_words,
+        |       CAST(greatest(b.total_words - 19, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(cov.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_words,
+        |       CAST(CASE WHEN b.total_words > 0 THEN (coalesce(cov.covered,0) * 10000) // b.total_words ELSE 0 END AS BIGINT) AS dup_frac_bp
+        |FROM b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id""".stripMargin),
     // html_metadata: every field is generator arithmetic (title/og from
     // doc_id, description = first 6 words, canonical from doc_id%7, lang
     // passed through) — the extraction must recover them from the parsed DOM

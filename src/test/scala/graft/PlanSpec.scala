@@ -456,4 +456,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan"),
       s"expected the cached edge table to be scanned from memory:\n$plan")
   }
+
+  test("dup_spans: gram text never crosses a hash shuffle (8-byte keys only)") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("dup_spans")(spark, sf)
+    df.collect() // finalize the adaptive plan before inspecting it
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(walk)) ++ nested
+    }
+    val hashShuffles = walk(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning.isInstanceOf[HashPartitioning] => s
+    }
+    // gram keys, doc-grain window, df-count agg, final join: >= 3 hash moves
+    assert(hashShuffles.size >= 3, s"expected the hash shuffles, got ${hashShuffles.size}")
+    for (s <- hashShuffles; a <- s.output)
+      assert(a.dataType != StringType,
+        s"string attribute $a crosses a hash shuffle - gram text must stay map-side")
+  }
 }

@@ -647,3 +647,74 @@ class TextNormSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 }
+
+class DupSpansSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.textops.DupSpans
+
+  private def run(texts: Seq[String], n: Int) = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    DupSpans.dupSpans(df, n).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("two docs sharing an exact span are both marked; an unrelated doc is not") {
+    val shared = (1 to 6).map(i => s"w$i").mkString(" ") // 6 shared words, n=4 -> 3 shared grams
+    val a = s"alpha beta $shared gamma"     // 9 words, starts 2,3,4 dup
+    val b = s"$shared delta epsilon"        // 8 words, starts 0,1,2 dup
+    val c = "nothing here matches anything else at all"  // 7 words
+    val got = run(Seq(a, b, c), 4)
+    // doc a: starts 2,3,4 -> gaps 1,1,last 4 -> covered 6; grams = 9-4+1 = 6
+    assert(got(0L) == ((9L, 6L, 3L, 6L, 6L * 10000 / 9)))
+    // doc b: starts 0,1,2 -> covered 6; grams = 5
+    assert(got(1L) == ((8L, 5L, 3L, 6L, 7500L)))
+    assert(got(2L) == ((7L, 4L, 0L, 0L, 0L)))
+  }
+
+  test("within-doc repetition alone does not qualify; cross-doc does") {
+    val rep = "x y z q x y z q x y z q" // 12 words, 4-grams repeat WITHIN the doc only
+    val got = run(Seq(rep, "totally different words live here today ok"), 4)
+    assert(got(0L)._3 == 0L, s"within-doc repetition flagged: ${got(0L)}")
+  }
+
+  test("docs shorter than n have zero grams; identical short docs still no grams") {
+    val got = run(Seq("a b c", "a b c", "long enough document with five words here"), 4)
+    assert(got(0L) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got(1L) == ((3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("identical full docs: every gram duplicated, coverage = total") {
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = run(Seq(t, t), 4)
+    assert(got(0L) == ((10L, 7L, 7L, 10L, 10000L)))
+    assert(got(1L) == got(0L))
+  }
+
+  test("sf0.001 planted disclaimer matches a driver-side recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = DupSpans.dupSpans(DupSpans.plantDisclaimer(docs), 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val local = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = 20
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    val docGrams = local.map { case (id, text) =>
+      val t = if (id % 3 == 0) text + " " + DupSpans.Disclaimer else text
+      val ws = t.split(" ", -1)
+      val grams = (0 to ws.length - n).map(i => (ws.slice(i, i + n).mkString(" "), i))
+      grams.foreach { case (g, _) =>
+        gramDocs.getOrElseUpdate(g, scala.collection.mutable.Set.empty) += id }
+      id -> ((ws.length.toLong, grams))
+    }.toMap
+    assert(local.nonEmpty)
+    for ((id, (tw, grams)) <- docGrams) {
+      val starts = grams.collect { case (g, i) if gramDocs(g).size >= 2 => i }.sorted
+      val covered = starts.zipWithIndex.map { case (s, j) =>
+        if (j + 1 < starts.length) math.min(starts(j + 1) - s, n) else n }.sum.toLong
+      assert(got(id) == ((tw, starts.length.toLong, covered)), s"doc $id")
+    }
+    // the fixture planted real cross-doc mass
+    assert(got.values.count(_._2 > 0) > got.size / 4)
+  }
+}
