@@ -798,6 +798,35 @@ object SparkEntry {
           graft.webtext.HostRank.hostEdges(tp(s, dir, "documents"))))
         .orderBy("host")
     }),
+    "dedup_normalized" -> ((s, dir) => {
+      // normalize-then-dedup composition: the messy corpus unioned with its
+      // clean twins dedups on text_normalize output — NBSP/CR/zero-width
+      // variants unify (raw dedup would fragment them), NFC-composed accents
+      // stay distinct from their unaccented originals. Narrow (xxhash64,
+      // length) grouping keys: normalized text never shuffles (dedup_exact's
+      // documented collision tradeoff)
+      val docs = tp(s, dir, "documents")
+      val messy = graft.textops.TextNorm.plantMessy(docs)
+        .select(col("doc_id"), col("raw").as("t"))
+      val twins = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text").as("t"))
+      messy.unionByName(twins)
+        .select(col("doc_id"),
+          graft.expr.TextNormalizeExpr.textNormalize(col("t")).as("norm"))
+        .groupBy(xxhash64(col("norm")), length(col("norm")))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+    "charset_decode" -> ((s, dir) => {
+      // ingestion edge: WHATWG-order charset sniff (BOM > meta > default)
+      // over mixed-encoding raw bytes, decode fused with main-content
+      // extraction in one map stage; byte-identity proven via the same
+      // word-chunk oracle as html_main_content
+      graft.webtext.Charset.decodeExtract(
+        graft.webtext.Charset.encodedPages(tp(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
     "dup_spans" -> ((s, dir) => {
       // exact-substring dedup stats (Lee et al.): per-doc coverage by word
       // 20-grams shared with ANY other document; gram text never shuffles
@@ -1816,6 +1845,38 @@ object SparkEntry {
         |SELECT host, CAST(rank AS BIGINT) AS rank,
         |       CAST((rank * 1000000) // (SELECT s FROM rs) AS BIGINT) AS budget
         |FROM r3 ORDER BY host""".stripMargin,
+    // dedup_normalized: same messy fixture + clean twins, grouped on the
+    // oracle-side normalization chain (the engine's hash keys carry
+    // dedup_exact's collision tradeoff); 375 pairs merge, accent class stays
+    "dedup_normalized" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id%4
+        |    WHEN 0 THEN replace(text, 'e', 'e' || chr(769))
+        |    WHEN 1 THEN replace(text, ' ', chr(160))
+        |    WHEN 2 THEN chr(13) || replace(text, ' ', '  ') || '  '
+        |    ELSE chr(8203) || text || chr(65279)
+        |  END AS raw FROM documents),
+        |a AS (SELECT doc_id, raw AS t FROM m
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(nfc_normalize(t), chr(160), ' '), chr(8203), ''), chr(65279), ''), chr(13), ''),
+        |    ' +', ' ', 'g')) AS norm FROM a)
+        |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+    // charset_decode: charset/bom are fixture arithmetic; extracted_text is
+    // the html_main_content reassembly — equality proves the decode was
+    // byte-exact through every encoding class (a wrong charset would corrupt
+    // the article words, not just the label)
+    "charset_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id%4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |       WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+        |  CAST(CASE doc_id%4 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS BIGINT) AS bom_len,
+        |  array_to_string([array_to_string(words[i:i+23], ' ')
+        |                   for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // dup_spans: full recompute by gram TEXT (the engine's 64-bit hash keys
     // carry dedup_exact's documented collision tradeoff); coverage via the
     // same sorted-gap window identity; planted 26-word licence disclaimer on

@@ -718,3 +718,27 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got.values.count(_._2 > 0) > got.size / 4)
   }
 }
+
+class DedupNormalizedSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("messy docs merge with their clean twins for classes 1-3; accent class stays split") {
+    val rows = SparkEntry.queries("dedup_normalized")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    val byKeep = rows.toMap
+    for ((id, text) <- docs) {
+      if (id % 4 != 0 || !text.contains("e")) {
+        // messy normalizes back to the original -> pair group kept at doc id
+        assert(byKeep.get(id).contains(2L), s"doc $id expected merged pair: ${byKeep.get(id)}")
+      } else {
+        // accented class: two singleton groups (messy at id, twin at id+1M)
+        assert(byKeep.get(id).contains(1L) && byKeep.get(id + 1000000L).contains(1L),
+          s"doc $id expected split singletons")
+      }
+    }
+    assert(rows.map(_._2).sum == 2L * docs.length) // every row accounted for
+  }
+}

@@ -601,3 +601,61 @@ class MetadataSpec extends AnyFunSuite {
     }
   }
 }
+
+class CharsetSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.{Charset, HtmlGen}
+
+  test("detect: BOMs beat meta; meta forms parse quoted/bare/case-insensitive") {
+    assert(Charset.detect(Array(0xEF, 0xBB, 0xBF, 'x').map(_.toByte)) == (("utf-8", 3)))
+    assert(Charset.detect(Array(0xFF, 0xFE, 'x', 0).map(_.toByte)) == (("utf-16le", 2)))
+    assert(Charset.detect(Array(0xFE, 0xFF, 0, 'x').map(_.toByte)) == (("utf-16be", 2)))
+    def meta(s: String) = Charset.detect(s.getBytes("ISO-8859-1"))
+    assert(meta("""<head><meta charset="UTF-8"></head>""") == (("utf-8", 0)))
+    assert(meta("""<META CHARSET='Latin1'>""") == (("iso-8859-1", 0)))
+    assert(meta("""<meta charset=windows-1252>""") == (("windows-1252", 0)))
+    assert(meta("""<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">""") ==
+      (("iso-8859-1", 0)))
+    // BOM wins even when the meta disagrees
+    assert(Charset.detect((Array(0xFF, 0xFE).map(_.toByte)) ++
+      "<meta charset=\"utf-8\">".getBytes("UTF-16LE")) == (("utf-16le", 2)))
+  }
+
+  test("detect is total: unknown labels, garbage, empty, null all fall back to utf-8") {
+    def meta(s: String) = Charset.detect(s.getBytes("ISO-8859-1"))
+    assert(meta("""<meta charset="klingon-9">""") == (("utf-8", 0)))
+    // unknown first declaration, known second: scanning continues
+    assert(meta("""<meta charset="nope"><meta charset="latin1">""") == (("iso-8859-1", 0)))
+    assert(meta("charset") == (("utf-8", 0)))       // bare word, no '='
+    assert(meta("") == (("utf-8", 0)))
+    assert(Charset.detect(null) == (("utf-8", 0)))
+    assert(Charset.decode(null) == (("", "utf-8", 0)))
+  }
+
+  test("every fixture class decodes to the exact page text (extraction byte-identity)") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for (cls <- 0 to 3) {
+      val id = 4L + cls // ids 4,5,6,7 cover the classes
+      import spark.implicits._
+      val one = Seq((id, text)).toDF("doc_id", "text")
+      val row = Charset.decodeExtract(Charset.encodedPages(one)).collect()(0)
+      val expCs = Seq("utf-8", "utf-16le", "iso-8859-1", "utf-8")((id % 4).toInt)
+      val expBom = Seq(3L, 2L, 0L, 0L)((id % 4).toInt)
+      assert(row.charset == expCs && row.bom_len == expBom, s"class ${id % 4}")
+      assert(row.extracted_text == HtmlGen.expectedMainText(text), s"class ${id % 4}")
+    }
+  }
+
+  test("spark end-to-end at sf0.001 matches charset arithmetic + expected main text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Charset.decodeExtract(Charset.encodedPages(docs)).collect()
+      .map(p => p.doc_id -> ((p.charset, p.bom_len, p.extracted_text))).toMap
+    val local = docs.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(local.nonEmpty && got.size == local.length)
+    for ((id, text) <- local) {
+      val expCs = Seq("utf-8", "utf-16le", "iso-8859-1", "utf-8")((id % 4).toInt)
+      val expBom = Seq(3L, 2L, 0L, 0L)((id % 4).toInt)
+      assert(got(id) == ((expCs, expBom, HtmlGen.expectedMainText(text))), s"doc $id")
+    }
+  }
+}
