@@ -798,6 +798,16 @@ object SparkEntry {
           graft.webtext.HostRank.hostEdges(tp(s, dir, "documents"))))
         .orderBy("host")
     }),
+    "redirect_resolve" -> ((s, dir) => {
+      // frontier redirect-chain resolution via pointer doubling: 3 node-grain
+      // self-joins resolve every chain <= 8 hops (O(log) rounds — a 10^6
+      // chain needs 20); loops and over-limit chains classify 'cycle'
+      val docs = tp(s, dir, "documents")
+      graft.webtext.Redirects.resolve(
+          graft.webtext.Redirects.plantUrls(docs),
+          graft.webtext.Redirects.plantRedirects(docs))
+        .orderBy("doc_id")
+    }),
     "dedup_normalized" -> ((s, dir) => {
       // normalize-then-dedup composition: the messy corpus unioned with its
       // clean twins dedups on text_normalize output — NBSP/CR/zero-width
@@ -1845,6 +1855,20 @@ object SparkEntry {
         |SELECT host, CAST(rank AS BIGINT) AS rank,
         |       CAST((rank * 1000000) // (SELECT s FROM rs) AS BIGINT) AS budget
         |FROM r3 ORDER BY host""".stripMargin,
+    // redirect_resolve: the fixture's chains (class c = c hops down to the
+    // class-0 landing url) and 2-cycles (doc_id%77 in 5,6) collapse to CASE
+    // arithmetic — validated against an independent Python walk
+    "redirect_resolve" ->
+      """SELECT doc_id,
+        |  'https://site'||(doc_id%7)||'.example.com/r/'||doc_id AS url,
+        |  CASE WHEN doc_id%77 IN (5,6) THEN 'cycle' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN doc_id%77 IN (5,6) THEN -1
+        |            WHEN doc_id%7 BETWEEN 1 AND 4 THEN doc_id%7
+        |            ELSE 0 END AS BIGINT) AS hops,
+        |  CASE WHEN doc_id%77 IN (5,6) THEN NULL
+        |       WHEN doc_id%7 BETWEEN 1 AND 4 THEN 'https://site0.example.com/r/'||(doc_id - doc_id%7)
+        |       ELSE 'https://site'||(doc_id%7)||'.example.com/r/'||doc_id END AS final_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // dedup_normalized: same messy fixture + clean twins, grouped on the
     // oracle-side normalization chain (the engine's hash keys carry
     // dedup_exact's collision tradeoff); 375 pairs merge, accent class stays

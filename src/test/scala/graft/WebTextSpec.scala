@@ -659,3 +659,58 @@ class CharsetSpec extends AnyFunSuite {
     }
   }
 }
+
+class RedirectsSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.Redirects
+
+  private def resolveLocal(edges: Map[String, String], u: String, maxHops: Int = 8) = {
+    var cur = u; var hops = 0; val seen = scala.collection.mutable.Set.empty[String]
+    var out: (String, Long, String) = null
+    while (out == null) {
+      if (!edges.contains(cur)) out = ("ok", hops.toLong, cur)
+      else if (seen.contains(cur) || hops >= maxHops) out = ("cycle", -1L, null)
+      else { seen += cur; cur = edges(cur); hops += 1 }
+    }
+    out
+  }
+
+  test("chains, cycles, over-limit chains, and dangling targets resolve correctly") {
+    import spark.implicits._
+    // a->b->c (c terminal), loop1<->loop2, a 10-hop chain (over maxHops=8),
+    // and d -> missing (target never seen as a node: terminal by definition)
+    val long = (0 to 10).map(i => s"L$i")
+    val edges = Seq("a" -> "b", "b" -> "c", "loop1" -> "loop2", "loop2" -> "loop1", "d" -> "missing") ++
+      long.sliding(2).map(p => p(0) -> p(1))
+    val urls = (Seq("a", "b", "c", "loop1", "loop2", "d", "x") ++ long).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+    val got = Redirects.resolve(urls.toDF("doc_id", "url"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(1) -> ((r.getString(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got("a") == (("ok", 2L, "c")))
+    assert(got("b") == (("ok", 1L, "c")))
+    assert(got("c") == (("ok", 0L, "c")))
+    assert(got("x") == (("ok", 0L, "x")))
+    assert(got("d") == (("ok", 1L, "missing")))
+    assert(got("loop1") == (("cycle", -1L, null)) && got("loop2") == (("cycle", -1L, null)))
+    assert(got("L0") == (("cycle", -1L, null)), "10-hop chain exceeds maxHops=8")
+    assert(got("L3") == (("ok", 7L, "L10")))   // 7 hops from L3: within limit
+    assert(got("L2") == (("ok", 8L, "L10")))   // exactly maxHops: still ok
+  }
+
+  test("fixture resolution matches an independent local walk at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val edges = Redirects.plantRedirects(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val urls = Redirects.plantUrls(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = Redirects.resolve(Redirects.plantUrls(docs), Redirects.plantRedirects(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getString(4)))).toMap
+    assert(urls.nonEmpty && got.size == urls.length)
+    var cycles = 0
+    for ((id, u) <- urls) {
+      val exp = resolveLocal(edges, u)
+      assert(got(id) == ((exp._1, exp._2, exp._3)), s"doc $id ($u)")
+      if (exp._1 == "cycle") cycles += 1
+    }
+    assert(cycles > 0, "fixture must plant at least one cycle at this SF")
+  }
+}
