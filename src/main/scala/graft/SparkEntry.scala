@@ -798,6 +798,32 @@ object SparkEntry {
           graft.webtext.HostRank.hostEdges(tp(s, dir, "documents"))))
         .orderBy("host")
     }),
+    "quality_ensemble" -> ((s, dir) => {
+      // FineWeb-style multi-gate audit: Gopher shape gate × repetition gate
+      // (dup words <= 50%) × LM surprise gate (avg <= 20000 fixed-point),
+      // each gate reported so ablations can attribute removals; three
+      // doc-grain joins share one hash partitioning
+      val docs = tp(s, dir, "documents")
+      val g = graft.textops.Curate.gopherQuality(docs)
+        .select(col("doc_id"), col("keep").as("g_gopher"))
+      val r = graft.textops.Curate.repetitionStats(docs)
+        .select(col("doc_id"),
+          (lit(2L) * col("n_dup_words") <= col("n_words")).cast("long").as("g_rep"))
+      val l = graft.textops.Curate.lmQuality(docs)
+        .select(col("doc_id"),
+          (col("surprise_avg") <= 20000L).cast("long").as("g_lm"))
+      g.join(r, "doc_id").join(l, "doc_id")
+        .withColumn("keep", col("g_gopher") * col("g_rep") * col("g_lm"))
+        .orderBy("doc_id")
+    }),
+    "sitemap_urls" -> ((s, dir) => {
+      // sitemap discovery: per-host blobs (even hosts behind a sitemapindex
+      // of two parity shards, odd hosts flat) -> StAX parse -> url rows with
+      // freshness hints; priority carried as basis points, never a float
+      graft.webtext.Sitemap.urlRows(
+        graft.webtext.Sitemap.plantSitemaps(tp(s, dir, "documents")))
+        .orderBy("loc")
+    }),
     "redirect_resolve" -> ((s, dir) => {
       // frontier redirect-chain resolution via pointer doubling: 3 node-grain
       // self-joins resolve every chain <= 8 hops (O(log) rounds — a 10^6
@@ -1855,6 +1881,38 @@ object SparkEntry {
         |SELECT host, CAST(rank AS BIGINT) AS rank,
         |       CAST((rank * 1000000) // (SELECT s FROM rs) AS BIGINT) AS budget
         |FROM r3 ORDER BY host""".stripMargin,
+    // quality_ensemble: composes the three individually-validated gate
+    // oracles (gopher shape, repetition, LM surprise) at doc grain
+    "quality_ensemble" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
+        |                  CAST(length(text) AS BIGINT) AS c FROM documents),
+        |g AS (SELECT doc_id, CAST(CASE WHEN len(ws) BETWEEN 50 AND 100000
+        |             AND c-(len(ws)-1) BETWEEN 3*len(ws) AND 10*len(ws)
+        |        THEN 1 ELSE 0 END AS BIGINT) AS g_gopher FROM w),
+        |r AS (SELECT doc_id, CAST(CASE WHEN 2*(len(ws)-len(list_distinct(ws))) <= len(ws)
+        |        THEN 1 ELSE 0 END AS BIGINT) AS g_rep FROM w),
+        |t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
+        |        FROM t WHERE length(lt) >= 3),
+        |lm AS (SELECT tri, CAST(count(*) AS BIGINT) AS tc FROM tri WHERE doc_id%10<3 GROUP BY tri),
+        |bg AS (SELECT substring(tri,1,2) AS bi, sum(tc) AS bt FROM lm GROUP BY bi),
+        |sc AS (SELECT d.doc_id, CASE WHEN lm.tc IS NULL THEN 4096000
+        |              ELSE least((bg.bt*4096)//lm.tc, 4096000) END AS s
+        |       FROM tri d LEFT JOIN lm ON d.tri = lm.tri
+        |                  LEFT JOIN bg ON substring(d.tri,1,2) = bg.bi),
+        |l AS (SELECT doc_id, CAST(CASE WHEN sum(s)//count(*) <= 20000 THEN 1 ELSE 0 END AS BIGINT) AS g_lm
+        |      FROM sc GROUP BY doc_id)
+        |SELECT g.doc_id, g_gopher, g_rep, g_lm, g_gopher*g_rep*g_lm AS keep
+        |FROM g JOIN r USING (doc_id) JOIN l USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+    // sitemap_urls: every document appears exactly once regardless of the
+    // index/flat split, so the oracle is pure doc arithmetic; lastmod is
+    // date arithmetic rendered ISO (TZ-free), priority integer basis points
+    "sitemap_urls" ->
+      """SELECT 'https://site'||(doc_id%7)||'.example.com/articles/doc'||doc_id||'.html' AS loc,
+        |  CAST(DATE '2020-01-01' + CAST(doc_id%365 AS INTEGER) AS VARCHAR) AS lastmod,
+        |  CASE doc_id%3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+        |  CAST((doc_id%10)*1000 AS BIGINT) AS priority_bp
+        |FROM documents ORDER BY loc""".stripMargin,
     // redirect_resolve: the fixture's chains (class c = c hops down to the
     // class-0 landing url) and 2-cycles (doc_id%77 in 5,6) collapse to CASE
     // arithmetic — validated against an independent Python walk

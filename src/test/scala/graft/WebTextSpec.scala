@@ -714,3 +714,64 @@ class RedirectsSpec extends AnyFunSuite {
     assert(cycles > 0, "fixture must plant at least one cycle at this SF")
   }
 }
+
+class SitemapSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.Sitemap
+
+  test("priorityBp is digit-exact and total") {
+    assert(Sitemap.priorityBp("0.3") == 3000L)
+    assert(Sitemap.priorityBp("0.35") == 3500L)
+    assert(Sitemap.priorityBp("1.0") == 10000L)
+    assert(Sitemap.priorityBp("1") == 10000L)
+    assert(Sitemap.priorityBp("0.12345") == 1234L) // truncated at 4 places
+    assert(Sitemap.priorityBp("") == -1L && Sitemap.priorityBp(null) == -1L)
+    assert(Sitemap.priorityBp("x.y") == -1L && Sitemap.priorityBp(".5") == -1L)
+  }
+
+  test("parse handles urlset, sitemapindex, namespaces, junk elements, and malformed tails") {
+    val us = """<?xml version="1.0"?>
+               |<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+               |<sm:url><sm:loc> https://a/x </sm:loc><sm:lastmod>2021-02-03</sm:lastmod>
+               |  <sm:changefreq>daily</sm:changefreq><sm:priority>0.8</sm:priority>
+               |  <extra>ignored</extra></sm:url>
+               |<sm:url><sm:loc>https://a/y</sm:loc></sm:url>
+               |</sm:urlset>""".stripMargin
+    val (urls, kids) = Sitemap.parse(us)
+    assert(kids.isEmpty && urls.size == 2)
+    assert(urls(0) == Sitemap.SmUrl("https://a/x", "2021-02-03", "daily", 8000L))
+    assert(urls(1) == Sitemap.SmUrl("https://a/y", "", "", -1L))
+    val idx = """<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>
+                |<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>""".stripMargin
+    val (u2, k2) = Sitemap.parse(idx)
+    assert(u2.isEmpty && k2 == Vector("https://a/s1.xml", "https://a/s2.xml"))
+    // malformed tail: keep what parsed before the error
+    val broken = """<urlset><url><loc>https://a/ok</loc></url><url><loc>https://a/cut"""
+    assert(Sitemap.parse(broken)._1.map(_.loc) == Vector("https://a/ok"))
+    assert(Sitemap.parse("")._1.isEmpty && Sitemap.parse(null)._1.isEmpty)
+  }
+
+  test("index resolution is load-bearing: even-host urls only arrive via the shard join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val blobs = Sitemap.plantSitemaps(docs)
+    val got = Sitemap.urlRows(blobs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got.length == ids.length, s"${got.length} vs ${ids.length}")
+    val byLoc = got.map(r => r._1 -> r).toMap
+    for (id <- ids) {
+      val loc = s"https://site${id % 7}.example.com/articles/doc$id.html"
+      val exp = (loc, java.time.LocalDate.of(2020, 1, 1).plusDays(id % 365).toString,
+        Seq("daily", "weekly", "monthly")((id % 3).toInt), (id % 10) * 1000L)
+      assert(byLoc.get(loc).contains(exp), s"doc $id")
+    }
+    // sanity: both parities of even hosts present (both shards resolved)
+    val evenHostIds = ids.filter(i => (i % 7) % 2 == 0)
+    assert(evenHostIds.exists(i => (i / 7) % 2 == 0) && evenHostIds.exists(i => (i / 7) % 2 == 1))
+    // dropping the shard blobs loses exactly the even-host urls
+    val noShards = blobs.filter(!org.apache.spark.sql.functions.col("key").contains("sitemap-p"))
+    val partial = Sitemap.urlRows(noShards).collect().map(_.getString(0)).toSet
+    assert(partial == ids.filter(i => (i % 7) % 2 == 1)
+      .map(i => s"https://site${i % 7}.example.com/articles/doc$i.html").toSet)
+  }
+}
