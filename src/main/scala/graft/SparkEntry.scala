@@ -1019,6 +1019,48 @@ object SparkEntry {
           (id, fp, grams.size.toLong)
         }
         .toDF("doc_id", "fingerprint", "n_grams")
+    }),
+    "template_strip" -> ((s, dir) => {
+      // host-grain template removal: per-host banner (100% of the host's
+      // docs) must go, the 4%-of-each-host syndicated promo must stay —
+      // the within-host document-frequency ratio line_dedup can't express
+      graft.webtext.Templates.templateStrip(
+        graft.webtext.Templates.plantHostTemplates(tp(s, dir, "documents")))
+    }),
+    "snapshot_asof" -> ((s, dir) => {
+      // as-of join: every event matched to the latest page snapshot with
+      // snap_t <= event_t (inclusive tie: snapshots sort before events) —
+      // one key shuffle + a running-last window, no range explosion
+      val docs = tp(s, dir, "documents")
+      val nDocs = docs.count()
+      val ev = tp(s, dir, "events").select(
+        (col("event_id") % nDocs).as("k"),
+        TimeCols.ntzEpochSeconds(col("ts")).as("t"),
+        col("event_id"))
+      graft.webtext.AsofJoin.asof(graft.webtext.AsofJoin.plantSnapshots(docs), ev)
+        .orderBy("event_id")
+    }),
+    "host_cap_sample" -> ((s, dir) => {
+      // FineWeb-style per-host cap: keep <= 50 docs per host in deterministic
+      // LCG order; rank filter plans as WindowGroupLimit (partial limit
+      // before the host shuffle)
+      graft.webtext.HostCap.hostCapSample(tp(s, dir, "documents")).orderBy("doc_id")
+    }),
+    "inverted_index" -> ((s, dir) => {
+      // bigram phrase index: (term, df, cf, capped posting list); tf and
+      // df/cf aggs share one term-grain partitioning, cap is group-limited
+      graft.textops.InvertedIndex.phraseIndex(tp(s, dir, "documents")).orderBy("term")
+    }),
+    "mojibake_repair" -> ((s, dir) => {
+      // ftfy-core encoding repair via the codegen Expression: mangled
+      // UTF-8-as-Latin-1 prefixes recover byte-exactly, genuine Latin-1
+      // accents and ASCII pass through untouched
+      val planted = graft.webtext.Mojibake.plantMojibake(tp(s, dir, "documents"))
+      planted.select(col("doc_id"),
+          graft.expr.MojibakeRepairExpr.mojibakeRepair(col("text")).as("repaired"),
+          (graft.expr.MojibakeRepairExpr.mojibakeRepair(col("text")) =!= col("text"))
+            .cast("long").as("was_mojibake"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2351,6 +2393,86 @@ object SparkEntry {
         |       CASE doc_id%3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
         |       CAST(16 + doc_id%97 AS INT) AS width,
         |       CAST(16 + doc_id%53 AS INT) AS height
+        |FROM documents""".stripMargin,
+    // template_strip: within-host document-frequency ratio (>= 10% of the
+    // host's docs -> template). The banner (100%) vanishes, the syndicated
+    // promo (4% per host) survives — the host-grain semantics line_dedup's
+    // corpus threshold cannot express. Same 8-word chunk grain as line_dedup.
+    "template_strip" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 7 AS h,
+        |         'welcome to site' || (doc_id % 7) || ' official portal navigation bar menu '
+        |         || CASE WHEN doc_id % 25 = 0 THEN 'shared promo line appears rarely across hosts here ' ELSE '' END
+        |         || text AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, h, string_split(text, ' ') AS ws FROM p),
+        |c AS (SELECT doc_id, h, i, array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+        |      FROM w, UNNEST(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT))) t(i)),
+        |hd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM c GROUP BY h),
+        |f AS (SELECT h, line, count(DISTINCT doc_id) AS n FROM c GROUP BY h, line),
+        |k AS (SELECT c.doc_id, c.i, c.line FROM c JOIN f USING (h, line) JOIN hd USING (h)
+        |      WHERE f.n * 10 < hd.nd),
+        |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS clean_text FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
+    // snapshot_asof: the oracle recomputes the as-of with the same
+    // union + running last_value(IGNORE NULLS) window — snapshots sort before
+    // events at equal t (is_event 0 < 1) for inclusive <= semantics; epochs
+    // via floor(epoch(ts)) = TimeCols.ntzEpochSeconds (TZ-free)
+    "snapshot_asof" ->
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |s AS (SELECT doc_id AS k, 1704067200 + v*864000 + (doc_id % 97)*3600 AS t,
+        |             v AS version, 0 AS is_event, CAST(NULL AS BIGINT) AS event_id
+        |      FROM documents, UNNEST(generate_series(0, doc_id % 3)) tt(v)),
+        |e AS (SELECT event_id % (SELECT nd FROM n) AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |             CAST(NULL AS BIGINT) AS version, 1 AS is_event, event_id
+        |      FROM events),
+        |u AS (SELECT * FROM s UNION ALL BY NAME SELECT * FROM e),
+        |m AS (SELECT k, t, is_event, event_id,
+        |             last_value(version IGNORE NULLS) OVER
+        |               (PARTITION BY k ORDER BY t, is_event
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv,
+        |             last_value(CASE WHEN is_event = 0 THEN t END IGNORE NULLS) OVER
+        |               (PARTITION BY k ORDER BY t, is_event
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+        |      FROM u)
+        |SELECT event_id, k AS doc_key,
+        |       coalesce(mv, -1) AS version,
+        |       CASE WHEN mv IS NULL THEN -1 ELSE t - mt END AS age_s
+        |FROM m WHERE is_event = 1""".stripMargin,
+    // host_cap_sample: the 31-bit LCG order key is exact integer arithmetic
+    // on both sides (no 64-bit overflow for id domains < 2^33)
+    "host_cap_sample" ->
+      """WITH h AS (SELECT doc_id, 'site' || (doc_id % 7) || '.example.com' AS host,
+        |                  (doc_id * 1103515245 + 12345) % 2147483648 AS hv
+        |           FROM documents),
+        |r AS (SELECT doc_id, host, hv,
+        |             row_number() OVER (PARTITION BY host ORDER BY hv, doc_id) AS rk
+        |      FROM h)
+        |SELECT doc_id, host, hv, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 50""".stripMargin,
+    // inverted_index: bigram phrase postings; the cap (first 20 docs by
+    // doc_id) and df>=2 floor are recomputed by window rank
+    "inverted_index" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term
+        |      FROM w, UNNEST(generate_series(1, len(ws)-1)) t(i)),
+        |tfp AS (SELECT term, doc_id, count(*) AS tf FROM b GROUP BY term, doc_id),
+        |rk AS (SELECT term, doc_id, tf,
+        |              row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r,
+        |              count(*) OVER (PARTITION BY term) AS df,
+        |              sum(tf) OVER (PARTITION BY term) AS cf
+        |       FROM tfp)
+        |SELECT term, CAST(any_value(df) AS BIGINT) AS df, CAST(any_value(cf) AS BIGINT) AS cf,
+        |       string_agg(CASE WHEN r <= 20 THEN doc_id || ':' || tf END, ',' ORDER BY doc_id) AS postings
+        |FROM rk GROUP BY term HAVING any_value(df) >= 2""".stripMargin,
+    // mojibake_repair: repairing the mangled prefix must reproduce the CLEAN
+    // planted prefix byte-exactly, clean accents and ASCII pass through —
+    // the oracle reconstructs the expected output from the plant arithmetic
+    "mojibake_repair" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 10 IN (0, 5)
+        |            THEN 'café naïve résumé ' || text ELSE text END AS repaired,
+        |       CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS was_mojibake
         |FROM documents""".stripMargin
   )
 }

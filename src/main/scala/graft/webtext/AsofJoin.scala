@@ -1,0 +1,62 @@
+package graft.webtext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each event, the LATEST snapshot of its key with
+  * `snapshot.t <= event.t` (the kdb/Flink temporal-join primitive Spark
+  * lacks as a built-in). The crawl use: attribute every downstream signal
+  * (click, fetch, index update) to the page VERSION that was live when the
+  * signal fired — a recrawled corpus is a slowly-changing dimension and a
+  * plain equi-join silently attributes events to future snapshots.
+  *
+  * Implementation: union both sides into one (k, t, is_event) stream and take
+  * a running `last(version) ignoring nulls` over
+  * `Window.partitionBy(k).orderBy(t, is_event).rowsBetween(unboundedPreceding,
+  * currentRow)`. Snapshot rows sort BEFORE event rows at equal t
+  * (is_event 0 < 1), giving inclusive `<=` semantics. This is the canonical
+  * distributed as-of plan: ONE shuffle on the key, then a single linear
+  * running-accumulator pass per partition — no range-bucketed candidate
+  * explosion, no per-event binary search, and the snapshot side (typically
+  * orders of magnitude smaller than events) rides the same exchange.
+  * Tied event rows all carry null `version`, so the running last-non-null is
+  * well-defined regardless of their relative order — the plan is
+  * deterministic without a total sort key.
+  *
+  * Unmatched events (before the key's first snapshot) report version -1 /
+  * age_s -1 rather than dropping — at table grain data must never vanish
+  * (the repo's error-row rule).
+  */
+object AsofJoin {
+
+  /** Deterministic snapshot fixture: each doc has 1-3 versions
+    * (v in 0..doc_id%3) at t = 1704067200 + v*864000 + (doc_id%97)*3600 —
+    * spread across the events table's Jan-2024 span so matches cover every
+    * version and ~7% of events fire before their key's first snapshot. */
+  def plantSnapshots(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("k"),
+        explode(sequence(lit(0L), col("doc_id") % 3)).as("version"))
+      .select(col("k"), col("version"),
+        (lit(1704067200L) + col("version") * 864000L + (col("k") % 97) * 3600L).as("t"))
+
+  /** As-of join `events` (k, t, event_id) against `snaps` (k, t, version).
+    * Output: (event_id, doc_key, version, age_s), version/age_s -1 when no
+    * snapshot precedes the event. */
+  def asof(snaps: DataFrame, events: DataFrame): DataFrame = {
+    val s = snaps.select(col("k"), col("t"), col("version"),
+      lit(0).as("is_event"), lit(null).cast("long").as("event_id"))
+    val e = events.select(col("k"), col("t"),
+      lit(null).cast("long").as("version"), lit(1).as("is_event"), col("event_id"))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.unionByName(e)
+      .withColumn("mv", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("mt",
+        last(when(col("is_event") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("doc_key"),
+        coalesce(col("mv"), lit(-1L)).as("version"),
+        when(col("mv").isNull, lit(-1L)).otherwise(col("t") - col("mt")).as("age_s"))
+  }
+}

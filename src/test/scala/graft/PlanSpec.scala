@@ -482,4 +482,34 @@ class PlanSpec extends AnyFunSuite {
       assert(a.dataType != StringType,
         s"string attribute $a crosses a hash shuffle - gram text must stay map-side")
   }
+
+  test("host_cap_sample and inverted_index: the rank cap is a WindowGroupLimit") {
+    // both ops rely on Spark 4's group-limit push so mega-host / stop-phrase
+    // partitions ship only cap×partitions rows into the exchange — a plain
+    // Window over a full per-group sort would be the 100 TB scale-killer
+    for (name <- Seq("host_cap_sample", "inverted_index")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: expected window group-limit pushdown in:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("mojibake_repair Expression stays in WholeStageCodegen and equals the static kernel") {
+    val df = SparkEntry.queries("mojibake_repair")(spark, sf)
+    // collect first: finalizes the AQE plan so codegen '*' markers are visible
+    val got = df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val plan = executedPlan(df)
+    assert("\\*\\(\\d+\\) Project \\[.*mojibake_repair".r.findFirstIn(plan).isDefined,
+      s"expr path must stay in a codegen'd Project:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), s"no object-mode boundary expected:\n$plan")
+    // Expression output == driver-side static kernel over the same plant
+    val planted = graft.webtext.Mojibake.plantMojibake(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty && got.forall { case (id, (rep, flag)) =>
+      rep == graft.webtext.Mojibake.repair(planted(id)) &&
+        flag == (if (rep != planted(id)) 1L else 0L)
+    })
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.webtext.{AsofJoin, HostCap, Mojibake, Templates}
+import graft.textops.InvertedIndex
+
+/** Unit semantics for the round-4 late-session ops: host-grain template
+  * stripping, as-of join, per-host cap, phrase index, mojibake repair. */
+class SessionOps4Spec extends AnyFunSuite {
+  import SparkSuite._
+  import spark.implicits._
+
+  // ---- Mojibake.repair kernel (pure function, exhaustive cases) ----
+
+  test("mojibake: UTF-8-as-Latin-1 damage repairs byte-exactly") {
+    val clean = "café naïve résumé — done"
+    val mangled = new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+    assert(mangled != clean)
+    assert(Mojibake.repair(mangled) == clean)
+  }
+
+  test("mojibake: pure ASCII, genuine Latin-1, and >U+00FF text pass through") {
+    assert(Mojibake.repair("plain ascii text") == "plain ascii text")
+    // bare 0xE9 is invalid UTF-8 -> genuine Latin-1 prose stays untouched
+    assert(Mojibake.repair("café au lait") == "café au lait")
+    // already-repaired text contains chars > 0xFF -> fast-path passthrough
+    assert(Mojibake.repair("café — déjà") == "café — déjà")
+    assert(Mojibake.repair("") == "")
+    assert(Mojibake.repair(null) == null)
+  }
+
+  test("mojibake: repair is idempotent over the mangle fuzz") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val s = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(0x250).toChar).mkString
+      val r = Mojibake.repair(s)
+      assert(Mojibake.repair(r) == r)
+    }
+  }
+
+  test("mojibake: truncated multi-byte tail is NOT valid UTF-8 -> untouched") {
+    // 0xC3 at end of string: strict decoder must reject, not replace
+    val s = "abc" + 'Ã'
+    assert(Mojibake.repair(s) == s)
+  }
+
+  // ---- AsofJoin.asof on handcrafted rows ----
+
+  test("asof: inclusive tie, latest-wins, unmatched -> -1") {
+    val snaps = Seq((1L, 100L, 0L), (1L, 200L, 1L), (2L, 500L, 0L))
+      .toDF("k", "t", "version")
+    val events = Seq(
+      (10L, 1L, 99L),   // before first snapshot -> -1
+      (11L, 1L, 100L),  // exact tie -> v0 (inclusive)
+      (12L, 1L, 150L),  // between -> v0
+      (13L, 1L, 200L),  // exact tie with v1 -> v1
+      (14L, 1L, 999L),  // after all -> v1
+      (15L, 2L, 499L)   // other key, before -> -1
+    ).toDF("event_id", "k", "t").select("k", "t", "event_id")
+    val got = AsofJoin.asof(snaps, events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      10L -> ((-1L, -1L)), 11L -> ((0L, 0L)), 12L -> ((0L, 50L)),
+      13L -> ((1L, 0L)), 14L -> ((1L, 799L)), 15L -> ((-1L, -1L))))
+  }
+
+  // ---- Templates.templateStrip semantics ----
+
+  test("template_strip: host-grain ratio — same line is template on one host, content on another") {
+    // host A: 25 docs all sharing a banner line; doc 0 also carries `rare`
+    // (1/25 = 4% of A -> keep); host B: 20 docs, four carry the SAME `rare`
+    // line (4/20 = 20% of B -> strip). Corpus-global line_dedup (count >= 3)
+    // could express neither decision.
+    val banner = "one two three four five six seven eight"
+    val rare = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val body = (i: Int) => s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"
+    val a = (0 until 25).map(i =>
+      (i.toLong, "a", banner + " " + (if (i == 0) rare + " " else "") + body(i)))
+    val b = (100 until 120).map(i =>
+      (i.toLong, "b", (if (i < 104) rare + " " else "") + body(i)))
+    val docs = (a ++ b).toDF("doc_id", "host", "text")
+    val got = Templates.templateStrip(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == body(1))               // banner stripped (25/25 >= 10%)
+    assert(got(0L) == rare + " " + body(0))  // rare kept on A (4% < 10%)
+    assert(got(100L) == body(100))           // rare stripped on B (20% >= 10%)
+    assert(got(110L) == body(110))
+  }
+
+  test("template_strip: exact threshold boundary — n*den == hd*num strips") {
+    // 20 docs; boundary line in exactly 2 -> 2*10 >= 20*1 -> template at the
+    // boundary; unique body lines (1/20 = 5%) survive
+    val line = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val body = (i: Int) => s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"
+    val docs = (0 until 20).map(i =>
+      (i.toLong, "h", (if (i < 2) line + " " else "") + body(i))).toDF("doc_id", "host", "text")
+    val got = Templates.templateStrip(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == body(0))
+    assert(got(5L) == body(5))
+  }
+
+  // ---- HostCap ----
+
+  test("host_cap_sample: at most cap rows per host, rank dense from 1") {
+    val docs = spark.range(0, 700).select(col("id").as("doc_id"))
+    val got = HostCap.hostCapSample(docs, cap = 5)
+    val byHost = got.groupBy("host").agg(count(lit(1)).as("n"), max("rk").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byHost.length == 7)
+    assert(byHost.forall { case (_, n, m) => n == 5 && m == 5 })
+    // deterministic across runs
+    assert(got.collect().sortBy(_.getLong(0)).sameElements(
+      HostCap.hostCapSample(docs, cap = 5).collect().sortBy(_.getLong(0))))
+  }
+
+  // ---- InvertedIndex ----
+
+  test("phrase index: df floor, posting cap, tf counts") {
+    val docs = Seq(
+      (1L, "a b a b"),      // bigrams: "a b" x2, "b a" x1
+      (2L, "a b c"),        // "a b" x1, "b c" x1
+      (3L, "x")             // no bigram (single word)
+    ).toDF("doc_id", "text")
+    val got = InvertedIndex.phraseIndex(docs, minDf = 2L, maxPostings = 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // only "a b" reaches df 2; cap=1 keeps just doc 1's posting
+    assert(got == Map("a b" -> ((2L, 3L, "1:2"))))
+  }
+}
