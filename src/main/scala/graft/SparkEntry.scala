@@ -1061,6 +1061,28 @@ object SparkEntry {
           (graft.expr.MojibakeRepairExpr.mojibakeRepair(col("text")) =!= col("text"))
             .cast("long").as("was_mojibake"))
         .orderBy("doc_id")
+    }),
+    "extraction_prf" -> ((s, dir) => {
+      // extractor regression eval: word-multiset P/R/F1 in basis points over
+      // the planted degraded extraction (dropped paragraph = recall damage,
+      // appended promo = precision damage); narrow (doc_id, wordhash) keys
+      graft.webtext.ExtractionEval.prf(
+        graft.webtext.ExtractionEval.plantDegraded(tp(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+    "soft404_detect" -> ((s, dir) => {
+      // soft-404 content classifier fused with the HTML parse: 404-title
+      // markers + tiny-main-content apology fallback, one map stage
+      graft.webtext.Soft404.detect(
+        graft.webtext.Soft404.plantPages(tp(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+    "index_delta" -> ((s, dir) => {
+      // incremental reindex delta for the recrawl: only changed/added/removed
+      // docs reach the term explode; upserts vs tombstones at term grain
+      val docs = tp(s, dir, "documents").select("doc_id", "text")
+      graft.textops.IndexDelta.indexDelta(docs, graft.webtext.Recrawl.snapshotB(docs))
+        .orderBy("term")
     })
   )
 
@@ -2473,6 +2495,65 @@ object SparkEntry {
         |       CASE WHEN doc_id % 10 IN (0, 5)
         |            THEN 'café naïve résumé ' || text ELSE text END AS repaired,
         |       CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS was_mojibake
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // extraction_prf: the oracle recomputes the word-multiset overlap
+    // generically (unnest both sides, per-word least()), then the same
+    // trunc-division basis-point chain; empty extraction -> precision 0
+    "extraction_prf" ->
+      """WITH g AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |ext AS (SELECT doc_id,
+        |         list_concat(
+        |           CASE WHEN doc_id % 4 = 0 THEN string_split(text, ' ')[25:] ELSE string_split(text, ' ') END,
+        |           CASE WHEN doc_id % 3 = 0 THEN string_split('subscribe to our newsletter for daily updates', ' ') ELSE [] END) AS ws
+        |        FROM documents),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM ext),
+        |gc AS (SELECT doc_id, w, count(*) AS cg FROM g GROUP BY doc_id, w),
+        |ec AS (SELECT doc_id, w, count(*) AS ce FROM e GROUP BY doc_id, w),
+        |j AS (SELECT coalesce(gc.doc_id, ec.doc_id) AS doc_id,
+        |             coalesce(cg, 0) AS cg, coalesce(ce, 0) AS ce
+        |      FROM gc FULL OUTER JOIN ec ON gc.doc_id = ec.doc_id AND gc.w = ec.w),
+        |m AS (SELECT doc_id, sum(least(cg, ce)) AS inter, sum(cg) AS ng, sum(ce) AS ne
+        |      FROM j GROUP BY doc_id)
+        |SELECT doc_id, CAST(ng AS BIGINT) AS n_gold, CAST(ne AS BIGINT) AS n_extracted,
+        |       CAST(inter AS BIGINT) AS n_match,
+        |       CAST(CASE WHEN ne > 0 THEN inter * 10000 // ne ELSE 0 END AS BIGINT) AS precision_bp,
+        |       CAST(inter * 10000 // ng AS BIGINT) AS recall_bp,
+        |       CAST(CASE WHEN ne > 0 AND inter * 10000 // ne + inter * 10000 // ng > 0
+        |            THEN (2 * (inter * 10000 // ne) * (inter * 10000 // ng)) // (inter * 10000 // ne + inter * 10000 // ng)
+        |            ELSE 0 END AS BIGINT) AS f1_bp
+        |FROM m""".stripMargin,
+    // soft404_detect: classification and the error page's 8-word apology are
+    // fixture arithmetic; normal pages' main text equals the document text
+    // (html_main_content's proven byte-identity), so n_main_words = len(words)
+    "soft404_detect" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_soft404,
+        |       CAST(CASE WHEN doc_id % 13 = 0 THEN 8
+        |            ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_main_words
+        |FROM documents""".stripMargin,
+    // index_delta: snapshot B is crawl_delta's fixture arithmetic (removed
+    // id%7==3, changed id%5==1, added id%11==0 at id+1000000); the oracle
+    // rebuilds both doc sets and counts distinct-doc bigram activity
+    "index_delta" ->
+      """WITH oldd AS (SELECT doc_id, text FROM documents),
+        |tombdocs AS (SELECT doc_id, text FROM oldd
+        |             WHERE doc_id % 7 = 3 OR (doc_id % 5 = 1 AND doc_id % 7 <> 3)),
+        |updocs AS (SELECT doc_id, text || ' updated' AS text FROM oldd
+        |           WHERE doc_id % 5 = 1 AND doc_id % 7 <> 3
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, 'recrawl new page ' || doc_id FROM oldd
+        |           WHERE doc_id % 11 = 0),
+        |tb AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS term
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM tombdocs),
+        |            UNNEST(generate_series(1, len(ws)-1)) t(i)),
+        |ub AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS term
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM updocs),
+        |            UNNEST(generate_series(1, len(ws)-1)) t(i)),
+        |tc AS (SELECT term, count(*) AS nt FROM tb GROUP BY term),
+        |uc AS (SELECT term, count(*) AS nu FROM ub GROUP BY term)
+        |SELECT coalesce(uc.term, tc.term) AS term,
+        |       CAST(coalesce(nu, 0) AS BIGINT) AS n_upserts,
+        |       CAST(coalesce(nt, 0) AS BIGINT) AS n_tombstones
+        |FROM uc FULL OUTER JOIN tc ON uc.term = tc.term""".stripMargin
   )
 }

@@ -116,6 +116,64 @@ class SessionOps4Spec extends AnyFunSuite {
       HostCap.hostCapSample(docs, cap = 5).collect().sortBy(_.getLong(0))))
   }
 
+  // ---- Soft404 ----
+
+  test("soft404: error page main text is exactly the apology; detection truth table") {
+    import graft.webtext.{MainContent, Soft404}
+    assert(MainContent.extract(Soft404.errorPage(42L)) == Soft404.Apology)
+    val pages = Seq(
+      (13L, Soft404.errorPage(13L)),                       // 404 title -> soft404
+      (1L, graft.webtext.HtmlGen.page(1L, "w1 w2 w3 w4 w5 w6 w7 w8 " * 10 + "end")),
+      // blank title, tiny apology content -> fallback fires
+      (2L, "<html><head><title></title></head><body><div><p>" +
+        Soft404.Apology + "</p></div></body></html>"),
+      // tiny but benign content -> NOT soft404
+      (3L, "<html><body><div><p>short benign page here</p></div></body></html>"),
+      // the bare-number trap: a normal page whose ID puts "404" in the title
+      // must NOT be flagged (phrase markers, not substring)
+      (404L, graft.webtext.HtmlGen.page(404L, "w1 w2 w3 w4 w5 w6 w7 w8 " * 10 + "end"))
+    ).toDF("doc_id", "html")
+    val got = Soft404.detect(pages).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(13L) == ((1L, 8L)))
+    assert(got(1L)._1 == 0L && got(1L)._2 == 81L)
+    assert(got(2L) == ((1L, 8L)))
+    assert(got(3L) == ((0L, 4L)))
+    assert(got(404L)._1 == 0L)
+  }
+
+  // ---- ExtractionEval ----
+
+  test("extraction_prf: multiset overlap, trunc-division bp, empty-extraction convention") {
+    import graft.webtext.ExtractionEval
+    val docs = Seq(
+      (1L, "a b c d", "a b c d"),   // perfect
+      (2L, "a a b", "a x"),         // inter=1 (multiset: one 'a'), P=5000, R=3333
+      (3L, "a b", "")               // empty extraction -> P=0, R=0, F1=0
+    ).toDF("doc_id", "gold", "extracted")
+    val got = ExtractionEval.prf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((4L, 4L, 4L, 10000L, 10000L, 10000L)))
+    assert(got(2L) == ((3L, 2L, 1L, 5000L, 3333L, 3999L)))
+    assert(got(3L) == ((2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  // ---- IndexDelta ----
+
+  test("index_delta: changed docs tombstone old terms and upsert new ones") {
+    import graft.textops.IndexDelta
+    val oldD = Seq((1L, "a b c"), (2L, "x y"), (3L, "k l")).toDF("doc_id", "text")
+    // doc 1 changed ("a b" stays in both sets -> both upsert AND tombstone),
+    // doc 2 removed, doc 4 added; doc 3 unchanged -> no activity at all
+    val newD = Seq((1L, "a b z"), (3L, "k l"), (4L, "p q")).toDF("doc_id", "text")
+    val got = IndexDelta.indexDelta(oldD, newD).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a b" -> ((1L, 1L)), "b c" -> ((0L, 1L)), "b z" -> ((1L, 0L)),
+      "x y" -> ((0L, 1L)), "p q" -> ((1L, 0L))))
+  }
+
   // ---- InvertedIndex ----
 
   test("phrase index: df floor, posting cap, tf counts") {
