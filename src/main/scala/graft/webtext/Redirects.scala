@@ -75,7 +75,7 @@ object Redirects {
         coalesce(col("hops"), lit(0L)).as("hops"),
         coalesce(col("done"), lit(true)).as("done"))
     val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(maxHops - 1)) // ceil(log2)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val g = f.select(col("node").as("g_node"), col("ptr").as("g_ptr"),
         col("hops").as("g_hops"), col("done").as("g_done"))
       f = f.join(g, col("ptr") === col("g_node"), "left")
@@ -84,7 +84,15 @@ object Redirects {
           when(col("done"), col("hops"))
             .otherwise(least(col("hops") + coalesce(col("g_hops"), lit(0L)), lit(maxHops + 1L))).as("hops"),
           (col("done") || coalesce(col("g_done"), lit(false))).as("done"))
-        .localCheckpoint(true)
+      // Lineage control, measured (BENCH.md): EAGER localCheckpoint per round
+      // cost 14 s warm at sf0.1 — each round forced a full driver job cascade
+      // before any result was needed. A lazy segment checkpoint every 3rd
+      // round keeps the self-join plan tree bounded at depth 2^3 per segment
+      // (a 20-round/10^6-hop resolve stays polynomial) while the common
+      // maxHops=8 (3 rounds) runs as ONE AQE job with ReusedExchange dedup —
+      // 3.4-5 s warm, same rows. Per-round materialization is pure overhead
+      // when the round count is already logarithmic.
+      if (r % 3 == 0 && r < rounds) f = f.localCheckpoint(false)
     }
     urls.join(f, col("url") === col("node"), "left")
       .select(col("doc_id"), col("url"),
