@@ -1083,6 +1083,22 @@ object SparkEntry {
       val docs = tp(s, dir, "documents").select("doc_id", "text")
       graft.textops.IndexDelta.indexDelta(docs, graft.webtext.Recrawl.snapshotB(docs))
         .orderBy("term")
+    }),
+    "hll_distinct" -> ((s, dir) => {
+      // distinct (user, day) per event type via the custom HLL
+      // TypedImperativeAggregate: 64-byte sketches through partial agg, the
+      // oracle recomputes registers + raw estimator bit-for-bit; exact
+      // countDistinct rides along as the eval ground truth (ANN-'hit' style)
+      val ev = tp(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          TimeCols.ntzEpochSeconds(col("ts")).as("es"))
+        .select(col("event_type"), expr("user_id * 1024L + (es div 86400L)").as("v"))
+      ev.groupBy("event_type")
+        .agg(graft.expr.HllSketchAgg.hllDistinct(col("v")).as("approx_distinct"),
+          countDistinct(col("v")).as("exact_distinct"))
+        .withColumn("err_bp",
+          expr("abs(approx_distinct - exact_distinct) * 10000L div exact_distinct"))
+        .orderBy("event_type")
     })
   )
 
@@ -2554,6 +2570,48 @@ object SparkEntry {
         |SELECT coalesce(uc.term, tc.term) AS term,
         |       CAST(coalesce(nu, 0) AS BIGINT) AS n_upserts,
         |       CAST(coalesce(nt, 0) AS BIGINT) AS n_tombstones
-        |FROM uc FULL OUTER JOIN tc ON uc.term = tc.term""".stripMargin
+        |FROM uc FULL OUTER JOIN tc ON uc.term = tc.term""".stripMargin,
+    // hll_distinct: the oracle recomputes the ENTIRE sketch — splitmix64 in
+    // HUGEINT with 32-bit-split mod-2^64 multiplication (a 64x64 product
+    // would overflow HUGEINT), top-6-bit buckets, leading-zero rho via
+    // bin()-length, per-bucket max, then the raw estimator in exact integer
+    // arithmetic. Constants K2/K3 pre-split into 32-bit halves.
+    "hll_distinct" ->
+      """WITH vals AS (
+        |  SELECT event_type,
+        |         CAST(user_id * 1024 + (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS HUGEINT) AS v
+        |  FROM events),
+        |h1 AS (SELECT event_type, (v + 11400714819323198485) % 18446744073709551616 AS z FROM vals),
+        |h2 AS (SELECT event_type, xor(z, z >> 30) AS x FROM h1),
+        |h3 AS (SELECT event_type,
+        |         ((x % 4294967296) * 484763065
+        |          + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h2),
+        |h4 AS (SELECT event_type, xor(z, z >> 27) AS x FROM h3),
+        |h5 AS (SELECT event_type,
+        |         ((x % 4294967296) * 321982955
+        |          + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h4),
+        |h AS (SELECT event_type, xor(z, z >> 31) AS h FROM h5),
+        |b AS (SELECT event_type, CAST(h // 288230376151711744 AS BIGINT) AS idx,
+        |             h % 288230376151711744 AS rest FROM h),
+        |r AS (SELECT event_type, idx,
+        |             max(CASE WHEN rest = 0 THEN 59 ELSE 58 - len(bin(rest)) + 1 END) AS rho
+        |      FROM b GROUP BY event_type, idx),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT t.event_type, g.i AS idx
+        |         FROM types t, UNNEST(generate_series(0, 63)) g(i)),
+        |regs AS (SELECT grid.event_type, grid.idx, coalesce(r.rho, 0) AS rho
+        |         FROM grid LEFT JOIN r ON grid.event_type = r.event_type AND grid.idx = r.idx),
+        |est AS (SELECT event_type, sum(CAST(1 AS HUGEINT) << (59 - rho)) AS z2
+        |        FROM regs GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT v) AS exact FROM vals GROUP BY event_type)
+        |SELECT est.event_type,
+        |       CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) AS approx_distinct,
+        |       CAST(exact AS BIGINT) AS exact_distinct,
+        |       CAST(abs(CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) - exact) * 10000 // exact AS BIGINT) AS err_bp
+        |FROM est JOIN ex USING (event_type)""".stripMargin
   )
 }

@@ -174,6 +174,48 @@ class SessionOps4Spec extends AnyFunSuite {
       "x y" -> ((0L, 1L)), "p q" -> ((1L, 0L))))
   }
 
+  // ---- HllSketchAgg ----
+
+  test("hll: splitmix64 matches the reference vectors; sketch equals a driver recompute") {
+    import graft.expr.HllSketchAgg
+    // reference: splitmix64(0) and splitmix64(1) published test vector values
+    assert(HllSketchAgg.splitmix64(0L) == java.lang.Long.parseUnsignedLong("16294208416658607535"))
+    assert(HllSketchAgg.splitmix64(1L) == java.lang.Long.parseUnsignedLong("10451216379200822465"))
+    // sketch over a known value set == independent register recompute
+    val vals = (0L until 5000L).map(i => (i % 7, i % 1300))
+    val df = vals.toDF("g", "v")
+    val got = df.groupBy("g").agg(HllSketchAgg.hllDistinct(col("v")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recompute(vs: Seq[Long]): Long = {
+      val regs = new Array[Int](64)
+      vs.foreach { v =>
+        val h = HllSketchAgg.splitmix64(v)
+        val idx = (h >>> 58).toInt
+        val rest = h & ((1L << 58) - 1)
+        val rho = if (rest == 0) 59 else 58 - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+        if (regs(idx) < rho) regs(idx) = rho
+      }
+      val z2 = regs.map(r => BigInt(1) << (59 - r)).sum
+      ((BigInt(709343) * 64 * 64 * (BigInt(1) << 59)) / (BigInt(1000000) * z2)).toLong
+    }
+    val expected = vals.groupBy(_._1).view.mapValues(g => recompute(g.map(_._2))).toMap
+    assert(got == expected)
+    // raw-regime accuracy: each group has ~1300/7-aliased... true distincts
+    val exact = vals.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    got.foreach { case (g, a) =>
+      assert(math.abs(a - exact(g)).toDouble / exact(g) < 0.5,
+        s"group $g approx $a vs exact ${exact(g)}")
+    }
+  }
+
+  test("hll: merge is per-register max — partition count cannot change the sketch") {
+    import graft.expr.HllSketchAgg
+    val df1 = spark.range(0, 4000).select(lit(1L).as("g"), (col("id") % 997).as("v"))
+    val a1 = df1.repartition(1).groupBy("g").agg(HllSketchAgg.hllDistinct(col("v")).as("a")).collect()(0).getLong(1)
+    val a32 = df1.repartition(32).groupBy("g").agg(HllSketchAgg.hllDistinct(col("v")).as("a")).collect()(0).getLong(1)
+    assert(a1 == a32)
+  }
+
   // ---- InvertedIndex ----
 
   test("phrase index: df floor, posting cap, tf counts") {
