@@ -1099,6 +1099,32 @@ object SparkEntry {
         .withColumn("err_bp",
           expr("abs(approx_distinct - exact_distinct) * 10000L div exact_distinct"))
         .orderBy("event_type")
+    }),
+    "cms_freq" -> ((s, dir) => {
+      // count-min heavy-hitter frequencies: one corpus pass builds a global
+      // 4x1024 sketch (32 KB through partial agg), point queries answer via
+      // the codegen cms_query scalar; exact counts ride along as the eval
+      // ground truth (est >= exact is the CMS one-sided guarantee)
+      import s.implicits._
+      val planted = graft.textops.Dedup.plantBoilerplate(tp(s, dir, "documents"))
+      val ws = split(col("text"), " ", -1)
+      val bigramsC = transform(sequence(lit(0), size(ws) - 2),
+        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2)))
+      val terms = planted.filter(size(ws) >= 2).select(explode(bigramsC).as("term"))
+      val fstream = terms.as[String].map(graft.textops.TextHash.fnv64).toDF("f")
+      val sketch = fstream.agg(graft.expr.CmsSketch.cmsSketch(col("f")).as("sk"))
+      val keyTerms = graft.textops.Dedup.BoilerLine.split(" ").sliding(2)
+        .map(_.mkString(" ")).toSeq :+ "zzz qqq"
+      val keysDf = keyTerms.map(t => (t, graft.textops.TextHash.fnv64(t))).toDF("term", "kf")
+      val exact = terms.filter(col("term").isin(keyTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("exact"))
+      keysDf.crossJoin(broadcast(sketch))
+        .select(col("term"), graft.expr.CmsSketch.cmsQuery(col("sk"), col("kf")).as("est"))
+        .join(exact, Seq("term"), "left")
+        .withColumn("exact", coalesce(col("exact"), lit(0L)))
+        .withColumn("over_bp",
+          when(col("exact") > 0, expr("(est - exact) * 10000L div exact")).otherwise(lit(-1L)))
+        .orderBy("term")
     })
   )
 
@@ -2612,6 +2638,64 @@ object SparkEntry {
         |       CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) AS approx_distinct,
         |       CAST(exact AS BIGINT) AS exact_distinct,
         |       CAST(abs(CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) - exact) * 10000 // exact AS BIGINT) AS err_bp
-        |FROM est JOIN ex USING (event_type)""".stripMargin
+        |FROM est JOIN ex USING (event_type)""".stripMargin,
+    // cms_freq: the oracle rebuilds the ENTIRE counter table — FNV-1a over
+    // bigram terms (the simhash oracle's list_reduce idiom), four splitmix64
+    // row hashes in HUGEINT 32-bit-split mod-2^64 arithmetic, bucket sums —
+    // then answers the same point queries by min-over-rows. CMS invariant:
+    // est >= exact always; 'zzz qqq' probes the absent-key path.
+    "cms_freq" ->
+      """WITH p AS (SELECT 'boiler plate nav menu spam footer links here ' || text AS text FROM documents),
+        |w AS (SELECT string_split(text, ' ') AS ws FROM p),
+        |b AS (SELECT ws[i] || ' ' || ws[i+1] AS term
+        |      FROM w, UNNEST(generate_series(1, len(ws)-1)) t(i)),
+        |tc AS (SELECT term, count(*) AS n FROM b GROUP BY term),
+        |tfv AS (SELECT term, n, list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(c)::HUGEINT for c in string_split(term, '')]),
+        |           (h, x) -> ((h - h % 256 + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS f FROM tc),
+        |sx AS (SELECT term, n, i, ((f + i) + 11400714819323198485) % 18446744073709551616 AS z
+        |       FROM tfv, UNNEST(generate_series(0, 3)) r(i)),
+        |sxa AS (SELECT *, xor(z, z >> 30) AS x1 FROM sx),
+        |sxb AS (SELECT * EXCLUDE (z),
+        |         ((x1 % 4294967296) * 484763065
+        |          + (((x1 % 4294967296) * 3210233709 + (x1 // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z FROM sxa),
+        |sxc AS (SELECT * EXCLUDE (x1), xor(z, z >> 27) AS x2 FROM sxb),
+        |sxd AS (SELECT * EXCLUDE (z),
+        |         ((x2 % 4294967296) * 321982955
+        |          + (((x2 % 4294967296) * 2496678331 + (x2 // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z FROM sxc),
+        |sxe AS (SELECT * EXCLUDE (x2, z), xor(z, z >> 31) AS h FROM sxd),
+        |cnt AS (SELECT i, CAST(h % 1024 AS BIGINT) AS bucket, sum(n) AS c
+        |        FROM sxe GROUP BY i, CAST(h % 1024 AS BIGINT)),
+        |keys AS (SELECT unnest(['boiler plate', 'plate nav', 'nav menu', 'menu spam', 'spam footer', 'footer links', 'links here', 'zzz qqq']) AS term),
+        |kf AS (SELECT term, list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(c)::HUGEINT for c in string_split(term, '')]),
+        |           (h, x) -> ((h - h % 256 + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS f FROM keys),
+        |ky AS (SELECT term, i, ((f + i) + 11400714819323198485) % 18446744073709551616 AS z
+        |       FROM kf, UNNEST(generate_series(0, 3)) r(i)),
+        |kya AS (SELECT *, xor(z, z >> 30) AS x1 FROM ky),
+        |kyb AS (SELECT * EXCLUDE (z),
+        |         ((x1 % 4294967296) * 484763065
+        |          + (((x1 % 4294967296) * 3210233709 + (x1 // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z FROM kya),
+        |kyc AS (SELECT * EXCLUDE (x1), xor(z, z >> 27) AS x2 FROM kyb),
+        |kyd AS (SELECT * EXCLUDE (z),
+        |         ((x2 % 4294967296) * 321982955
+        |          + (((x2 % 4294967296) * 2496678331 + (x2 // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z FROM kyc),
+        |kye AS (SELECT * EXCLUDE (x2, z), xor(z, z >> 31) AS h FROM kyd),
+        |kb AS (SELECT term, i, CAST(h % 1024 AS BIGINT) AS bucket FROM kye),
+        |est AS (SELECT kb.term, min(coalesce(cnt.c, 0)) AS est
+        |        FROM kb LEFT JOIN cnt USING (i, bucket) GROUP BY kb.term)
+        |SELECT keys.term, CAST(est.est AS BIGINT) AS est,
+        |       CAST(coalesce(tc.n, 0) AS BIGINT) AS exact,
+        |       CAST(CASE WHEN coalesce(tc.n, 0) > 0
+        |            THEN (est.est - tc.n) * 10000 // tc.n ELSE -1 END AS BIGINT) AS over_bp
+        |FROM keys JOIN est USING (term) LEFT JOIN tc USING (term)""".stripMargin
   )
 }

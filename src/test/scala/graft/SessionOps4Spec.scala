@@ -216,6 +216,42 @@ class SessionOps4Spec extends AnyFunSuite {
     assert(a1 == a32)
   }
 
+  // ---- CmsSketchAgg ----
+
+  test("cms: estimate >= exact always; exact for planted uncollided keys; partition-invariant") {
+    import graft.expr.CmsSketch
+    import graft.textops.TextHash
+    // stream: value k appears k times, k in 1..200
+    val vals = (1 to 200).flatMap(k => Seq.fill(k)(k.toLong))
+    val keyed = vals.toDF("v").as[Long].map(v => TextHash.fnv64("term" + v)).toDF("f")
+    val sk1 = keyed.repartition(1).agg(CmsSketch.cmsSketch(col("f")).as("sk")).collect()(0).getAs[Array[Byte]](0)
+    val sk8 = keyed.repartition(8).agg(CmsSketch.cmsSketch(col("f")).as("sk")).collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sk1, sk8), "merge must be partition-count-invariant")
+    (1 to 200).foreach { k =>
+      val est = CmsSketch.query(sk1, TextHash.fnv64("term" + k), 4, 1024)
+      assert(est >= k, s"CMS underestimated key $k: $est")
+    }
+    // absent keys: min over 4 rows of a 200-key / 4096-counter table is
+    // overwhelmingly 0; assert at least one planted absent key reads 0
+    assert((1 to 20).exists(j => CmsSketch.query(sk1, TextHash.fnv64("absent" + j), 4, 1024) == 0L))
+  }
+
+  test("cms: query expression equals the static kernel and stays codegen") {
+    import graft.expr.CmsSketch
+    import graft.textops.TextHash
+    val keyed = (1L to 500L).map(v => TextHash.fnv64("k" + (v % 37))).toDF("f")
+    val sk = keyed.agg(CmsSketch.cmsSketch(col("f")).as("sk"))
+    val keys = (0L until 37L).map(i => (i, TextHash.fnv64("k" + i))).toDF("i", "kf")
+    val out = keys.crossJoin(broadcast(sk))
+      .select(col("i"), CmsSketch.cmsQuery(col("sk"), col("kf")).as("est"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val skBytes = sk.collect()(0).getAs[Array[Byte]](0)
+    (0L until 37L).foreach { i =>
+      assert(got(i) == CmsSketch.query(skBytes, TextHash.fnv64("k" + i), 4, 1024))
+      assert(got(i) >= (if (i == 0) 13L else 13L)) // every residue appears 13 or 14 times
+    }
+  }
+
   // ---- InvertedIndex ----
 
   test("phrase index: df floor, posting cap, tf counts") {
