@@ -1125,6 +1125,13 @@ object SparkEntry {
         .withColumn("over_bp",
           when(col("exact") > 0, expr("(est - exact) * 10000L div exact")).otherwise(lit(-1L)))
         .orderBy("term")
+    }),
+    "stream_hll_distinct" -> ((s, dir) => {
+      // the HLL sketch as streaming aggregation state: same grain as batch
+      // hll_distinct, must produce the IDENTICAL sketch estimate (merge is
+      // order/batch-invariant); exact countDistinct is unsupported in
+      // streaming — which is the point of the sketch
+      pageplus.streaming.StreamingExtract.hllDistinctOnce(s, dir).orderBy("event_type")
     })
   )
 
@@ -2639,6 +2646,40 @@ object SparkEntry {
         |       CAST(exact AS BIGINT) AS exact_distinct,
         |       CAST(abs(CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) - exact) * 10000 // exact AS BIGINT) AS err_bp
         |FROM est JOIN ex USING (event_type)""".stripMargin,
+    "stream_hll_distinct" ->
+      """WITH vals AS (
+        |  SELECT event_type,
+        |         CAST(user_id * 1024 + (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS HUGEINT) AS v
+        |  FROM events),
+        |h1 AS (SELECT event_type, (v + 11400714819323198485) % 18446744073709551616 AS z FROM vals),
+        |h2 AS (SELECT event_type, xor(z, z >> 30) AS x FROM h1),
+        |h3 AS (SELECT event_type,
+        |         ((x % 4294967296) * 484763065
+        |          + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h2),
+        |h4 AS (SELECT event_type, xor(z, z >> 27) AS x FROM h3),
+        |h5 AS (SELECT event_type,
+        |         ((x % 4294967296) * 321982955
+        |          + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h4),
+        |h AS (SELECT event_type, xor(z, z >> 31) AS h FROM h5),
+        |b AS (SELECT event_type, CAST(h // 288230376151711744 AS BIGINT) AS idx,
+        |             h % 288230376151711744 AS rest FROM h),
+        |r AS (SELECT event_type, idx,
+        |             max(CASE WHEN rest = 0 THEN 59 ELSE 58 - len(bin(rest)) + 1 END) AS rho
+        |      FROM b GROUP BY event_type, idx),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT t.event_type, g.i AS idx
+        |         FROM types t, UNNEST(generate_series(0, 63)) g(i)),
+        |regs AS (SELECT grid.event_type, grid.idx, coalesce(r.rho, 0) AS rho
+        |         FROM grid LEFT JOIN r ON grid.event_type = r.event_type AND grid.idx = r.idx),
+        |est AS (SELECT event_type, sum(CAST(1 AS HUGEINT) << (59 - rho)) AS z2
+        |        FROM regs GROUP BY event_type)
+        |SELECT est.event_type,
+        |       CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) AS approx_distinct
+        |FROM est""".stripMargin,
     // cms_freq: the oracle rebuilds the ENTIRE counter table — FNV-1a over
     // bigram terms (the simhash oracle's list_reduce idiom), four splitmix64
     // row hashes in HUGEINT 32-bit-split mod-2^64 arithmetic, bucket sums —

@@ -193,4 +193,23 @@ object StreamingExtract {
       .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
     drainToTable(agg, "stream_events", "complete")
   }
+
+  /** Streaming twin of the batch `hll_distinct` query: the custom HLL
+    * [[graft.expr.HllSketchAgg]] as STREAMING aggregation state — the
+    * serialized 64-byte register buffer lives in the state store per group
+    * and merges across micro-batches, proving the sketch composes with
+    * Structured Streaming exactly like a built-in agg (constant state per
+    * group is what makes streaming distinct counts viable at all; exact
+    * streaming countDistinct is unsupported/unbounded). Complete-mode
+    * AvailableNow drain, same fixed-cost notes as the other stream queries. */
+  def hllDistinctOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = streamTable(spark, sfDir, "events.parquet")
+      .select(col("event_type"), col("user_id"),
+        graft.TimeCols.ntzEpochSeconds(col("ts")).as("es"))
+      .select(col("event_type"), expr("user_id * 1024L + (es div 86400L)").as("v"))
+      .groupBy("event_type")
+      .agg(graft.expr.HllSketchAgg.hllDistinct(col("v")).as("approx_distinct"))
+    drainToTable(agg, "stream_hll", "complete", noDataBatch = false)
+  }
 }
