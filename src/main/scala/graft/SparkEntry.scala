@@ -1132,6 +1132,34 @@ object SparkEntry {
       // order/batch-invariant); exact countDistinct is unsupported in
       // streaming — which is the point of the sketch
       pageplus.streaming.StreamingExtract.hllDistinctOnce(s, dir).orderBy("event_type")
+    }),
+    "length_quantiles" -> ((s, dir) => {
+      // corpus length percentiles from a fixed 64-bin log2 histogram —
+      // integer-exact (no GK sketch float), nothing past the scan > 64 rows
+      graft.textops.LengthStats.lengthQuantiles(tp(s, dir, "documents"))
+    }),
+    "url_templates" -> ((s, dir) => {
+      // crawler structure report: digit runs -> {n}, counts per (host,
+      // template); map-side rewrite + tiny hash agg
+      graft.webtext.UrlTemplates.templates(
+        graft.webtext.UrlTemplates.plantFrontierUrls(tp(s, dir, "documents")))
+        .orderBy("host", "template")
+    }),
+    "host_quality_rollup" -> ((s, dir) => {
+      // crawl-prioritization composition: quality_ensemble's doc-grain keep
+      // bit rolled up to host grain (keep rate in basis points) joined with
+      // host_rank's fixed-point endorsement score — the table a recrawl
+      // scheduler reads. All three inputs are already-oracle-checked ops.
+      val keep = queries("quality_ensemble")(s, dir).select(col("doc_id"), col("keep"))
+      val hostd = keep.select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("host"), col("keep"))
+      val hq = hostd.groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"))
+        .withColumn("keep_rate_bp", expr("n_keep * 10000L div n_docs"))
+      val rank = graft.webtext.HostRank.rank(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
+      hq.join(rank, Seq("host")).orderBy("host")
     })
   )
 
@@ -2737,6 +2765,83 @@ object SparkEntry {
         |       CAST(coalesce(tc.n, 0) AS BIGINT) AS exact,
         |       CAST(CASE WHEN coalesce(tc.n, 0) > 0
         |            THEN (est.est - tc.n) * 10000 // tc.n ELSE -1 END AS BIGINT) AS over_bp
-        |FROM keys JOIN est USING (term) LEFT JOIN tc USING (term)""".stripMargin
+        |FROM keys JOIN est USING (term) LEFT JOIN tc USING (term)""".stripMargin,
+    // length_quantiles: same log2-bin histogram + cumulative threshold in SQL
+    "length_quantiles" ->
+      """WITH b AS (SELECT len(bin(n_chars)) - 1 AS bin FROM documents),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |t AS (SELECT count(*) AS total FROM documents),
+        |cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cumn FROM c)
+        |SELECT CAST((SELECT total FROM t) AS BIGINT) AS n_docs,
+        |       CAST((SELECT min(1 << bin) FROM cum, t WHERE cumn * 100 >= 50 * total) AS BIGINT) AS p50_lo,
+        |       CAST((SELECT min(1 << bin) FROM cum, t WHERE cumn * 100 >= 90 * total) AS BIGINT) AS p90_lo,
+        |       CAST((SELECT min(1 << bin) FROM cum, t WHERE cumn * 100 >= 99 * total) AS BIGINT) AS p99_lo""".stripMargin,
+    // url_templates: same digit-run rewrite + (host, template) counts
+    "url_templates" ->
+      """WITH u AS (
+        |  SELECT 'site' || (doc_id % 7) || '.example.com' AS host,
+        |         '/articles/doc' || doc_id || '.html' AS path FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 7) || '.example.com', '/r/' || doc_id FROM documents)
+        |SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+        |       CAST(count(*) AS BIGINT) AS n_urls
+        |FROM u GROUP BY host, template ORDER BY host, template""".stripMargin,
+    // host_quality_rollup: quality_ensemble's keep CTEs rolled to host grain
+    // + host_rank's unrolled fixed-point CTEs, joined — pure composition of
+    // two validated oracles
+    "host_quality_rollup" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
+        |                  CAST(length(text) AS BIGINT) AS c FROM documents),
+        |g AS (SELECT doc_id, CAST(CASE WHEN len(ws) BETWEEN 50 AND 100000
+        |             AND c-(len(ws)-1) BETWEEN 3*len(ws) AND 10*len(ws)
+        |        THEN 1 ELSE 0 END AS BIGINT) AS g_gopher FROM w),
+        |r AS (SELECT doc_id, CAST(CASE WHEN 2*(len(ws)-len(list_distinct(ws))) <= len(ws)
+        |        THEN 1 ELSE 0 END AS BIGINT) AS g_rep FROM w),
+        |t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
+        |        FROM t WHERE length(lt) >= 3),
+        |lm AS (SELECT tri, CAST(count(*) AS BIGINT) AS tc FROM tri WHERE doc_id%10<3 GROUP BY tri),
+        |bg AS (SELECT substring(tri,1,2) AS bi, sum(tc) AS bt FROM lm GROUP BY bi),
+        |sc AS (SELECT d.doc_id, CASE WHEN lm.tc IS NULL THEN 4096000
+        |              ELSE least((bg.bt*4096)//lm.tc, 4096000) END AS s
+        |       FROM tri d LEFT JOIN lm ON d.tri = lm.tri
+        |                  LEFT JOIN bg ON substring(d.tri,1,2) = bg.bi),
+        |l AS (SELECT doc_id, CAST(CASE WHEN sum(s)//count(*) <= 20000 THEN 1 ELSE 0 END AS BIGINT) AS g_lm
+        |      FROM sc GROUP BY doc_id),
+        |keep AS (SELECT g.doc_id, g_gopher*g_rep*g_lm AS keep
+        |         FROM g JOIN r USING (doc_id) JOIN l USING (doc_id)),
+        |hostd AS (SELECT doc_id, 'site' || (doc_id % 7) || '.example.com' AS host FROM documents),
+        |hq AS (SELECT host, count(*) AS n_docs, sum(keep) AS n_keep
+        |       FROM hostd JOIN keep USING (doc_id) GROUP BY host),
+        |-- host_rank oracle CTEs (3 unrolled iterations, fixed point)
+        |e0 AS (SELECT 'site' || (doc_id % 7) || '.example.com' AS src,
+        |              'site' || ((doc_id * 2 + 1) % 7) || '.example.com' AS dst FROM documents
+        |       UNION ALL
+        |       SELECT 'site' || (doc_id % 7) || '.example.com',
+        |              'site' || ((doc_id * 3 + 2) % 7) || '.example.com' FROM documents WHERE doc_id % 3 = 0
+        |       UNION ALL
+        |       SELECT 'site' || (doc_id % 7) || '.example.com', 'site0.example.com'
+        |       FROM documents WHERE doc_id % 5 < 2),
+        |e AS (SELECT src, dst, count(*) AS weight FROM e0 GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ow AS (SELECT src, sum(weight) AS outw FROM e GROUP BY src),
+        |r0 AS (SELECT host, 1000000 // (SELECT n FROM nn) AS rank FROM nodes),
+        |i1 AS (SELECT e.dst AS host, sum((r0.rank * e.weight * 8500) // (ow.outw * 10000)) AS ir
+        |       FROM e JOIN r0 ON e.src = r0.host JOIN ow ON e.src = ow.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.host, ((10000-8500) * 1000000 // 10000) // (SELECT n FROM nn) + coalesce(i1.ir, 0) AS rank
+        |       FROM nodes LEFT JOIN i1 USING (host)),
+        |i2 AS (SELECT e.dst AS host, sum((r1.rank * e.weight * 8500) // (ow.outw * 10000)) AS ir
+        |       FROM e JOIN r1 ON e.src = r1.host JOIN ow ON e.src = ow.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.host, ((10000-8500) * 1000000 // 10000) // (SELECT n FROM nn) + coalesce(i2.ir, 0) AS rank
+        |       FROM nodes LEFT JOIN i2 USING (host)),
+        |i3 AS (SELECT e.dst AS host, sum((r2.rank * e.weight * 8500) // (ow.outw * 10000)) AS ir
+        |       FROM e JOIN r2 ON e.src = r2.host JOIN ow ON e.src = ow.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.host, ((10000-8500) * 1000000 // 10000) // (SELECT n FROM nn) + coalesce(i3.ir, 0) AS rank
+        |       FROM nodes LEFT JOIN i3 USING (host))
+        |SELECT hq.host, CAST(hq.n_docs AS BIGINT) AS n_docs, CAST(hq.n_keep AS BIGINT) AS n_keep,
+        |       CAST(hq.n_keep * 10000 // hq.n_docs AS BIGINT) AS keep_rate_bp,
+        |       CAST(r3.rank AS BIGINT) AS rank
+        |FROM hq JOIN r3 ON hq.host = r3.host ORDER BY hq.host""".stripMargin
   )
 }

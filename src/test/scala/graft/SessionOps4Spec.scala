@@ -252,6 +252,30 @@ class SessionOps4Spec extends AnyFunSuite {
     }
   }
 
+  // ---- LengthStats / UrlTemplates ----
+
+  test("length_quantiles: bin thresholds exact at boundaries") {
+    import graft.textops.LengthStats
+    // 10 docs: lengths 1,2,4,...,512 -> bins 0..9, one each; p50 = 5th
+    // cumulative (bin 4 -> 16), p90 = 9th (bin 8 -> 256), p99 = 10th (512)
+    val docs = (0 until 10).map(i => (i.toLong, 1L << i)).toDF("doc_id", "n_chars")
+    val r = LengthStats.lengthQuantiles(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 16L, 256L, 512L)))
+  }
+
+  test("url_templates: digit runs collapse, mixed-run paths group correctly") {
+    import graft.webtext.UrlTemplates
+    val urls = Seq(
+      ("h", "/a/12/b34.html"), ("h", "/a/999/b1.html"),  // same template
+      ("h", "/plain/path"), ("g", "/a/12/b34.html")      // no digits; other host
+    ).toDF("host", "path")
+    val got = UrlTemplates.templates(urls).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("h", "/a/{n}/b{n}.html") -> 2L, ("h", "/plain/path") -> 1L,
+      ("g", "/a/{n}/b{n}.html") -> 1L))
+  }
+
   // ---- InvertedIndex ----
 
   test("phrase index: df floor, posting cap, tf counts") {
