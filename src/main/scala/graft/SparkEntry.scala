@@ -1160,6 +1160,12 @@ object SparkEntry {
       val rank = graft.webtext.HostRank.rank(
         graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
       hq.join(rank, Seq("host")).orderBy("host")
+    }),
+    "sequence_pack" -> ((s, dir) => {
+      // pretraining concat-and-chunk packing: exact global token offsets via
+      // the distributed two-pass prefix sum (range partition -> per-partition
+      // sums -> broadcast offsets), NOT a single-partition window
+      graft.textops.SequencePack.pack(tp(s, dir, "documents")).orderBy("doc_id")
     })
   )
 
@@ -2842,6 +2848,15 @@ object SparkEntry {
         |SELECT hq.host, CAST(hq.n_docs AS BIGINT) AS n_docs, CAST(hq.n_keep AS BIGINT) AS n_keep,
         |       CAST(hq.n_keep * 10000 // hq.n_docs AS BIGINT) AS keep_rate_bp,
         |       CAST(r3.rank AS BIGINT) AS rank
-        |FROM hq JOIN r3 ON hq.host = r3.host ORDER BY hq.host""".stripMargin
+        |FROM hq JOIN r3 ON hq.host = r3.host ORDER BY hq.host""".stripMargin,
+    // sequence_pack: the oracle's window cumsum IS the single-partition
+    // formulation the engine must avoid — same numbers, opposite plan
+    "sequence_pack" ->
+      """WITH w AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt FROM documents),
+        |c AS (SELECT doc_id, nt, sum(nt + 1) OVER (ORDER BY doc_id) AS oe FROM w)
+        |SELECT doc_id, nt AS n_tokens, CAST(oe - (nt+1) AS BIGINT) AS offset_start,
+        |       CAST((oe - (nt+1)) // 2048 AS BIGINT) AS seq_first,
+        |       CAST((oe - 1) // 2048 AS BIGINT) AS seq_last
+        |FROM c""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.textops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pretraining sequence packing — the LAST stage of a training-data
+  * pipeline: concatenate the corpus in a canonical order (one separator
+  * token between docs) and cut fixed-`budget` token sequences, so every doc
+  * maps to a global token offset and the sequence ids it spans (GPT-style
+  * concat-then-chunk; spans crossing sequence boundaries are how the packed
+  * loader shards attention masks).
+  *
+  * The core is an exact GLOBAL prefix sum in document order. The naive
+  * formulation — `sum(w) over (order by doc_id)` with no partition key — is
+  * the classic 10^12-row scale-killer: Spark plans it as a SINGLE-partition
+  * window (the whole corpus through one task). This implementation is the
+  * canonical distributed two-pass prefix sum instead: range-partition by
+  * doc_id (ordered ranges), pass 1 computes per-partition token sums (one
+  * tiny row per partition to the driver — partition-count-sized, not
+  * corpus-sized), the driver scan turns them into per-partition starting
+  * offsets (broadcast), pass 2 re-walks each partition adding its offset.
+  * The ranged input is cached so both passes see the identical partitioning;
+  * output is partitioning-invariant (pinned by test), and no Window node
+  * appears in the plan (pinned by PlanSpec).
+  */
+object SequencePack {
+
+  /** (doc_id, n_tokens, offset_start, seq_first, seq_last) under `budget`
+    * tokens per packed sequence; separator costs 1 token after each doc. */
+  def pack(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    require(budget >= 2, "budget must fit at least a separator and a token")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .select(col("doc_id"), (size(split(col("text"), " ", -1)) + 1).cast("long").as("w"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .cache()
+    try {
+      val partSums = ranged.mapPartitions { it =>
+        var s = 0L
+        it.foreach { case (_, w) => s += w }
+        Iterator((TaskContext.getPartitionId(), s))
+      }.collect().sortBy(_._1)
+      val starts = new Array[Long](parts)
+      var acc = 0L
+      partSums.foreach { case (pid, s) => starts(pid) = acc; acc += s }
+      val bc = spark.sparkContext.broadcast(starts)
+      ranged.mapPartitions { it =>
+        var off = bc.value(TaskContext.getPartitionId())
+        it.map { case (id, w) =>
+          val start = off
+          off += w
+          (id, w - 1, start, start / budget, (off - 1) / budget)
+        }
+      }.toDF("doc_id", "n_tokens", "offset_start", "seq_first", "seq_last")
+        // materialize before unpersist in the caller's action would be racy;
+        // the cache is small (16 bytes/doc) and freed with the session —
+        // matching the HostRank cache note
+    } finally ()
+  }
+}

@@ -495,6 +495,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence_pack: no Window node — the global prefix sum must be two-pass, not single-partition") {
+    val plan = executedPlan(SparkEntry.queries("sequence_pack")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"global cumsum must not plan as a (single-partition) Window:\n$plan")
+    assert(plan.contains("RangePartitioning") || plan.contains("rangepartitioning"),
+      s"expected the ordered range partitioning in:\n$plan")
+  }
+
   test("mojibake_repair Expression stays in WholeStageCodegen and equals the static kernel") {
     val df = SparkEntry.queries("mojibake_repair")(spark, sf)
     // collect first: finalizes the AQE plan so codegen '*' markers are visible

@@ -276,6 +276,27 @@ class SessionOps4Spec extends AnyFunSuite {
       ("g", "/a/{n}/b{n}.html") -> 1L))
   }
 
+  // ---- SequencePack ----
+
+  test("sequence_pack: offsets exact, boundary spans, partitioning-invariant") {
+    import graft.textops.SequencePack
+    // docs of 10 tokens each, budget 16: doc i occupies [11i, 11i+10]
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (1 to 10).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val got = SequencePack.pack(docs, budget = 16L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    (0 until 40).foreach { i =>
+      val start = 11L * i
+      assert(got(i.toLong) == ((10L, start, start / 16, (start + 10) / 16)), s"doc $i")
+    }
+    // doc 1 spans sequences 0..1 (tokens 11..21 cross offset 16)
+    assert(got(1L)._3 == 0L && got(1L)._4 == 1L)
+    // partition invariance: same output under forced skewed partitioning
+    val got2 = SequencePack.pack(docs.repartition(13), budget = 16L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got2 == got)
+  }
+
   // ---- InvertedIndex ----
 
   test("phrase index: df floor, posting cap, tf counts") {
