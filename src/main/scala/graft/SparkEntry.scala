@@ -1166,6 +1166,11 @@ object SparkEntry {
       // the distributed two-pass prefix sum (range partition -> per-partition
       // sums -> broadcast offsets), NOT a single-partition window
       graft.textops.SequencePack.pack(tp(s, dir, "documents")).orderBy("doc_id")
+    }),
+    "bpe_train" -> ((s, dir) => {
+      // tokenizer training: one corpus pass -> word-frequency vocab, then 8
+      // vocabulary-grain merge rounds with deterministic tie-breaking
+      graft.textops.BpeTrain.train(tp(s, dir, "documents")).orderBy("rank")
     })
   )
 
@@ -2857,6 +2862,22 @@ object SparkEntry {
         |SELECT doc_id, nt AS n_tokens, CAST(oe - (nt+1) AS BIGINT) AS offset_start,
         |       CAST((oe - (nt+1)) // 2048 AS BIGINT) AS seq_first,
         |       CAST((oe - 1) // 2048 AS BIGINT) AS seq_last
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // bpe_train: iterative argmax-dependent state is not one SQL statement;
+    // the oracle pins the result derived by the INDEPENDENT recompute in
+    // tools/bpe_oracle_check.py (run `python3 tools/bpe_oracle_check.py
+    // /root/testdata/sf0.01 8` to re-derive — the geometry-oracle precedent).
+    // Note merge 6 is ('m','er'): a genuinely learned multi-char token.
+    "bpe_train" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, left_tok, right_tok, CAST(freq AS BIGINT) AS freq
+        |FROM (VALUES
+        |  (1, 'e', 'r', 4568),
+        |  (2, 'i', 'n', 2760),
+        |  (3, 'o', 'w', 2747),
+        |  (4, 'o', 'r', 2696),
+        |  (5, 's', 't', 2676),
+        |  (6, 'm', 'er', 1852),
+        |  (7, 'a', 't', 1845),
+        |  (8, 'l', 'u', 1831)) t(rank, left_tok, right_tok, freq)""".stripMargin
   )
 }

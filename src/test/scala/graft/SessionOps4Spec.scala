@@ -297,6 +297,41 @@ class SessionOps4Spec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  // ---- BpeTrain ----
+
+  test("bpe: hand-derivable corpus, overlap counting, greedy-left application, tie-break") {
+    import graft.textops.BpeTrain
+    assert(BpeTrain.foldMerge(List("a", "a", "a"), "a", "a") == List("aa", "a"))
+    assert(BpeTrain.foldMerge(List("a", "b", "a", "b"), "a", "b") == List("ab", "ab"))
+    // corpus: 'aab' x3, 'ab' x2 -> pairs: (a,a)=3, (a,b)=5 -> merge1 (a,b) f=5
+    // after: aab -> [a, ab] x3, ab -> [ab] x2 -> pairs: (a,ab)=3 -> merge2
+    val docs = Seq((1L, "aab aab ab"), (2L, "aab ab")).toDF("doc_id", "text")
+    val got = BpeTrain.train(docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toList == List((1L, "a", "b", 5L), (2L, "a", "ab", 3L)))
+  }
+
+  test("bpe: sf0.001 merges equal the independent local recompute") {
+    import graft.textops.BpeTrain
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = BpeTrain.train(docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    // local recompute with identical semantics
+    val wf = docs.select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    var vocab = wf.toList.map { case (w, f) => (w.toList.map(_.toString), f) }
+    val exp = (1 to 4).map { r =>
+      val pc = vocab.foldLeft(Map.empty[(String, String), Long]) { case (m, (toks, f)) =>
+        toks.zip(toks.drop(1)).foldLeft(m)((m2, p) => m2.updated(p, m2.getOrElse(p, 0L) + f))
+      }
+      val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (t, f) => (BpeTrain.foldMerge(t, a, b), f) }
+      (r.toLong, a, b, c)
+    }.toList
+    assert(got == exp)
+  }
+
   // ---- InvertedIndex ----
 
   test("phrase index: df floor, posting cap, tf counts") {
