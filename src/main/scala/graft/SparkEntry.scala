@@ -1171,6 +1171,22 @@ object SparkEntry {
       // tokenizer training: one corpus pass -> word-frequency vocab, then 8
       // vocabulary-grain merge rounds with deterministic tie-breaking
       graft.textops.BpeTrain.train(tp(s, dir, "documents")).orderBy("rank")
+    }),
+    "readability" -> ((s, dir) => {
+      // integer Flesch reading-ease (milli-points, trunc division): sentence
+      // proxy = the corpus' 24-word paragraph grain, syllables = vowel runs
+      // (min 1/word). Map-side explode + doc-grain agg, builtins only.
+      val ws = split(col("text"), " ", -1)
+      tp(s, dir, "documents")
+        .select(col("doc_id"), size(ws).cast("long").as("nw"),
+          explode(ws).as("x"))
+        .groupBy("doc_id", "nw")
+        .agg(sum(greatest(lit(1L),
+          size(regexp_extract_all(col("x"), lit("[aeiouy]+"), lit(0))).cast("long"))).as("syl"))
+        .select(col("doc_id"), col("nw").as("n_words"),
+          expr("(nw + 23) div 24").as("n_sentences"), col("syl").as("n_syllables"),
+          expr("206835 - (1015 * nw) div ((nw + 23) div 24) - (84600 * syl) div nw").as("flesch_milli"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2878,6 +2894,16 @@ object SparkEntry {
         |  (5, 's', 't', 2676),
         |  (6, 'm', 'er', 1852),
         |  (7, 'a', 't', 1845),
-        |  (8, 'l', 'u', 1831)) t(rank, left_tok, right_tok, freq)""".stripMargin
+        |  (8, 'l', 'u', 1831)) t(rank, left_tok, right_tok, freq)""".stripMargin,
+    // readability: same vowel-run syllables + paragraph-grain sentence proxy
+    // + trunc-division milli-point Flesch in SQL
+    "readability" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sy AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+        |              CAST(sum(greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT) AS syl
+        |       FROM (SELECT doc_id, ws, unnest(ws) AS x FROM w) GROUP BY doc_id, len(ws))
+        |SELECT doc_id, nw AS n_words, CAST((nw + 23) // 24 AS BIGINT) AS n_sentences, syl AS n_syllables,
+        |       CAST(206835 - (1015 * nw) // ((nw + 23) // 24) - (84600 * syl) // nw AS BIGINT) AS flesch_milli
+        |FROM sy""".stripMargin
   )
 }
