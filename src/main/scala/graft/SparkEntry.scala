@@ -36,6 +36,27 @@ object SparkEntry {
     Pipeline.fulltext(pages, saltPartitions = 8).toDF()
   }
 
+  /** FineWeb-style multi-gate audit: Gopher shape gate × repetition gate
+    * (dup words <= 50%) × LM surprise gate (avg <= 20000 fixed-point), each
+    * gate reported so ablations can attribute removals; three doc-grain
+    * joins share one hash partitioning. UNSORTED — `quality_ensemble` adds
+    * its presentation orderBy, while `host_quality_rollup` aggregates this
+    * directly (a sort there would add a range-sampling pass that re-executes
+    * the whole ensemble DAG before the rollup re-shuffles it anyway). */
+  private def qualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = tp(s, dir, "documents")
+    val g = graft.textops.Curate.gopherQuality(docs)
+      .select(col("doc_id"), col("keep").as("g_gopher"))
+    val r = graft.textops.Curate.repetitionStats(docs)
+      .select(col("doc_id"),
+        (lit(2L) * col("n_dup_words") <= col("n_words")).cast("long").as("g_rep"))
+    val l = graft.textops.Curate.lmQuality(docs)
+      .select(col("doc_id"),
+        (col("surprise_avg") <= 20000L).cast("long").as("g_lm"))
+    g.join(r, "doc_id").join(l, "doc_id")
+      .withColumn("keep", col("g_gopher") * col("g_rep") * col("g_lm"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- PAGE-XML extraction path (SURVEY §2.8 export fulltext / §2.4 stats) ----
@@ -798,24 +819,7 @@ object SparkEntry {
           graft.webtext.HostRank.hostEdges(tp(s, dir, "documents"))))
         .orderBy("host")
     }),
-    "quality_ensemble" -> ((s, dir) => {
-      // FineWeb-style multi-gate audit: Gopher shape gate × repetition gate
-      // (dup words <= 50%) × LM surprise gate (avg <= 20000 fixed-point),
-      // each gate reported so ablations can attribute removals; three
-      // doc-grain joins share one hash partitioning
-      val docs = tp(s, dir, "documents")
-      val g = graft.textops.Curate.gopherQuality(docs)
-        .select(col("doc_id"), col("keep").as("g_gopher"))
-      val r = graft.textops.Curate.repetitionStats(docs)
-        .select(col("doc_id"),
-          (lit(2L) * col("n_dup_words") <= col("n_words")).cast("long").as("g_rep"))
-      val l = graft.textops.Curate.lmQuality(docs)
-        .select(col("doc_id"),
-          (col("surprise_avg") <= 20000L).cast("long").as("g_lm"))
-      g.join(r, "doc_id").join(l, "doc_id")
-        .withColumn("keep", col("g_gopher") * col("g_rep") * col("g_lm"))
-        .orderBy("doc_id")
-    }),
+    "quality_ensemble" -> ((s, dir) => qualityEnsemble(s, dir).orderBy("doc_id")),
     "sitemap_urls" -> ((s, dir) => {
       // sitemap discovery: per-host blobs (even hosts behind a sitemapindex
       // of two parity shards, odd hosts flat) -> StAX parse -> url rows with
@@ -1150,7 +1154,7 @@ object SparkEntry {
       // bit rolled up to host grain (keep rate in basis points) joined with
       // host_rank's fixed-point endorsement score — the table a recrawl
       // scheduler reads. All three inputs are already-oracle-checked ops.
-      val keep = queries("quality_ensemble")(s, dir).select(col("doc_id"), col("keep"))
+      val keep = qualityEnsemble(s, dir).select(col("doc_id"), col("keep"))
       val hostd = keep.select(col("doc_id"),
         concat(lit("site"), (col("doc_id") % 7).cast("string"),
           lit(".example.com")).as("host"), col("keep"))
