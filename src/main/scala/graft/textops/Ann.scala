@@ -433,4 +433,95 @@ object Ann {
     val twin = embeddings.select((col("vec_id") + Dedup.PlantOffset).as("vec_id"), col("embedding"))
     base.unionByName(twin)
   }
+
+  // ---- SemDeDup (semantic deduplication) ------------------------------------
+
+  /** Plant SEMANTIC near-duplicates: each twin is the base vector with ONE
+    * dimension (vec_id % 64) zeroed — genuinely not bit-identical (so exact
+    * and bit-exact-vector dedup both miss it) but cosine ~0.99 for vectors
+    * whose energy is spread across dimensions. Zeroing a float is exact in
+    * every engine, so the oracle rebuilds the planted corpus bit-for-bit. */
+  def plantedSemantic(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val twin = base.as[(Long, Array[Float])].map { case (id, v) =>
+      val t = v.clone()
+      t((id % 64).toInt) = 0.0f
+      (id + Dedup.PlantOffset, t)
+    }.toDF("vec_id", "embedding")
+    base.unionByName(twin)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
+    * cluster-then-prune — k-means-style coarse clusters bound the candidate
+    * pairs (the published cost model: O(sum c_i^2) instead of O(n^2)), then
+    * within each cluster members are ordered farthest-from-centroid first and
+    * a member is PRUNED iff any earlier member is within the cosine threshold
+    * (SemDeDup keeps the low-centroid-similarity representative of each
+    * duplicate neighborhood — the "edge" example, not the prototypical one).
+    *
+    * Determinism contract (the ann/IVF move): cluster assignment and the
+    * centroid-distance ORDER key are integer squared-L2 over fixed-point
+    * quantized vectors, and the duplicate decision is the integer rational
+    * form `dot > 0 && dot^2 * den^2 >= num^2 * na * nb` (cos >= num/den with
+    * no sqrt and no float anywhere) in decimal(38,0) — the DuckDB oracle
+    * recomputes every drop bit-for-bit.
+    *
+    * Scale shape: assignment + norms are map-side (centroids broadcast); the
+    * one shuffle is the within-cluster self-join keyed on `cluster` (both
+    * sides the same cached table, ~520 B/row of quantized vector payload);
+    * nlist should grow ~sqrt(corpus) so cluster sizes — and with them the
+    * candidate-pair count — stay bounded, and a runaway cluster is an AQE
+    * skew-join split, never a cartesian (no non-equi-only join in the plan).
+    *
+    * Output: (vec_id, cluster, cdist, kept 0/1) at corpus grain. */
+  def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
+                    thresholdNum: Long = 4L, thresholdDen: Long = 5L): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0, "threshold must be a positive rational")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = seededCentroids(embeddings, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantize(v)
+        val cs = bc.value
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d = sqDistQ(q, cs(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var nq = 0L
+        var i = 0
+        while (i < q.length) { nq += q(i) * q(i); i += 1 }
+        (id, q, best, bestD, nq)
+      }
+      .toDF("vec_id", "q", "cluster", "cdist", "nq")
+      .cache()
+    val l = assigned.select(col("vec_id").as("a_id"), col("q").as("aq"),
+      col("cluster"), col("cdist").as("a_cd"), col("nq").as("a_nq"))
+    val r = assigned.select(col("vec_id").as("b_id"), col("q").as("bq"),
+      col("cluster"), col("cdist").as("b_cd"), col("nq").as("b_nq"))
+    val numSq = thresholdNum * thresholdNum
+    val denSq = thresholdDen * thresholdDen
+    val dropped = l.join(r, Seq("cluster"))
+      // b strictly earlier than a in (cdist DESC, vec_id ASC) order
+      .where(col("b_cd") > col("a_cd") ||
+        (col("b_cd") === col("a_cd") && col("b_id") < col("a_id")))
+      .withColumn("dot",
+        expr("aggregate(zip_with(aq, bq, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .where(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * lit(denSq) >=
+          lit(numSq) * col("a_nq").cast("decimal(38,0)") * col("b_nq"))
+      .select(col("a_id").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(1L))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cdist"),
+        when(col("is_dropped").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
 }

@@ -230,6 +230,65 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(within.filter(col("cos") =!= 1.0).count() == 0, "identical vectors must have cos 1.0")
   }
 
+  test("semantic_dedup: exact rational boundary at cos = 3/5 (no float in the decision)") {
+    import spark.implicits._
+    // quantized (5,0) and (3,4): dot=15, na=nb=25, cos exactly 3/5
+    val emb = Seq(
+      (1L, Array(5f / 4096f, 0f)),
+      (2L, Array(3f / 4096f, 4f / 4096f))).toDF("vec_id", "embedding")
+    val at = textops.Ann.semanticDedup(emb, nlist = 1, thresholdNum = 3, thresholdDen = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // centroid = first vector; (3,4) is farther (cdist 20) so it is kept and
+    // the centroid-closer (5,0) is pruned at cos >= 3/5 (inclusive)
+    assert(at == Map(1L -> 0L, 2L -> 1L), s"at threshold: $at")
+    val above = textops.Ann.semanticDedup(emb, nlist = 1, thresholdNum = 3001, thresholdDen = 5000)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(above == Map(1L -> 1L, 2L -> 1L), s"just above threshold: $above")
+  }
+
+  test("semantic_dedup equals an independent driver-side greedy recompute at sf0.001") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planted = textops.Ann.plantedSemantic(emb)
+    val got = textops.Ann.semanticDedup(planted)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent recompute: same contract, different formulation (greedy
+    // scan per cluster instead of the pair join)
+    val vecs = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(x => (x.toDouble * 4096.0).toLong))
+      .sortBy(_._1)
+    val head = vecs.take(10000)
+    val stride = head.length / 16
+    val cents = Array.tabulate(16)(i => head(i * stride)._2)
+    def sqd(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val asn = vecs.map { case (id, q) =>
+      val ds = cents.zipWithIndex.map { case (c, i) => (sqd(q, c), i) }.min
+      id -> ((ds._2.toLong, ds._1))
+    }.toMap
+    val nq = vecs.map { case (id, q) => id -> q.map(x => x * x).sum }.toMap
+    val byVec = vecs.toMap
+    val expect = vecs.groupBy { case (id, _) => asn(id)._1 }.flatMap { case (_, ms) =>
+      val order = ms.map(_._1).sortBy(id => (-asn(id)._2, id))
+      order.zipWithIndex.map { case (a, i) =>
+        val dropped = order.take(i).exists { b =>
+          val dot = byVec(a).zip(byVec(b)).map { case (x, y) => x * y }.sum
+          dot > 0 && BigInt(dot) * dot * 25 >= BigInt(16) * nq(a) * nq(b)
+        }
+        a -> (if (dropped) 0L else 1L)
+      }.toSeq
+    }
+    assert(got.size == expect.size)
+    got.foreach { case (id, (cl, cd, kept)) =>
+      assert(cl == asn(id)._1 && cd == asn(id)._2 && kept == expect(id), s"vec $id")
+    }
+    val nDropped = got.values.count(_._3 == 0L)
+    assert(nDropped > 300, s"planted twins must mostly drop, got $nDropped")
+    // the self-join must stay an equi-join on cluster — never a cartesian
+    val plan = textops.Ann.semanticDedup(planted).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "within-cluster pair join must key on cluster")
+  }
+
   test("ann brute force matches a local recompute; lsh recall is reasonable") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
