@@ -698,6 +698,11 @@ object SparkEntry {
       graft.textops.Ann.nearDupPairs(
         graft.textops.Ann.plantedEmbeddings(tp(s, dir, "embeddings")), threshold = 0.999)
     }),
+    // model-based quality filter (FineWeb-Edu/DCLM stage): NB probability
+    // voting over hashed word buckets + length-bin evidence, trained in ONE
+    // distributed agg pass on the 30% slice, broadcast model, map-side score
+    "quality_classifier" -> ((s, dir) =>
+      graft.textops.QualityModel.nbQuality(tp(s, dir, "documents"))),
     // SemDeDup cluster-then-prune semantic dedup over planted one-dim-zeroed
     // near-twins (not bit-identical — exact/bit-exact dedup both miss them);
     // every drop decision is integer fixed-point, recomputed by the oracle
@@ -2306,6 +2311,39 @@ object SparkEntry {
         |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
         |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
         |WHERE r.rank <= 5""").stripMargin,
+    // quality_classifier: the oracle retrains the whole NB model (FNV word
+    // buckets via the cms_freq idiom, decile length bins, add-1-smoothed
+    // fixed-point posteriors) and rescores every doc — training and
+    // inference both recomputed, validated against a Python recompute.
+    "quality_classifier" ->
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                  CAST(length(text) AS BIGINT) AS c
+        |           FROM documents),
+        |l AS (SELECT doc_id, CAST(CASE WHEN len(ws) BETWEEN 50 AND 100000
+        |                           AND c - (len(ws)-1) BETWEEN 3*len(ws) AND 10*len(ws)
+        |                      THEN 1 ELSE 0 END AS BIGINT) AS label FROM d),
+        |terms AS (SELECT doc_id, unnest(ws) AS term FROM d),
+        |vb AS (SELECT term, CAST(list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(ch)::HUGEINT for ch in string_split(term, '')]),
+        |           (h, x) -> ((h - h % 256 + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) % 256 AS BIGINT) AS bucket
+        |       FROM (SELECT DISTINCT term FROM terms)),
+        |f AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM terms JOIN vb USING (term) GROUP BY doc_id, bucket
+        |      UNION ALL
+        |      SELECT doc_id, 256 + least(len(ws)//10, 1023), CAST(len(ws) AS BIGINT) FROM d),
+        |model AS (SELECT bucket,
+        |                 ((sum(CASE WHEN label = 1 THEN cnt ELSE 0 END) + 1) * 4096)
+        |                 // (sum(cnt) + 2) AS p1
+        |          FROM f JOIN l USING (doc_id) WHERE doc_id % 10 < 3 GROUP BY bucket),
+        |sc AS (SELECT f.doc_id,
+        |              sum(f.cnt * COALESCE(model.p1, 2048)) // sum(f.cnt) AS score
+        |       FROM f LEFT JOIN model USING (bucket) GROUP BY f.doc_id)
+        |SELECT sc.doc_id, CAST(score AS BIGINT) AS score,
+        |       CAST(CASE WHEN 2*score >= 4096 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+        |       l.label
+        |FROM sc JOIN l USING (doc_id)""").stripMargin,
     // SemDeDup: the oracle rebuilds the planted near-twin corpus (one float
     // zeroed is exact), the stride-seeded quantized centroids, the integer
     // assignment/ordering, and every rational-threshold drop decision

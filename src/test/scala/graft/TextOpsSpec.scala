@@ -586,6 +586,55 @@ class DedupSparkSpec extends AnyFunSuite {
   }
 }
 
+class QualityModelSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("nbQuality matches a driver-side integer recompute and separates the gate at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = textops.QualityModel.nbQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent recompute (dict-of-dicts greedy, not the relational plan)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val B = 256
+    def feat(text: String): Map[Long, Long] = {
+      val ws = text.split(" ", -1)
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      ws.foreach(w => m(textops.TextHash.fnv64(w) & (B - 1)) += 1L)
+      val nw = ws.length.toLong
+      m(B + math.min(nw / 10, 1023L)) += nw
+      m.toMap
+    }
+    def lab(text: String): Long = {
+      val nw = text.split(" ", -1).length.toLong
+      val wc = text.length.toLong - (nw - 1)
+      if (nw >= 50 && nw <= 100000 && wc >= 3 * nw && wc <= 10 * nw) 1L else 0L
+    }
+    val feats = rows.map { case (id, t) => id -> feat(t) }.toMap
+    val labs = rows.map { case (id, t) => id -> lab(t) }.toMap
+    val c1 = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((id, f) <- feats if id % 10 < 3; (b, x) <- f) {
+      if (labs(id) == 1L) c1(b) += x
+      ct(b) += x
+    }
+    val p1 = ct.keys.map(b => b -> ((c1(b) + 1) * 4096) / (ct(b) + 2)).toMap
+    var misagree = 0
+    rows.foreach { case (id, _) =>
+      val f = feats(id)
+      val num = f.map { case (b, x) => x * p1.getOrElse(b, 2048L) }.sum
+      val den = f.values.sum
+      val score = num / den
+      val pred = if (2 * score >= 4096) 1L else 0L
+      assert(got(id) == ((score, pred, labs(id))), s"doc $id")
+      if (pred != labs(id)) misagree += 1
+    }
+    // the one-pass NB vote must actually learn the gate, not just run
+    assert(misagree.toDouble / rows.length < 0.05,
+      s"classifier should distill the Gopher gate, $misagree/${rows.length} disagree")
+  }
+}
+
 class LmQualitySpec extends AnyFunSuite {
   import SparkSuite._
 
