@@ -1183,6 +1183,15 @@ object SparkEntry {
       // sums -> broadcast offsets), NOT a single-partition window
       graft.textops.SequencePack.pack(tp(s, dir, "documents")).orderBy("doc_id")
     }),
+    "shard_pack" -> ((s, dir) => {
+      // byte-balanced output sharding: whole docs into fixed-size shards by
+      // global byte offset — same two-pass prefix sum, no window
+      graft.textops.SequencePack.shardByBytes(tp(s, dir, "documents")).orderBy("doc_id")
+    }),
+    "chunk_passages" -> ((s, dir) =>
+      // RAG passage chunking: 64-word windows, stride 48 — pure map-side
+      // explode, zero shuffle
+      graft.textops.Chunker.chunk(tp(s, dir, "documents"))),
     "bpe_train" -> ((s, dir) => {
       // tokenizer training: one corpus pass -> word-frequency vocab, then 8
       // vocabulary-grain merge rounds with deterministic tie-breaking
@@ -2965,6 +2974,25 @@ object SparkEntry {
         |       CAST((oe - (nt+1)) // 2048 AS BIGINT) AS seq_first,
         |       CAST((oe - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c""".stripMargin,
+    // shard_pack: the oracle's single-partition window cumsum is exactly the
+    // plan the engine must avoid (sequence_pack precedent)
+    "shard_pack" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT doc_id, n_bytes,
+        |        COALESCE(sum(n_bytes) OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |      FROM d)
+        |SELECT doc_id, n_bytes, CAST(o AS BIGINT) AS offset_start,
+        |       CAST(o // 32768 AS BIGINT) AS shard FROM c""".stripMargin,
+    // chunk_passages: inclusive 1-based list slice recomputes every window
+    "chunk_passages" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
+        |             CASE WHEN len(ws) <= 64 THEN 1 ELSE (len(ws)-64+47)//48+1 END AS nc FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(least(64, nw - i*48) AS BIGINT) AS n_words,
+        |       array_to_string(ws[i*48+1 : i*48+least(64, nw-i*48)], ' ') AS chunk_text
+        |FROM n, UNNEST(generate_series(0, nc-1)) t(i)""".stripMargin,
     // bpe_train: iterative argmax-dependent state is not one SQL statement;
     // the oracle pins the result derived by the INDEPENDENT recompute in
     // tools/bpe_oracle_check.py (run `python3 tools/bpe_oracle_check.py

@@ -26,40 +26,64 @@ import org.apache.spark.sql.functions._
   */
 object SequencePack {
 
+  /** The shared two-pass core: exact global prefix sum of `w` in doc_id
+    * order. Returns (doc_id, w, start) rows via `emit`. */
+  private def withPrefixSum[T <: Product : org.apache.spark.sql.Encoder](
+      docs: DataFrame, wExpr: org.apache.spark.sql.Column)(
+      emit: (Long, Long, Long) => T): org.apache.spark.sql.Dataset[T] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .select(col("doc_id"), wExpr.cast("long").as("w"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .cache()
+    val partSums = ranged.mapPartitions { it =>
+      var s = 0L
+      it.foreach { case (_, w) => s += w }
+      Iterator((TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1)
+    val starts = new Array[Long](parts)
+    var acc = 0L
+    partSums.foreach { case (pid, s) => starts(pid) = acc; acc += s }
+    val bc = spark.sparkContext.broadcast(starts)
+    ranged.mapPartitions { it =>
+      var off = bc.value(TaskContext.getPartitionId())
+      it.map { case (id, w) =>
+        val start = off
+        off += w
+        emit(id, w, start)
+      }
+    }
+    // the 16-bytes/doc range cache is freed with the session (HostRank note)
+  }
+
   /** (doc_id, n_tokens, offset_start, seq_first, seq_last) under `budget`
     * tokens per packed sequence; separator costs 1 token after each doc. */
   def pack(docs: DataFrame, budget: Long = 2048L): DataFrame = {
     require(budget >= 2, "budget must fit at least a separator and a token")
     val spark = docs.sparkSession
     import spark.implicits._
-    val parts = spark.sparkContext.defaultParallelism
-    val ranged = docs
-      .select(col("doc_id"), (size(split(col("text"), " ", -1)) + 1).cast("long").as("w"))
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
-      .cache()
-    try {
-      val partSums = ranged.mapPartitions { it =>
-        var s = 0L
-        it.foreach { case (_, w) => s += w }
-        Iterator((TaskContext.getPartitionId(), s))
-      }.collect().sortBy(_._1)
-      val starts = new Array[Long](parts)
-      var acc = 0L
-      partSums.foreach { case (pid, s) => starts(pid) = acc; acc += s }
-      val bc = spark.sparkContext.broadcast(starts)
-      ranged.mapPartitions { it =>
-        var off = bc.value(TaskContext.getPartitionId())
-        it.map { case (id, w) =>
-          val start = off
-          off += w
-          (id, w - 1, start, start / budget, (off - 1) / budget)
-        }
-      }.toDF("doc_id", "n_tokens", "offset_start", "seq_first", "seq_last")
-        // materialize before unpersist in the caller's action would be racy;
-        // the cache is small (16 bytes/doc) and freed with the session —
-        // matching the HostRank cache note
-    } finally ()
+    withPrefixSum(docs, size(split(col("text"), " ", -1)) + 1) { (id, w, start) =>
+      (id, w - 1, start, start / budget, (start + w - 1) / budget)
+    }.toDF("doc_id", "n_tokens", "offset_start", "seq_first", "seq_last")
+  }
+
+  /** Byte-balanced output sharding — the writer stage that turns a curated
+    * corpus into fixed-size training shards: each doc goes WHOLE into the
+    * shard its global byte offset lands in (`offset div shardBytes`), so a
+    * shard overflows by at most one document and no doc is ever split across
+    * shard files (the tar/webdataset contract). Same distributed two-pass
+    * prefix sum as [[pack]] — never a single-partition window.
+    * Output: (doc_id, n_bytes, offset_start, shard). */
+  def shardByBytes(docs: DataFrame, shardBytes: Long = 32768L): DataFrame = {
+    require(shardBytes >= 1, "shardBytes must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPrefixSum(docs, length(col("text"))) { (id, w, start) =>
+      (id, w, start, start / shardBytes)
+    }.toDF("doc_id", "n_bytes", "offset_start", "shard")
   }
 }

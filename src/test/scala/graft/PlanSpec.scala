@@ -503,6 +503,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected the ordered range partitioning in:\n$plan")
   }
 
+  test("shard_pack: same two-pass contract — no Window, range-partitioned") {
+    val plan = executedPlan(SparkEntry.queries("shard_pack")(spark, sf))
+    assert(!plan.contains("Window"), s"byte cumsum must not plan as a Window:\n$plan")
+    assert(plan.contains("RangePartitioning") || plan.contains("rangepartitioning"),
+      s"expected the ordered range partitioning in:\n$plan")
+  }
+
+  test("chunk_passages: map-side only — zero exchanges past the scan") {
+    val plan = executedPlan(graft.textops.Chunker.chunk(
+      spark.read.parquet(s"$sf/documents.parquet")))
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("mojibake_repair Expression stays in WholeStageCodegen and equals the static kernel") {
     val df = SparkEntry.queries("mojibake_repair")(spark, sf)
     // collect first: finalizes the AQE plan so codegen '*' markers are visible

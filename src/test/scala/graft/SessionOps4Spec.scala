@@ -297,6 +297,52 @@ class SessionOps4Spec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("shard_pack: whole docs per shard, bounded overflow, partitioning-invariant") {
+    import graft.textops.SequencePack
+    // docs of 100 bytes each, shard size 256: shard flips every ~2.56 docs
+    val docs = (0 until 20).map(i => (i.toLong, "x" * 100)).toDF("doc_id", "text")
+    val got = SequencePack.shardByBytes(docs, shardBytes = 256L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (0 until 20).foreach { i =>
+      assert(got(i.toLong) == ((100L, 100L * i, (100L * i) / 256)), s"doc $i")
+    }
+    // a doc is never split: shard id is a single value per doc, and per-shard
+    // bytes overflow by at most one doc (max 100 bytes here)
+    val perShard = got.values.groupBy(_._3).map { case (s, v) => s -> v.map(_._1).sum }
+    perShard.foreach { case (s, b) => assert(b <= 256 + 100, s"shard $s has $b bytes") }
+    val got2 = SequencePack.shardByBytes(docs.repartition(7), shardBytes = 256L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got2 == got)
+  }
+
+  // ---- Chunker ----
+
+  test("chunker: window/stride truth table and full coverage") {
+    import graft.textops.Chunker
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),   // short: one chunk of 10
+      (2L, words(64)),   // exact window: one chunk
+      (3L, words(65)),   // one past: two chunks, second covers 49..65
+      (4L, words(160))   // ceil((160-64)/48)+1 = 3 chunks
+    ).toDF("doc_id", "text")
+    val got = Chunker.chunk(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got.keys.count(_._1 == 1L) == 1 && got((1L, 0L))._1 == 10L)
+    assert(got.keys.count(_._1 == 2L) == 1 && got((2L, 0L))._1 == 64L)
+    assert(got.keys.count(_._1 == 3L) == 2)
+    assert(got((3L, 1L)) == ((17L, (49 to 65).map(i => s"w$i").mkString(" "))))
+    assert(got.keys.count(_._1 == 4L) == 3)
+    assert(got((4L, 2L))._1 == 64L) // 97..160
+    // consecutive chunks overlap by window - stride = 16 words
+    val c0 = got((4L, 0L))._2.split(" ")
+    val c1 = got((4L, 1L))._2.split(" ")
+    assert(c0.takeRight(16).sameElements(c1.take(16)))
+    // every word of doc 4 appears in some chunk
+    val covered = (0L to 2L).flatMap(i => got((4L, i))._2.split(" ")).toSet
+    assert(covered == (1 to 160).map(i => s"w$i").toSet)
+  }
+
   // ---- BpeTrain ----
 
   test("bpe: hand-derivable corpus, overlap counting, greedy-left application, tie-break") {
