@@ -586,6 +586,19 @@ object SparkEntry {
               |       url_host(url_normalize(url)) AS host
               |FROM graft_urls_tmp""".stripMargin)
     }),
+    "mirror_hosts" -> ((s, dir) => {
+      // mirror-host detection: planted full mirror of site3 must pair, the
+      // partial mirror of site5 (docs with doc_id%35==5 missing) must NOT
+      val d = tp(s, dir, "documents")
+      val base = d.select(
+        concat(lit("site"), (col("doc_id") % 7).cast("string"), lit(".example.com")).as("host"),
+        col("text"))
+      val mirror = d.filter(col("doc_id") % 7 === 3)
+        .select(lit("mirror3.example.com").as("host"), col("text"))
+      val partial = d.filter(col("doc_id") % 7 === 5 && col("doc_id") % 35 =!= 5)
+        .select(lit("partial5.example.com").as("host"), col("text"))
+      graft.webtext.Mirrors.mirrorHosts(base.unionByName(mirror).unionByName(partial))
+    }),
     "host_stats" -> ((s, dir) => {
       // host-grain rollup on the canonical host: docs + content chars per host
       graft.webtext.UrlOps.hostStats(
@@ -2575,6 +2588,33 @@ object SparkEntry {
         |  (CASE WHEN doc_id%5 IN (0,1) THEN '?q='||(doc_id%13) ELSE '' END) AS url_norm,
         |  'site'||(doc_id%7)||'.example.com' AS host
         |FROM documents""".stripMargin,
+    // mirror_hosts: content-SET fingerprint (bit_xor over distinct FNV
+    // hashes, signed-BIGINT view of the unsigned HUGEINT fold) recomputed in
+    // full; planted mirror pairs, planted partial mirror stays unmatched
+    "mirror_hosts" ->
+      """WITH base AS (SELECT doc_id, 'site' || (doc_id % 7) || '.example.com' AS host, text
+        |              FROM documents),
+        |pl AS (SELECT host, text FROM base
+        |       UNION ALL
+        |       SELECT 'mirror3.example.com', text FROM base WHERE doc_id % 7 = 3
+        |       UNION ALL
+        |       SELECT 'partial5.example.com', text FROM base WHERE doc_id % 7 = 5 AND doc_id % 35 != 5),
+        |fnv AS (SELECT host, list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(ch)::HUGEINT for ch in string_split(text, '')]),
+        |           (h, x) -> ((h - h % 256 + xor((h % 256)::BIGINT, x::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS hu
+        |        FROM pl),
+        |th AS (SELECT DISTINCT host,
+        |              CAST(hu - CASE WHEN hu >= (1::HUGEINT << 63)
+        |                             THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT) AS h
+        |       FROM fnv),
+        |fp AS (SELECT host, bit_xor(h) AS fp, CAST(count(*) AS BIGINT) AS n_docs FROM th GROUP BY host),
+        |m AS (SELECT a.host, min(b.host) AS partner
+        |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.n_docs = b.n_docs AND a.host != b.host
+        |      GROUP BY a.host)
+        |SELECT fp.host, fp.fp, fp.n_docs, COALESCE(m.partner, '') AS mirror_of
+        |FROM fp LEFT JOIN m USING (host)""".stripMargin,
     "host_stats" ->
       """SELECT 'site'||(doc_id%7)||'.example.com' AS host,
         |       count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars

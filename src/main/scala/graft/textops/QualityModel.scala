@@ -38,19 +38,27 @@ object QualityModel {
   /** Posterior for evidence never seen in training: the neutral 1/2. */
   val NeutralP1 = Scale / 2
 
-  /** Feature rows (doc_id, bucket, cnt): hashed word buckets [0, Buckets) +
-    * the structural word-count decile bin at Buckets + min(nw/10, 1023),
-    * carrying weight nw so length evidence is not drowned by word mass. */
+  /** Feature rows (doc_id, label, bucket, cnt): hashed word buckets
+    * [0, Buckets) + the structural word-count decile bin at
+    * Buckets + min(nw/10, 1023), carrying weight nw so length evidence is
+    * not drowned by word mass. The label rides along from the map stage —
+    * 8 bytes/row through the explode instead of TWO corpus-grain joins
+    * back to a label table (one for training, one for the final report). */
   def features(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ws = split(col("text"), " ", -1)
-    val words = docs.select(col("doc_id"), explode(ws).as("term"))
-      .select(col("doc_id"), col("term")).as[(Long, String)]
-      .map { case (id, t) => (id, TextHash.fnv64(t) & (Buckets - 1).toLong) }
-      .toDF("doc_id", "bucket")
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-    val structural = docs.select(col("doc_id"),
+    val nw = size(ws).cast("long")
+    val wc = length(col("text")).cast("long") - (nw - 1)
+    val labeled = docs.select(col("doc_id"), col("text"),
+      when(nw.between(50, 100000) && wc.between(nw * 3, nw * 10), 1L)
+        .otherwise(0L).as("label"))
+    val words = labeled.select(col("doc_id"), col("label"), explode(ws).as("term"))
+      .as[(Long, Long, String)]
+      .map { case (id, y, t) => (id, y, TextHash.fnv64(t) & (Buckets - 1).toLong) }
+      .toDF("doc_id", "label", "bucket")
+      .groupBy("doc_id", "label", "bucket").agg(count(lit(1)).as("cnt"))
+    val structural = labeled.select(col("doc_id"), col("label"),
       (lit(Buckets.toLong) +
         least(expr("size(split(text, ' ', -1)) div 10"), lit((LenBins - 1).toLong))).as("bucket"),
       size(ws).cast("long").as("cnt"))
@@ -70,8 +78,7 @@ object QualityModel {
   /** Train on the `doc_id % 10 < 3` slice, score the full corpus. */
   def nbQuality(docs: DataFrame): DataFrame = {
     val f = features(docs)
-    val l = labels(docs)
-    val model = f.join(l, "doc_id")
+    val model = f
       .filter(col("doc_id") % 10 < 3)
       .groupBy("bucket")
       .agg(
@@ -79,15 +86,14 @@ object QualityModel {
         sum(col("cnt")).as("nt"))
       // integer trunc division (never float `/`): exact at any corpus size
       .select(col("bucket"), expr(s"((n1 + 1) * ${Scale}L) div (nt + 2)").as("p1"))
-    val scored = f.join(broadcast(model), Seq("bucket"), "left")
+    f.join(broadcast(model), Seq("bucket"), "left")
       .groupBy("doc_id")
       .agg(
+        max(col("label")).as("label"),
         sum(col("cnt") * coalesce(col("p1"), lit(NeutralP1))).as("num"),
         sum(col("cnt")).as("den"))
-      .select(col("doc_id"), expr("num div den").as("score"))
-    scored.join(l, "doc_id")
-      .select(col("doc_id"), col("score"),
-        when(col("score") * 2 >= Scale, 1L).otherwise(0L).as("pred"),
+      .select(col("doc_id"), expr("num div den").as("score"),
+        when(expr("num div den") * 2 >= Scale, 1L).otherwise(0L).as("pred"),
         col("label"))
   }
 }

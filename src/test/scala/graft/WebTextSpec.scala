@@ -775,3 +775,29 @@ class SitemapSpec extends AnyFunSuite {
       .map(i => s"https://site${i % 7}.example.com/articles/doc$i.html").toSet)
   }
 }
+
+class MirrorsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("mirror detection: set semantics, order independence, subsets excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      // a and b: same content set, different arrival order -> mutual mirrors
+      ("a.com", "alpha"), ("a.com", "beta"), ("a.com", "gamma"),
+      ("b.com", "gamma"), ("b.com", "alpha"), ("b.com", "beta"),
+      // c: a's set PLUS one page -> not a mirror of a
+      ("c.com", "alpha"), ("c.com", "beta"), ("c.com", "gamma"), ("c.com", "delta"),
+      // d: duplicate text within host collapses -> mirrors a and b
+      ("d.com", "alpha"), ("d.com", "alpha"), ("d.com", "beta"), ("d.com", "gamma"),
+      // e: subset of a -> not a mirror
+      ("e.com", "alpha"), ("e.com", "beta")
+    ).toDF("host", "text")
+    val got = graft.webtext.Mirrors.mirrorHosts(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got("a.com") == ((3L, "b.com")))  // min partner of {b, d}
+    assert(got("b.com") == ((3L, "a.com")))
+    assert(got("d.com") == ((3L, "a.com")))
+    assert(got("c.com") == ((4L, "")))
+    assert(got("e.com") == ((2L, "")))
+  }
+}
