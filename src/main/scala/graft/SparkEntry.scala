@@ -967,6 +967,12 @@ object SparkEntry {
       // equal the batch dedup_exact answer
       pageplus.streaming.StreamingExtract.dedupExactOnce(s, dir)
     }),
+    "stream_simhash_candidates" -> ((s, dir) => {
+      // incremental near-dup candidate filter: min doc_id per Manku key in
+      // the state store (arrival-order-independent), drained then joined
+      // against the deterministic batch key recompute
+      pageplus.streaming.StreamingExtract.simhashCandidatesOnce(s, dir)
+    }),
     "stream_html_content" -> ((s, dir) => {
       // the HTML boilerplate-strip path under Structured Streaming; must
       // equal the batch html_main_content answer
@@ -1328,6 +1334,9 @@ object SparkEntry {
       |)
       |""".stripMargin + select
 
+  /** Manku block spec rendered from the engine's own constants. */
+  private val SimKeySpecSql = graft.textops.TextHash.simKeySpecSql
+
   private val RoLastWinsOracleSql =
     """SELECT 'doc://' || doc_id AS url,
       |       array_to_string(lines[len(lines)//2 + 1 :], chr(10)) AS extracted_text
@@ -1643,6 +1652,46 @@ object SparkEntry {
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // stream_simhash_candidates: full SQL recompute of the simhash (the
+    // simhash_neardup CTE), the 20 Manku 3-of-6-block keys (spec table =
+    // TextHash.SimBlockTriples in combinations order, 11-bit lane packing,
+    // t<<34 table tag) and the min-partner-per-doc verdict. Python-validated
+    // (581/1000 candidates at sf0.01: all 500 planted tail-drop twins + 81
+    // organic collisions — a candidate filter over-generates by design).
+    "stream_simhash_candidates" ->
+      ("""WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         substring(text, 1, length(text) - instr(reverse(text), ' '))
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM planted),
+        |th AS (SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(c)::HUGEINT for c in string_split(tok, '')]),
+        |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
+        |  FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |         sum(CASE WHEN (th.h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+        |hu AS (SELECT doc_id,
+        |              sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS v
+        |       FROM bits GROUP BY doc_id),
+        |spec(t, o0, w0, o1, w1, o2, w2) AS (VALUES """ + SimKeySpecSql + """),
+        |keys AS (SELECT doc_id,
+        |                CAST(t * (1::HUGEINT << 34)
+        |                   + ((v // (1::HUGEINT << o0)) % (1::HUGEINT << w0)) * 4194304
+        |                   + ((v // (1::HUGEINT << o1)) % (1::HUGEINT << w1)) * 2048
+        |                   + ((v // (1::HUGEINT << o2)) % (1::HUGEINT << w2)) AS BIGINT) AS key
+        |         FROM hu, spec),
+        |cand AS (SELECT a.doc_id, min(b.doc_id) AS mn
+        |         FROM keys a JOIN keys b USING (key) GROUP BY a.doc_id)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN mn < doc_id THEN mn ELSE -1 END AS BIGINT) AS partner,
+        |       CAST(CASE WHEN mn < doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_cand
+        |FROM cand""").stripMargin,
     "corpus_pipeline" ->
       """WITH RECURSIVE
         |u AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id%250),

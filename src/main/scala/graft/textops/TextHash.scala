@@ -149,6 +149,16 @@ object TextHash {
       (t.toLong << 34) | packed // 3 x <=11 bits, uniform 11-bit packing
     }
 
+  /** The Manku key spec as SQL VALUES rows `(t, o0, w0, o1, w1, o2, w2)` —
+    * the DuckDB oracle rebuilds [[simHashKeys]] from the exact same block
+    * constants (the [[Ann.signsSqlLiteral]] precedent), so spec and engine
+    * cannot drift. */
+  def simKeySpecSql: String =
+    SimBlockTriples.zipWithIndex.map { case (blocks, t) =>
+      val parts = blocks.map(b => s"${SimBlockOffsets(b)},${SimBlockWidths(b)}").mkString(",")
+      s"($t,$parts)"
+    }.mkString(",")
+
   /** Wide-radius heuristic keys: 4 x 16-bit chunks. No completeness guarantee
     * beyond hamming 3, and the 65,536-value key space is quadratic-per-bucket
     * at web scale — use ONLY for wide radii (> 3) on bounded corpora, where no

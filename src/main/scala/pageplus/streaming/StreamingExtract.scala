@@ -169,6 +169,58 @@ object StreamingExtract {
       .select("keep_id", "n_copies")
   }
 
+  /** Streaming SimHash near-duplicate CANDIDATE filter — the incremental
+    * complement of the batch [[graft.textops.Dedup.simhashPairs]]: as docs
+    * arrive, each contributes its 20 Manku block keys
+    * ([[graft.textops.TextHash.simHashKeys]]) and the state store keeps the
+    * MIN doc_id per key (16 bytes/distinct key, ~20 keys/doc over a ~2^34
+    * key space — linear occupancy at web scale). A doc is a candidate
+    * near-dup iff some smaller doc shares a key — lossless at hamming ≤ 3
+    * by the same pigeonhole argument, over-generating above it (candidates
+    * are a SUPERSET; the exact verify is the downstream batch rerank, which
+    * is the production split: cheap streaming filter, exact batch confirm).
+    *
+    * Determinism: `min` per key is arrival-order-independent, so the drained
+    * state — and the verdict per doc — is the same under any micro-batching,
+    * unlike a first-arrival-wins filter. Output: (doc_id, partner, is_cand)
+    * where partner is the smallest doc sharing a key (-1 if none). */
+  def simhashCandidatesOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    def explodeKeys(df: DataFrame) = df.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.textops.TextHash.simHashKeys(graft.textops.TextHash.simHash(t))
+          .map(k => (k, id))
+      }
+    val keyState = explodeKeys(
+      graft.textops.Dedup.plantedTail(streamTable(spark, sfDir, "documents.parquet")))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Long, Long)]) =>
+          var (mn, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          it.foreach { case (_, id) => if (id < mn) mn = id; n += 1 }
+          state.update((mn, n))
+          Iterator((key, mn, n))
+      }
+      .toDF("key", "min_id", "n_seen")
+    val finalKeys = lastUpdatePerKey(
+      drainToTable(keyState, "stream_simhash", "update", noDataBatch = false),
+      Seq("key"), "n_seen", Seq("min_id"))
+    // batch-side deterministic key recompute joined against the drained state
+    val batchKeys = explodeKeys(
+      graft.textops.Dedup.plantedTail(spark.read.parquet(s"$sfDir/documents.parquet")))
+      .toDF("key", "doc_id")
+    batchKeys.join(finalKeys, "key")
+      .groupBy("doc_id")
+      .agg(min(col("min_id")).as("mn"))
+      .select(col("doc_id"),
+        when(col("mn") < col("doc_id"), col("mn")).otherwise(lit(-1L)).as("partner"),
+        when(col("mn") < col("doc_id"), lit(1L)).otherwise(lit(0L)).as("is_cand"))
+  }
+
   /** Streaming windowed aggregation over the events table: event-time watermark
     * + 1-hour tumbling windows (the Structured Streaming shape the engine
     * offers for incremental corpora metrics). Drained synchronously; complete

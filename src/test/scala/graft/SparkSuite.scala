@@ -122,6 +122,33 @@ class ScalePlumbingSpec extends AnyFunSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("streaming simhash candidates equal a batch key-collision recompute") {
+    // independent batch recompute: same keys, straight SQL min-per-key join
+    import spark.implicits._
+    val docs = graft.textops.Dedup.plantedTail(spark.read.parquet(s"$sf/documents.parquet"))
+    val keys = docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.textops.TextHash.simHashKeys(graft.textops.TextHash.simHash(t)).map(k => (id, k))
+      }.toDF("doc_id", "key")
+    val minPerKey = keys.groupBy("key").agg(min("doc_id").as("kmn"))
+    val expect = keys.join(minPerKey, "key").groupBy("doc_id")
+      .agg(min("kmn").as("mn"))
+      .collect().map { r =>
+        val (id, mn) = (r.getLong(0), r.getLong(1))
+        id -> (if (mn < id) (mn, 1L) else (-1L, 0L))
+      }.toMap
+    val stream = SparkEntry.queries("stream_simhash_candidates")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stream == expect && expect.nonEmpty)
+    // planted tail-drop twins land within hamming 3 of their base for most
+    // docs (a dropped word can flip more bits — those legitimately miss the
+    // lossless radius): the candidate filter must catch the bulk of them
+    val planted = expect.keys.filter(_ >= 1000000L).toSeq
+    val caught = planted.count(id => stream(id)._2 == 1L)
+    assert(planted.nonEmpty && caught.toDouble / planted.size > 0.8,
+      s"only $caught/${planted.size} planted twins caught")
+  }
+
   test("stateful streaming sessionization equals the batch window-function answer") {
     val batch = SparkEntry.queries("q11_sessionize")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
