@@ -503,6 +503,12 @@ object SparkEntry {
       graft.textops.Curate.scrubPii(
         graft.textops.Curate.plantPii(tp(s, dir, "documents")))
     }),
+    "gopher_repetition" -> ((s, dir) =>
+      // the full Gopher repetition battery (top-n-gram char fraction +
+      // dup-n-gram interval-union coverage), one typed map per doc, zero
+      // shuffle; planted self-repeats on doc_id%4==0 fire the dup gates
+      graft.textops.Curate.gopherRepetition(
+        graft.textops.Curate.plantRepetition(tp(s, dir, "documents")))),
     "gopher_quality" -> ((s, dir) => {
       // Gopher-style quality gate in exact integer arithmetic
       graft.textops.Curate.gopherQuality(tp(s, dir, "documents"))
@@ -2508,6 +2514,69 @@ object SparkEntry {
         |             regexp_replace(text, '""" + graft.textops.Curate.EmailRe +
         """', '<EMAIL>', 'g') AS de_emailed
         |      FROM planted)""").stripMargin,
+    // gopher_repetition: full SQL recompute — per-n gram tables, top-1 by
+    // (count DESC, gram ASC), dup coverage via the sorted-gap interval-union
+    // identity (lead() window; word-gram ends are monotone so it is exact).
+    // NB the i=1 slice guard: DuckDB ws[1:0] is NULL, not empty.
+    "gopher_repetition" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |                 THEN text || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
+        |                           || ' ' || array_to_string(string_split(text,' ')[1:8], ' ')
+        |                 ELSE text END AS text
+        |            FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws, CAST(length(text) AS BIGINT) AS L FROM p),
+        |g2 AS (SELECT doc_id, L, array_to_string(ws[i:i+1], ' ') AS g
+        |       FROM d, UNNEST(generate_series(1, len(ws)-1)) t(i) WHERE len(ws) >= 2),
+        |gc2 AS (SELECT doc_id, L, g, count(*) AS c FROM g2 GROUP BY doc_id, L, g),
+        |top2 AS (SELECT doc_id, c * length(g) * 10000 // L AS bp FROM (
+        |           SELECT doc_id, L, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r
+        |           FROM gc2) WHERE r = 1),
+        |g3 AS (SELECT doc_id, L, array_to_string(ws[i:i+2], ' ') AS g
+        |       FROM d, UNNEST(generate_series(1, len(ws)-2)) t(i) WHERE len(ws) >= 3),
+        |gc3 AS (SELECT doc_id, L, g, count(*) AS c FROM g3 GROUP BY doc_id, L, g),
+        |top3 AS (SELECT doc_id, c * length(g) * 10000 // L AS bp FROM (
+        |           SELECT doc_id, L, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r
+        |           FROM gc3) WHERE r = 1),
+        |g4 AS (SELECT doc_id, L, array_to_string(ws[i:i+3], ' ') AS g
+        |       FROM d, UNNEST(generate_series(1, len(ws)-3)) t(i) WHERE len(ws) >= 4),
+        |gc4 AS (SELECT doc_id, L, g, count(*) AS c FROM g4 GROUP BY doc_id, L, g),
+        |top4 AS (SELECT doc_id, c * length(g) * 10000 // L AS bp FROM (
+        |           SELECT doc_id, L, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r
+        |           FROM gc4) WHERE r = 1),
+        |h5 AS (SELECT doc_id, L, i,
+        |              CASE WHEN i = 1 THEN 0 ELSE length(array_to_string(ws[1:i-1], ' ')) + 1 END AS s,
+        |              array_to_string(ws[i:i+4], ' ') AS g
+        |       FROM d, UNNEST(generate_series(1, len(ws)-4)) t(i) WHERE len(ws) >= 5),
+        |hd5 AS (SELECT doc_id, L, s, length(g) AS ln,
+        |               lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        |        FROM h5 WHERE g IN (SELECT g FROM h5 h2
+        |                            WHERE h2.doc_id = h5.doc_id GROUP BY g HAVING count(*) >= 2)),
+        |dup5 AS (SELECT doc_id, COALESCE(sum(CASE WHEN nxt IS NULL THEN ln
+        |                                          ELSE least(nxt - s, ln) END), 0) * 10000 // any_value(L) AS bp
+        |         FROM hd5 GROUP BY doc_id),
+        |h10 AS (SELECT doc_id, L, i,
+        |              CASE WHEN i = 1 THEN 0 ELSE length(array_to_string(ws[1:i-1], ' ')) + 1 END AS s,
+        |              array_to_string(ws[i:i+9], ' ') AS g
+        |       FROM d, UNNEST(generate_series(1, len(ws)-9)) t(i) WHERE len(ws) >= 10),
+        |hd10 AS (SELECT doc_id, L, s, length(g) AS ln,
+        |               lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        |        FROM h10 WHERE g IN (SELECT g FROM h10 h2
+        |                             WHERE h2.doc_id = h10.doc_id GROUP BY g HAVING count(*) >= 2)),
+        |dup10 AS (SELECT doc_id, COALESCE(sum(CASE WHEN nxt IS NULL THEN ln
+        |                                           ELSE least(nxt - s, ln) END), 0) * 10000 // any_value(L) AS bp
+        |         FROM hd10 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(top2.bp, 0) AS BIGINT) AS top2_bp,
+        |       CAST(COALESCE(top3.bp, 0) AS BIGINT) AS top3_bp,
+        |       CAST(COALESCE(top4.bp, 0) AS BIGINT) AS top4_bp,
+        |       CAST(COALESCE(dup5.bp, 0) AS BIGINT) AS dup5_bp,
+        |       CAST(COALESCE(dup10.bp, 0) AS BIGINT) AS dup10_bp,
+        |       CAST(CASE WHEN COALESCE(top2.bp,0) <= 2000 AND COALESCE(top3.bp,0) <= 1800
+        |                  AND COALESCE(top4.bp,0) <= 1600 AND COALESCE(dup5.bp,0) <= 1500
+        |                  AND COALESCE(dup10.bp,0) <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM d
+        |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id) LEFT JOIN top4 USING (doc_id)
+        |LEFT JOIN dup5 USING (doc_id) LEFT JOIN dup10 USING (doc_id)""".stripMargin,
     "gopher_quality" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
         |                  CAST(length(text) AS BIGINT) AS c FROM documents)

@@ -12,6 +12,114 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Plant within-doc repetition (the corpus has none): doc_id % 4 == 0
+    * appends its own first 8 words twice — pure doc arithmetic, replanted
+    * identically by the oracle. */
+  def plantRepetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" "),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " "), lit(" "),
+          array_join(slice(split(col("text"), " ", -1), 1, 8), " ")))
+        .otherwise(col("text")).as("text"))
+
+  /** Gopher repetition battery (Rae et al. 2021, Table A1 beyond the
+    * dup-word rule [[repetitionStats]] already covers): per doc,
+    *  - top-{2,3,4}-gram character fraction: occurrences x chars of the most
+    *    frequent word n-gram over doc chars (count DESC, gram ASC tie-break);
+    *  - dup-{5,10}-gram coverage: characters covered by the UNION of all
+    *    occurrences of n-grams appearing >= 2 times in the doc (interval
+    *    union via the sorted-gap identity — word-gram ends are monotone in
+    *    the start word, so min(next_start - start, len) is exact, the same
+    *    identity [[DupSpans]] uses cross-document).
+    * All basis points with trunc division; keep = every gate under its
+    * Gopher threshold (20/18/16% tops, 15/10% dups). ONE typed map per doc —
+    * no explode, no shuffle: per-doc hash maps bounded by doc length, the
+    * 10^12-doc plan. Output: (doc_id, top2_bp, top3_bp, top4_bp, dup5_bp,
+    * dup10_bp, keep). */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val t2 = topGramBp(text, 2)
+        val t3 = topGramBp(text, 3)
+        val t4 = topGramBp(text, 4)
+        val d5 = dupGramBp(text, 5)
+        val d10 = dupGramBp(text, 10)
+        val keep = if (t2 <= 2000 && t3 <= 1800 && t4 <= 1600 && d5 <= 1500 && d10 <= 1000) 1L else 0L
+        (id, t2, t3, t4, d5, d10, keep)
+      }
+      .toDF("doc_id", "top2_bp", "top3_bp", "top4_bp", "dup5_bp", "dup10_bp", "keep")
+  }
+
+  private def wordStarts(text: String): (Array[String], Array[Int]) = {
+    val ws = text.split(" ", -1)
+    val starts = new Array[Int](ws.length)
+    var p = 0
+    var i = 0
+    while (i < ws.length) { starts(i) = p; p += ws(i).length + 1; i += 1 }
+    (ws, starts)
+  }
+
+  /** Gram i..i+n-1 as a substring of the original text (identical bytes to
+    * joining the words with single spaces). */
+  private def gramAt(text: String, ws: Array[String], starts: Array[Int], i: Int, n: Int): String =
+    text.substring(starts(i), starts(i + n - 1) + ws(i + n - 1).length)
+
+  def topGramBp(text: String, n: Int): Long = {
+    val L = text.length.toLong
+    if (L == 0) return 0L
+    val (ws, starts) = wordStarts(text)
+    if (ws.length < n) return 0L
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i <= ws.length - n) {
+      val g = gramAt(text, ws, starts, i, n)
+      counts.update(g, counts.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    var bestG: String = null
+    var bestC = 0
+    counts.foreach { case (g, c) =>
+      if (c > bestC || (c == bestC && (bestG == null || g.compareTo(bestG) < 0))) {
+        bestG = g; bestC = c
+      }
+    }
+    bestC.toLong * bestG.length * 10000L / L
+  }
+
+  def dupGramBp(text: String, n: Int): Long = {
+    val L = text.length.toLong
+    if (L == 0) return 0L
+    val (ws, starts) = wordStarts(text)
+    if (ws.length < n) return 0L
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i <= ws.length - n) {
+      val g = gramAt(text, ws, starts, i, n)
+      counts.update(g, counts.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    // occurrences of duplicated grams, in ascending start order; ends are
+    // monotone so the gap identity gives the exact interval union
+    var covered = 0L
+    var prevStart = -1
+    var prevLen = 0
+    i = 0
+    while (i <= ws.length - n) {
+      val len = starts(i + n - 1) + ws(i + n - 1).length - starts(i)
+      if (counts(text.substring(starts(i), starts(i) + len)) >= 2) {
+        if (prevStart >= 0) covered += math.min(starts(i) - prevStart, prevLen).toLong
+        prevStart = starts(i)
+        prevLen = len
+      }
+      i += 1
+    }
+    if (prevStart >= 0) covered += prevLen.toLong
+    covered * 10000L / L
+  }
+
   /** Shared with the oracles: word-boundary IPv4 and a pragmatic email shape. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

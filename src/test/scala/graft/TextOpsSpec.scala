@@ -586,6 +586,39 @@ class DedupSparkSpec extends AnyFunSuite {
   }
 }
 
+class GopherRepetitionSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("top/dup gram fractions: hand-derivable truth table") {
+    import graft.textops.Curate
+    // "a b a b c" (9 chars): top-2-gram "a b" x2, len 3 -> 6666 bp
+    assert(Curate.topGramBp("a b a b c", 2) == 2L * 3 * 10000 / 9)
+    // dup-2 coverage: "a b"@0 and @4, union = [0,3)+[4,7) = 6 chars
+    assert(Curate.dupGramBp("a b a b c", 2) == 6L * 10000 / 9)
+    // overlapping occurrences: "a a a a" (7 chars), "a a"@0,@2,@4 -> union
+    // covers the whole string (gap identity with truncation at each step)
+    assert(Curate.dupGramBp("a a a a", 2) == 10000L)
+    // no repetition -> 0; n longer than doc -> 0
+    assert(Curate.dupGramBp("x y z", 2) == 0L)
+    assert(Curate.topGramBp("x y", 3) == 0L)
+    // tie at equal count resolves to the lexicographically smallest gram:
+    // "b c a d" -> all 2-grams count 1; "a d" (len 3) wins over "b c"/"c a"
+    assert(Curate.topGramBp("b c a d", 2) == 1L * 3 * 10000 / 7)
+  }
+
+  test("gopherRepetition is one map stage — no Exchange in the plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.textops.Curate.gopherRepetition(graft.textops.Curate.plantRepetition(docs))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition battery must not shuffle:\n$plan")
+    // planted docs (doc_id%4==0, self-repeat appended) must fire a dup gate
+    val got = df.collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(6)))).toMap
+    val planted = got.keys.filter(_ % 4 == 0)
+    assert(planted.nonEmpty && planted.forall(id => got(id)._1 > 0),
+      "planted self-repeats must produce nonzero dup5 coverage")
+  }
+}
+
 class QualityModelSpec extends AnyFunSuite {
   import SparkSuite._
 
