@@ -547,6 +547,12 @@ object SparkEntry {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("keep").cast("long")).as("n_kept"))),
+    "image_phash_dedup" -> ((s, dir) =>
+      // perceptual image dedup: REAL ImageIO decode -> aHash -> Manku-key
+      // candidate join -> exact hamming; planted brightness+4 twins are
+      // different PNG bytes but near-identical perception
+      graft.textops.Multimodal.imageNearDupPairs(
+        graft.textops.Multimodal.mediaWithNearTwins(tp(s, dir, "documents")))),
     "audio_features" -> ((s, dir) => {
       // REAL audio decode: complete valid RIFF/WAVE PCM payloads parsed by
       // chunk walk (a LIST chunk sits before data, so fixed-offset readers
@@ -2667,6 +2673,41 @@ object SparkEntry {
     "mixture_manifest" -> MixtureRowsSql("""SELECT host, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN (h % 10000) < (doc_id%7 + 1) * 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY host""".stripMargin),
+    // image_phash_dedup: the oracle rebuilds every pixel arithmetically
+    // (generator + clamped brightness plant), the 8x8 pixel-center sample,
+    // the strict x64 mean-threshold aHash, the Manku keys (same spec table
+    // as stream_simhash_candidates) and the hamming verify — the engine
+    // must arrive at the same bits THROUGH the real PNG encode/decode.
+    "image_phash_dedup" ->
+      ("""WITH base AS (SELECT doc_id FROM documents),
+        |imgs AS (SELECT doc_id AS img_id, doc_id AS d, 0 AS shift FROM base
+        |         UNION ALL
+        |         SELECT doc_id + 1000000, doc_id, 4 FROM base),
+        |smp AS (SELECT img_id,
+        |               [ least((( (d*31)%256 + 7*(((2*(b%8)+1)*(8+d%16))//16)
+        |                         + 13*(((2*(b//8)+1)*(8+d%11))//16) ) % 256) + shift, 255)
+        |                 for b in range(0, 64) ] AS px
+        |        FROM imgs),
+        |ah AS (SELECT img_id,
+        |              sum(CASE WHEN px[b+1]*64 > list_sum(px) THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS v
+        |       FROM smp, range(64) r(b) GROUP BY img_id, px),
+        |spec(t, o0, w0, o1, w1, o2, w2) AS (VALUES """ + SimKeySpecSql + """),
+        |keys AS (SELECT img_id, v,
+        |                CAST(t * (1::HUGEINT << 34)
+        |                   + ((v // (1::HUGEINT << o0)) % (1::HUGEINT << w0)) * 4194304
+        |                   + ((v // (1::HUGEINT << o1)) % (1::HUGEINT << w1)) * 2048
+        |                   + ((v // (1::HUGEINT << o2)) % (1::HUGEINT << w2)) AS BIGINT) AS key
+        |         FROM ah, spec),
+        |cand AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b, x.v AS va, y.v AS vb
+        |         FROM keys x JOIN keys y USING (key) WHERE x.img_id < y.img_id)
+        |SELECT a, b, CAST(bit_count(xor(
+        |         CAST(va - CASE WHEN va >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT),
+        |         CAST(vb - CASE WHEN vb >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT)))
+        |       AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(
+        |         CAST(va - CASE WHEN va >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT),
+        |         CAST(vb - CASE WHEN vb >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT))) <= 3""").stripMargin,
     "audio_features" ->
       """WITH d AS (SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n FROM documents),
         |     s AS (SELECT doc_id, n,

@@ -298,6 +298,83 @@ object Multimodal {
     media.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
   }
 
+  // ---- perceptual-hash image dedup ------------------------------------------
+
+  /** Media corpus with planted perceptual near-twins: each base image gets a
+    * (doc_id + PlantOffset) copy brightened by +4 (clamped at 255). The twin
+    * is a DIFFERENT byte stream (deflate of different scanlines — exact byte
+    * dedup misses it) with near-identical perception: a uniform shift moves
+    * every sample and the mean together, so aHash bits only flip where the
+    * clamp bites. */
+  def mediaWithNearTwins(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long].flatMap { id =>
+      val (w, h) = pixelDims(id)
+      Seq(
+        MediaRow(id, "png", pixelPng(id), meta_width = w, meta_height = h),
+        MediaRow(id + Dedup.PlantOffset, "png",
+          encodeGrayPng(w, h, (x, y) => math.min(grayAt(id, 0, x, y) + 4, 255)),
+          meta_width = w, meta_height = h))
+    }
+  }
+
+  /** aHash (average hash) over a decoded grayscale raster: 8x8 nearest-
+    * neighbor sample with the SAME pixel-center mapping the resize op pins
+    * (`sx = ((2*ox+1)*w) div 16`), bit b = oy*8+ox set iff sample*64 > the
+    * 64-sample sum (strict, integer — no float mean). The canonical cheap
+    * perceptual fingerprint for image-corpus dedup. */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val smp = new Array[Int](64)
+    var sum = 0L
+    var b = 0
+    while (b < 64) {
+      val sx = ((2 * (b % 8) + 1) * w) / 16
+      val sy = ((2 * (b / 8) + 1) * h) / 16
+      smp(b) = raster.getSample(sx, sy, 0)
+      sum += smp(b)
+      b += 1
+    }
+    var v = 0L
+    b = 0
+    while (b < 64) {
+      if (smp(b).toLong * 64 > sum) v |= (1L << b)
+      b += 1
+    }
+    v
+  }
+
+  /** Image near-duplicate pairs: REAL decode (ImageIO, same entry as the
+    * feature path) → aHash → Manku 3-of-6-block candidate keys
+    * ([[TextHash.simHashKeys]] — lossless at hamming ≤ 3, linear occupancy)
+    * → exact hamming verify. The image twin of the text SimHash pipeline:
+    * candidate generation never compares pixels pairwise, the one shuffle
+    * carries 20 (key, id, hash) rows per image. Undecodable payloads drop
+    * out (the feature path reports those; dedup has nothing to hash).
+    * Output: (a, b, hamming), a < b. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hashed = media.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { m =>
+      val img = readImage(m.payload)
+      if (img == null) None else Some((m.doc_id, aHash(img)))
+    }))
+    val keyed = hashed.flatMap { case (id, v) =>
+      TextHash.simHashKeys(v).map(k => (k, id, v))
+    }.toDF("key", "img_id", "v")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.key") === col("y.key") && col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("a"), col("y.img_id").as("b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .select(col("a"), col("b"), bit_count(col("va").bitwiseXOR(col("vb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** REAL resize (no stub): ImageIO decode -> `Graphics2D` nearest-neighbor
     * rescale to (w/factor, h/factor) -> PNG re-encode. Java2D's NN rule maps
     * output pixel (x, y) to source (floor((2x+1)*w / (2*ow)),

@@ -584,6 +584,38 @@ class DedupSparkSpec extends AnyFunSuite {
     val got = Multimodal.extractFeatures(bad).collect()
     assert(got.length == 1 && got.head.width == -1 && got.head.px_sum == 0L)
   }
+
+  test("aHash: uniform image hashes to 0 (strict mean threshold); decode equals arithmetic") {
+    import textops.Multimodal
+    val flat = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodeGrayPng(16, 12, (_, _) => 77)))
+    assert(Multimodal.aHash(flat) == 0L)
+    // real decode -> aHash equals the pure-arithmetic recompute the SQL
+    // oracle uses (pins the whole PNG encode/decode/sample chain)
+    Seq(0L, 7L, 123L, 400L).foreach { id =>
+      val (w, h) = Multimodal.pixelDims(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(Multimodal.pixelPng(id)))
+      val smp = Array.tabulate(64) { b =>
+        Multimodal.grayAt(id, 0, ((2 * (b % 8) + 1) * w) / 16, ((2 * (b / 8) + 1) * h) / 16)
+      }
+      val sum = smp.map(_.toLong).sum
+      var expect = 0L
+      smp.zipWithIndex.foreach { case (p, b) => if (p.toLong * 64 > sum) expect |= (1L << b) }
+      assert(Multimodal.aHash(img) == expect, s"doc $id")
+    }
+  }
+
+  test("image near-dup: every planted brightness twin is caught at sf0.001") {
+    import textops.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Multimodal.imageNearDupPairs(Multimodal.mediaWithNearTwins(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val hm = pairs.get((id, id + textops.Dedup.PlantOffset))
+      assert(hm.isDefined && hm.get <= 3, s"planted twin of $id not caught ($hm)")
+    }
+  }
 }
 
 class GopherRepetitionSpec extends AnyFunSuite {
