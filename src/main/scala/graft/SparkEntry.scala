@@ -491,6 +491,10 @@ object SparkEntry {
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"))
     }),
+    "lang_mixture" -> ((s, dir) =>
+      // multilingual temperature sampling (tau=2 -> exact integer sqrt):
+      // one lang-grain corpus agg, then 1-row totals broadcast
+      graft.textops.LangMixture.temperatureMixture(tp(s, dir, "documents"))),
     "token_count_regex" -> ((s, dir) => {
       tp(s, dir, "documents").select(
         col("doc_id"),
@@ -1761,6 +1765,22 @@ object SparkEntry {
         |       round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS DOUBLE)
         |             / len(string_split(text,' ')), 6) AS stop_ratio
         |FROM documents""".stripMargin,
+    // lang_mixture: isqrt in SQL = max k with k*k <= n over a bounded
+    // series (exact, no float sqrt anywhere on either side)
+    "lang_mixture" ->
+      """WITH t AS (SELECT lang, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_tokens) AS tt FROM t),
+        |sq AS (SELECT lang, n_tokens,
+        |              (SELECT max(k) FROM generate_series(0, 100000) g(k) WHERE k*k <= t.n_tokens) AS w
+        |       FROM t),
+        |sw AS (SELECT sum(w) AS swt FROM sq)
+        |SELECT lang, n_tokens,
+        |       CAST(n_tokens * 1000000 // (SELECT tt FROM tot) AS BIGINT) AS natural_ppm,
+        |       CAST(w * 1000000 // (SELECT swt FROM sw) AS BIGINT) AS temp_ppm,
+        |       CAST((w * 1000000 // (SELECT swt FROM sw)) * 10000
+        |            // (n_tokens * 1000000 // (SELECT tt FROM tot)) AS BIGINT) AS boost_bp
+        |FROM sq""".stripMargin,
     "lang_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,

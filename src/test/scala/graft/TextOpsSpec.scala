@@ -618,6 +618,44 @@ class DedupSparkSpec extends AnyFunSuite {
   }
 }
 
+class LangMixtureSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("isqrt is exact on boundaries and large values") {
+    import graft.textops.LangMixture.isqrt
+    assert(isqrt(0) == 0 && isqrt(1) == 1 && isqrt(3) == 1 && isqrt(4) == 2)
+    assert(isqrt(15) == 3 && isqrt(16) == 4 && isqrt(17) == 4)
+    // near 2^52+: float sqrt alone can round wrong; the correction must not
+    val n = (1L << 31) * ((1L << 31) + 1) // (2^31)^2 + 2^31
+    assert(isqrt(n) == (1L << 31) && isqrt(n - 1) == (1L << 31))
+    assert(isqrt((1L << 31) * (1L << 31) - 1) == (1L << 31) - 1)
+    val big = 3037000499L // floor(sqrt(Long.MaxValue))
+    assert(isqrt(big * big) == big && isqrt(big * big - 1) == big - 1)
+  }
+
+  test("temperature mixture: tau=2 boosts low-resource languages, conserves shape") {
+    val got = graft.textops.LangMixture
+      .temperatureMixture(spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // independent recompute
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val tok = docs.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val tt = tok.values.sum
+    val sw = tok.values.map(graft.textops.LangMixture.isqrt).sum
+    tok.foreach { case (l, n) =>
+      val w = graft.textops.LangMixture.isqrt(n)
+      val nat = n * 1000000L / tt
+      val tmp = w * 1000000L / sw
+      assert(got(l) == ((n, nat, tmp, tmp * 10000L / nat)), s"lang $l")
+    }
+    // the high-resource language is down-weighted, every minority boosted
+    val en = got("en")._4
+    assert(en < 10000 && got.filterNot(_._1 == "en").values.forall(_._4 > 10000))
+  }
+}
+
 class GopherRepetitionSpec extends AnyFunSuite {
   import SparkSuite._
 
