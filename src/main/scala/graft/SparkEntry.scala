@@ -602,6 +602,17 @@ object SparkEntry {
               |       url_host(url_normalize(url)) AS host
               |FROM graft_urls_tmp""".stripMargin)
     }),
+    "host_prefix_trim" -> ((s, dir) => {
+      // per-host banner prefixes (planted on hosts 0-3) trimmed via the
+      // min/max-lexicographic LCP identity — one host-grain agg, no pairs
+      val d = tp(s, dir, "documents")
+      val corpus = d.select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 7).cast("string"), lit(".example.com")).as("host"),
+        when(col("doc_id") % 7 < 4,
+          concat(lit("WELCOME TO SITE"), (col("doc_id") % 7).cast("string"),
+            lit(" NAV HOME | "), col("text"))).otherwise(col("text")).as("text"))
+      graft.webtext.Templates.prefixTrim(corpus)
+    }),
     "mirror_hosts" -> ((s, dir) => {
       // mirror-host detection: planted full mirror of site3 must pair, the
       // partial mirror of site5 (docs with doc_id%35==5 missing) must NOT
@@ -2767,6 +2778,24 @@ object SparkEntry {
         |  (CASE WHEN doc_id%5 IN (0,1) THEN '?q='||(doc_id%13) ELSE '' END) AS url_norm,
         |  'site'||(doc_id%7)||'.example.com' AS host
         |FROM documents""".stripMargin,
+    // host_prefix_trim: the oracle reproduces the min/max LCP identity;
+    // prefix-match is monotone in k so counting matching prefixes IS the
+    // LCP (list comprehension — generate_series can't take lateral args)
+    "host_prefix_trim" ->
+      """WITH c AS (SELECT doc_id, 'site' || (doc_id%7) || '.example.com' AS host,
+        |                  CASE WHEN doc_id%7 < 4
+        |                       THEN 'WELCOME TO SITE' || (doc_id%7) || ' NAV HOME | ' || text
+        |                       ELSE text END AS text
+        |           FROM documents),
+        |mm AS (SELECT host, min(text) AS mn, max(text) AS mx FROM c GROUP BY host),
+        |l AS (SELECT host,
+        |             len(list_filter([substring(mn, 1, k) = substring(mx, 1, k)
+        |                              for k in range(1, least(length(mn), length(mx)) + 1)],
+        |                             x -> x)) AS lcp
+        |      FROM mm)
+        |SELECT c.doc_id, c.host, CAST(l.lcp AS BIGINT) AS lcp_len,
+        |       substring(c.text, l.lcp + 1) AS trimmed
+        |FROM c JOIN l USING (host)""".stripMargin,
     // mirror_hosts: content-SET fingerprint (bit_xor over distinct FNV
     // hashes, signed-BIGINT view of the unsigned HUGEINT fold) recomputed in
     // full; planted mirror pairs, planted partial mirror stays unmatched

