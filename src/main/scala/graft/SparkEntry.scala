@@ -1229,6 +1229,10 @@ object SparkEntry {
       // sums -> broadcast offsets), NOT a single-partition window
       graft.textops.SequencePack.pack(tp(s, dir, "documents")).orderBy("doc_id")
     }),
+    "curriculum_rank" -> ((s, dir) =>
+      // short-first curriculum: exact global rank by (n_words, doc_id) via
+      // range partition + broadcast offsets — never a single-task Window
+      graft.textops.SequencePack.curriculumRank(tp(s, dir, "documents"))),
     "shard_pack" -> ((s, dir) => {
       // byte-balanced output sharding: whole docs into fixed-size shards by
       // global byte offset — same two-pass prefix sum, no window
@@ -3222,6 +3226,12 @@ object SparkEntry {
         |       CAST((oe - (nt+1)) // 2048 AS BIGINT) AS seq_first,
         |       CAST((oe - 1) // 2048 AS BIGINT) AS seq_last
         |FROM c""".stripMargin,
+    // curriculum_rank: the oracle's global row_number is exactly the
+    // single-partition plan the engine must avoid
+    "curriculum_rank" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |       CAST(row_number() OVER (ORDER BY len(string_split(text,' ')), doc_id) AS BIGINT) AS rank
+        |FROM documents""".stripMargin,
     // shard_pack: the oracle's single-partition window cumsum is exactly the
     // plan the engine must avoid (sequence_pack precedent)
     "shard_pack" ->

@@ -1,6 +1,5 @@
 package graft.textops
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,8 +26,16 @@ import org.apache.spark.sql.functions._
 object SequencePack {
 
   /** The shared two-pass core: exact global prefix sum of `w` in doc_id
-    * order. Returns (doc_id, w, start) rows via `emit`. */
-  private def withPrefixSum[T <: Product : org.apache.spark.sql.Encoder](
+    * order. Returns (doc_id, w, start) rows via `emit`.
+    *
+    * Both passes address the broadcast offset table by the RDD partition's
+    * OWN index (`mapPartitionsWithIndex`), never `TaskContext
+    * .getPartitionId()`: a downstream `coalesce(1)` (e.g. a single-file
+    * writer) fuses many upstream partitions into one TASK, so the task's
+    * partition id lies about which ranged partition the closure is walking —
+    * every fused partition would restart at the offset of partition 0. The
+    * RDD split index is stable under any downstream stage fusion. */
+  private def withPrefixSum[T <: Product : org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
       docs: DataFrame, wExpr: org.apache.spark.sql.Column)(
       emit: (Long, Long, Long) => T): org.apache.spark.sql.Dataset[T] = {
     val spark = docs.sparkSession
@@ -40,23 +47,23 @@ object SequencePack {
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
       .cache()
-    val partSums = ranged.mapPartitions { it =>
+    val partSums = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach { case (_, w) => s += w }
-      Iterator((TaskContext.getPartitionId(), s))
+      Iterator((pid, s))
     }.collect().sortBy(_._1)
     val starts = new Array[Long](parts)
     var acc = 0L
     partSums.foreach { case (pid, s) => starts(pid) = acc; acc += s }
     val bc = spark.sparkContext.broadcast(starts)
-    ranged.mapPartitions { it =>
-      var off = bc.value(TaskContext.getPartitionId())
+    spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var off = bc.value(pid)
       it.map { case (id, w) =>
         val start = off
         off += w
         emit(id, w, start)
       }
-    }
+    })
     // the 16-bytes/doc range cache is freed with the session (HostRank note)
   }
 
@@ -69,6 +76,43 @@ object SequencePack {
     withPrefixSum(docs, size(split(col("text"), " ", -1)) + 1) { (id, w, start) =>
       (id, w - 1, start, start / budget, (start + w - 1) / budget)
     }.toDF("doc_id", "n_tokens", "offset_start", "seq_first", "seq_last")
+  }
+
+  /** Curriculum ranking — the length-based curriculum (train short-and-
+    * simple first): every doc's exact GLOBAL rank under (n_words, doc_id)
+    * total order. `row_number() OVER (ORDER BY ...)` with no partition key
+    * is the same single-task scale-killer the prefix sum avoids; here the
+    * distributed form is range-partition on the sort key + per-partition
+    * COUNTS to the driver (partition-count-sized) + broadcast offsets +
+    * a local index sweep. Same split-index discipline as [[withPrefixSum]]
+    * (a downstream coalesce must not scramble the offsets). Output:
+    * (doc_id, n_words, rank), rank 1-based. */
+  def curriculumRank(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_words"))
+      .repartitionByRange(parts, col("n_words"), col("doc_id"))
+      .sortWithinPartitions("n_words", "doc_id")
+      .as[(Long, Long)]
+      .cache()
+    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      it.foreach(_ => n += 1)
+      Iterator((pid, n))
+    }.collect().sortBy(_._1)
+    val starts = new Array[Long](parts)
+    var acc = 0L
+    counts.foreach { case (pid, n) => starts(pid) = acc; acc += n }
+    val bc = spark.sparkContext.broadcast(starts)
+    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = bc.value(pid)
+      it.map { case (id, w) =>
+        r += 1
+        (id, w, r)
+      }
+    }.toDF("doc_id", "n_words", "rank")
   }
 
   /** Byte-balanced output sharding — the writer stage that turns a curated

@@ -503,6 +503,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected the ordered range partitioning in:\n$plan")
   }
 
+  test("curriculum_rank: global total order without a Window node") {
+    val df = SparkEntry.queries("curriculum_rank")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Window"), s"global rank must not plan as a Window:\n$plan")
+    // the range exchange lives in the RDD lineage (below the object scan);
+    // what the SQL plan can still prove is that the result is NOT a single
+    // fused partition — the Window plan would be
+    assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "rank output must keep the ranged partitioning, not collapse to one task")
+    // ranks are a permutation of 1..N consistent with the (n_words, doc_id) order
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.sameElements(rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, w, _), i) => (id, w, i + 1L) }))
+    // the Verify writer coalesces to one file: CoalesceExec fuses upstream
+    // partitions into one task, which must NOT scramble the offsets (the
+    // split-index regression this test pins)
+    val fused = df.coalesce(1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fused.sameElements(rows.sortBy(_._1)), "ranks changed under coalesce(1)")
+  }
+
   test("shard_pack: same two-pass contract — no Window, range-partitioned") {
     val plan = executedPlan(SparkEntry.queries("shard_pack")(spark, sf))
     assert(!plan.contains("Window"), s"byte cumsum must not plan as a Window:\n$plan")
