@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * tf * idf. Top-`k` terms per doc, ties broken by term so the result is
   * total-ordered and deterministic.
   *
-  * Scale shape: one map-side explode of the token stream; tf = partial-agg
-  * rollup at (doc, term) grain; df = partial-agg rollup at term grain
-  * (vocabulary ≪ token stream after map-side combine); tf ⋈ df is a
-  * term-keyed shuffle join — NOT broadcast, because a web-scale vocabulary
-  * (urls, typos, code) can be arbitrarily large even though it is small per
-  * partition; the per-doc top-k window shuffles at doc grain. Three
-  * aggregation-grain shuffles, none corpus-quadratic.
+  * Scale shape: ONE map-side explode of the token stream; tf = partial-agg
+  * rollup at (doc, term) grain; df is derived from tf — tf holds exactly one
+  * row per (doc, term), so `tf.groupBy(term).count()` IS
+  * `count_distinct(doc_id)` over the raw stream, and both join branches
+  * share the same (doc_id, term) exchange subtree, which Spark's
+  * ReuseExchange collapses to a single scan+explode+shuffle (pinned in
+  * PlanSpec: one Generate in the executed plan). This deletes a second full
+  * corpus explode AND a token-stream-sized count_distinct shuffle. tf ⋈ df
+  * is a term-keyed shuffle join — NOT broadcast, because a web-scale
+  * vocabulary (urls, typos, code) can be arbitrarily large even though it is
+  * small per partition; the per-doc top-k window shuffles at doc grain.
   */
 object Keywords {
 
@@ -29,7 +33,13 @@ object Keywords {
     val terms = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    // The tf >= 1 filter is vacuously true (count of a non-empty group) but
+    // the optimizer cannot prove it, so the df branch must consume the tf
+    // value — without it, column pruning rewrites the shared child into a
+    // keys-only distinct aggregate, the two exchange subtrees stop
+    // canonicalizing identically, and AQE cannot reuse the (doc_id, term)
+    // shuffle stage (the corpus explode would physically run twice).
+    val df = tf.where(col("tf") >= 1).groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .select(col("doc_id"), col("term"),
         (col("tf") * expr(s"(${n}L * ${scale}L) div df")).as("score"))

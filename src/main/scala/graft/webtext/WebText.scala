@@ -91,19 +91,32 @@ object WebText {
     * Per-page-unique targets are excluded by the citation floor, not by URL
     * pattern, so the rule generalizes to real crawls.
     *
-    * Scale shape: citation floor = href-grain distinct-count partial agg;
-    * the floor table joins back LEFT SEMI (Catalyst broadcasts it when small,
-    * shuffles when not — no hard hint); term counting is (href, term)-grain
-    * partial agg on the exploded anchor stream; top-k plans as
-    * WindowGroupLimit. Nothing corpus-quadratic. */
+    * Scale shape: SINGLE-TREE plan — the page-parse flatMap feeding `links`
+    * is consumed exactly once (the r4 version read it twice: once for the
+    * citation floor, once for term counting, re-parsing every page). One
+    * (href, url)-grain partial agg collapses each page's anchors at a target
+    * into one row (anchor texts to one target from one page are a handful of
+    * short strings); the citation floor is then a windowed count over that
+    * compact table — `count(*) per href` over (href, url) rows IS
+    * `count_distinct(url)` over the raw links — so no second scan and no
+    * join back. Term counting is (href, term)-grain partial agg on the
+    * exploded survivor stream; top-k plans as WindowGroupLimit. Nothing
+    * corpus-quadratic, and the window rows are link-doc-grain, not
+    * page-grain. */
   def anchorTextAgg(links: DataFrame, minDocs: Long = 2L, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val cited = links.groupBy("href")
-      .agg(count_distinct(col("url")).as("nd"))
-      .filter(col("nd") >= minDocs).select("href")
-    val counted = links.join(cited, Seq("href"), "left_semi")
-      .select(col("href"), explode(split(col("anchor_text"), " ", -1)).as("term"))
+    // concat_ws + split(-1) over the per-(href,url) texts yields exactly the
+    // same term multiset as splitting each anchor_text individually: the " "
+    // separator contributes the same boundaries the per-text explode would.
+    val perDoc = links
+      .groupBy(col("href"), col("url"))
+      .agg(concat_ws(" ", collect_list(col("anchor_text"))).as("texts"))
+    val floor = Window.partitionBy("href")
+    val counted = perDoc
+      .withColumn("nd", count(lit(1)).over(floor))
+      .filter(col("nd") >= minDocs)
+      .select(col("href"), explode(split(col("texts"), " ", -1)).as("term"))
       .groupBy("href", "term").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("href").orderBy(desc("cnt"), asc("term"))
     counted.withColumn("rank", row_number().over(w))
