@@ -475,13 +475,38 @@ object Ann {
     * candidate-pair count — stay bounded, and a runaway cluster is an AQE
     * skew-join split, never a cartesian (no non-equi-only join in the plan).
     *
-    * Output: (vec_id, cluster, cdist, kept 0/1) at corpus grain. */
+    * Output: (vec_id, cluster, cdist, kept 0/1) at corpus grain.
+    *
+    * Default quantizer: stride-seeded (A/B'd vs Lloyd-refined, see
+    * [[semanticDedupKmeans]] and the "SemDeDup quantizer A/B" section Bench
+    * emits into BENCH.md — pair-collapse verdicts agree near-identically
+    * across quantizers; WHICH member survives is the farthest-from-centroid
+    * exemplar choice and flips with the centroid array, and the Lloyd
+    * refinement buys no candidate-pair reduction worth losing the
+    * sample-independent oracle determinism for at this corpus shape). */
   def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
-                    thresholdNum: Long = 4L, thresholdDen: Long = 5L): DataFrame = {
+                    thresholdNum: Long = 4L, thresholdDen: Long = 5L): DataFrame =
+    semanticDedupWith(embeddings, seededCentroids(embeddings, nlist),
+      thresholdNum, thresholdDen)
+
+  /** [[semanticDedup]] with the Lloyd-refined coarse quantizer
+    * ([[trainCentroids]], quantized to the same fixed point so assignment and
+    * the prune order stay integer-deterministic WITHIN a run). The float
+    * centroid means depend on the driver-side sample, so this variant is
+    * covered by ScalaTest (planted-twin recall + prune-set overlap vs the
+    * seeded default) rather than the SQL oracle. */
+  def semanticDedupKmeans(embeddings: DataFrame, nlist: Int = 16,
+                          thresholdNum: Long = 4L, thresholdDen: Long = 5L): DataFrame =
+    semanticDedupWith(embeddings, trainCentroids(embeddings, nlist).map(quantize),
+      thresholdNum, thresholdDen)
+
+  /** Shared SemDeDup core: integer assignment to the given quantized
+    * centroids, then the within-cluster farthest-first prune. */
+  def semanticDedupWith(embeddings: DataFrame, centroids: Array[Array[Long]],
+                        thresholdNum: Long, thresholdDen: Long): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0, "threshold must be a positive rational")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = seededCentroids(embeddings, nlist)
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
       .map { case (id, v) =>

@@ -71,4 +71,55 @@ object BpeTrain {
       .select(col("rank").cast("long").as("rank"), col("left_tok"),
         col("right_tok"), col("freq"))
   }
+
+  /** The rank-ordered merge table [[train]] learns on the test corpus (the
+    * `bpe_train` fixture result, re-derivable with
+    * `tools/bpe_oracle_check.py`). Used as the FIXED parameter of the
+    * `bpe_encode` query: APPLYING a given merge table is sf-agnostic even
+    * though learning one is not, so the encode oracle stays a pure recompute
+    * at any scale factor (no sf-pinned constants). */
+  val FixtureMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** Tokenizer APPLY — the counterpart of [[train]] and the pipeline stage
+    * that actually prices a corpus in tokens (packing budgets, fertility
+    * audits, cost estimates). Per-doc word and token counts under the given
+    * rank-ordered merge rules.
+    *
+    * Encoding runs at VOCABULARY grain: one corpus pass builds the
+    * (doc, word, count) table, the distinct-word vocab (≪ corpus; AQE reuses
+    * the (doc,word) exchange for the distinct, the tfidf df-from-tf move) is
+    * encoded with the broadcast merge list — one greedy-left [[foldMerge]]
+    * pass per rule in rank order, the exact train-time fold — and joined
+    * back on the word key (vocab NOT broadcast-assumed at web scale: a
+    * 10^7-row vocab shuffle-joins, the tfidf precedent) before a doc-grain
+    * rollup. The corpus text is touched exactly once.
+    *
+    * Output: (doc_id, n_words, n_tokens); fertility = n_tokens / n_words. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toList)
+    val dw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    // The c >= 1 filter is vacuously true but the optimizer cannot prove it,
+    // so the vocab branch must consume the count — without it, column
+    // pruning collapses distinct-on-w straight onto the explode, the two
+    // exchange subtrees stop canonicalizing identically, and the corpus
+    // explode physically runs twice (the exact tfidf df-from-tf trap;
+    // single-Generate plan pinned in SessionOps5Spec).
+    val vocabTok = dw.where(col("c") >= 1).select("w").distinct().as[String]
+      .map { w =>
+        var toks = w.toList.map(_.toString)
+        bc.value.foreach { case (a, b) => toks = foldMerge(toks, a, b) }
+        (w, toks.length.toLong)
+      }.toDF("w", "ntok")
+    dw.join(vocabTok, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("ntok")).as("n_tokens"))
+  }
 }

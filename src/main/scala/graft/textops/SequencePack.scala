@@ -56,15 +56,23 @@ object SequencePack {
     var acc = 0L
     partSums.foreach { case (pid, s) => starts(pid) = acc; acc += s }
     val bc = spark.sparkContext.broadcast(starts)
-    spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var off = bc.value(pid)
       it.map { case (id, w) =>
         val start = off
         off += w
         emit(id, w, start)
       }
-    })
-    // the 16-bytes/doc range cache is freed with the session (HostRank note)
+    }).localCheckpoint(true)
+    // Materialize pass 2 while the ranged cache is still warm, THEN release
+    // it (neardupClusters' cleanup pattern — ADVICE r4): the cache is
+    // load-bearing for correctness (repartitionByRange resamples boundaries
+    // on recompute, which would desync pass 1's offsets from pass 2's walk),
+    // so it must outlive the checkpoint, but keeping it for the session
+    // lifetime leaked one storage entry per invocation. The checkpointed
+    // output is GC-collectable once callers drop it; the named cache is not.
+    ranged.unpersist()
+    out
   }
 
   /** (doc_id, n_tokens, offset_start, seq_first, seq_last) under `budget`
@@ -74,6 +82,20 @@ object SequencePack {
     val spark = docs.sparkSession
     import spark.implicits._
     withPrefixSum(docs, size(split(col("text"), " ", -1)) + 1) { (id, w, start) =>
+      (id, w - 1, start, start / budget, (start + w - 1) / budget)
+    }.toDF("doc_id", "n_tokens", "offset_start", "seq_first", "seq_last")
+  }
+
+  /** [[pack]] over a PRE-COMPUTED per-doc token-count table (doc_id,
+    * n_tokens) — e.g. REAL tokenizer counts from `BpeTrain.encode`, the
+    * production packing contract (whitespace counts misprice a BPE budget:
+    * fertility > 1 means whitespace-packed sequences overflow the context
+    * window). Same two-pass prefix sum; separator still costs 1. */
+  def packCounts(counts: DataFrame, budget: Long = 2048L): DataFrame = {
+    require(budget >= 2, "budget must fit at least a separator and a token")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    withPrefixSum(counts, col("n_tokens") + 1) { (id, w, start) =>
       (id, w - 1, start, start / budget, (start + w - 1) / budget)
     }.toDF("doc_id", "n_tokens", "offset_start", "seq_first", "seq_last")
   }
@@ -96,7 +118,44 @@ object SequencePack {
       .repartitionByRange(parts, col("n_words"), col("doc_id"))
       .sortWithinPartitions("n_words", "doc_id")
       .as[(Long, Long)]
-      .cache()
+    globalRank(ranged, parts).toDF("doc_id", "n_words", "rank")
+  }
+
+  /** Deterministic training shuffle — the shuffle-before-packing stage:
+    * every doc's exact GLOBAL 1-based position under the
+    * (fnv64(salt:doc_id) & Long.MaxValue, doc_id) total order. A reproducible
+    * pseudo-random permutation with NO RNG state: re-runs and resumed jobs
+    * land byte-identical orders (the epoch-reshuffle contract — change the
+    * salt, e.g. "shuf1"/"shuf2", to reshuffle per epoch), unlike
+    * `orderBy(rand())`, which breaks resume and retry determinism. Same
+    * distributed two-pass rank as [[curriculumRank]]: range-partition on the
+    * key, never the single-task global Window. The 63-bit mask keeps the key
+    * non-negative so signed BIGINT order equals the oracle's unsigned
+    * HUGEINT-mod order. Output: (doc_id, skey, pos), pos 1-based. */
+  def trainShuffle(docs: DataFrame, salt: String = "shuf"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, TextHash.fnv64(s"$salt:$id") & Long.MaxValue))
+      .toDF("doc_id", "skey")
+      .repartitionByRange(parts, col("skey"), col("doc_id"))
+      .sortWithinPartitions("skey", "doc_id")
+      .as[(Long, Long)]
+    globalRank(ranged, parts).toDF("doc_id", "skey", "pos")
+  }
+
+  /** Shared two-pass global rank over a range-partitioned (doc_id, key)
+    * dataset already sorted within partitions: pass 1 collects per-partition
+    * COUNTS (partition-count-sized), the driver prefix-sums them into
+    * broadcast offsets, pass 2 sweeps a local index. Same split-index and
+    * cache-release discipline as [[withPrefixSum]]. */
+  private def globalRank(keyed: org.apache.spark.sql.Dataset[(Long, Long)],
+                         parts: Int): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val ranged = keyed.cache()
     val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       it.foreach(_ => n += 1)
@@ -106,13 +165,16 @@ object SequencePack {
     var acc = 0L
     counts.foreach { case (pid, n) => starts(pid) = acc; acc += n }
     val bc = spark.sparkContext.broadcast(starts)
-    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var r = bc.value(pid)
       it.map { case (id, w) =>
         r += 1
         (id, w, r)
       }
-    }.toDF("doc_id", "n_words", "rank")
+    }).localCheckpoint(true)
+    // same cache-release discipline as withPrefixSum (ADVICE r4)
+    ranged.unpersist()
+    out
   }
 
   /** Byte-balanced output sharding — the writer stage that turns a curated

@@ -559,6 +559,28 @@ class PlanSpec extends AnyFunSuite {
     assert(fused.sameElements(rows.sortBy(_._1)), "ranks changed under coalesce(1)")
   }
 
+  test("train_shuffle: global permutation without a Window node; coalesce-invariant") {
+    val df = SparkEntry.queries("train_shuffle")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Window"), s"global shuffle rank must not plan as a Window:\n$plan")
+    assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "shuffle output must keep the ranged partitioning, not collapse to one task")
+    // positions are a permutation of 1..N consistent with the (skey, doc_id) order
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    val byPos = rows.sortBy(_._3)
+    assert(byPos.sameElements(rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, k, _), i) => (id, k, i + 1L) }))
+    // key is the engine's fnv64 & Long.MaxValue (the oracle's mod-2^63 view)
+    rows.foreach { case (id, k, _) =>
+      assert(k == (graft.textops.TextHash.fnv64(s"shuf:$id") & Long.MaxValue))
+    }
+    // same split-index discipline as curriculum_rank under coalesce(1)
+    val fused = df.coalesce(1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fused.sameElements(rows.sortBy(_._1)), "positions changed under coalesce(1)")
+  }
+
   test("shard_pack: same two-pass contract — no Window, range-partitioned") {
     val plan = executedPlan(SparkEntry.queries("shard_pack")(spark, sf))
     assert(!plan.contains("Window"), s"byte cumsum must not plan as a Window:\n$plan")

