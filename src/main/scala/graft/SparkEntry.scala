@@ -471,6 +471,17 @@ object SparkEntry {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .select("keep_id", "n_copies")
     }),
+    "cross_corpus_dedup" -> ((s, dir) => {
+      // incremental recrawl dedup: the incoming snapshot (odd docs unchanged,
+      // even docs edited) anti-checked against the base corpus on the
+      // 12-byte (xxhash64, length) key — text never crosses the shuffle
+      val docs = tp(s, dir, "documents")
+      val incoming = docs.select(
+        (col("doc_id") + graft.textops.Dedup.PlantOffset).as("doc_id"),
+        when(col("doc_id") % 2 === 1, col("text"))
+          .otherwise(concat(lit("new "), col("text"))).as("text"))
+      graft.textops.Dedup.crossCorpusNew(incoming, docs)
+    }),
     "text_quality" -> ((s, dir) => {
       tp(s, dir, "documents")
         .select(
@@ -1793,6 +1804,17 @@ object SparkEntry {
     "stream_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // cross_corpus_dedup: the oracle recomputes the verdict by STRING
+    // equality against the base corpus; the engine must reach the same
+    // verdict through the (xxhash64, length) narrow-key join
+    "cross_corpus_dedup" ->
+      """WITH inc AS (SELECT doc_id + 1000000 AS doc_id,
+        |                    CASE WHEN doc_id%2=1 THEN text ELSE 'new ' || text END AS text
+        |             FROM documents)
+        |SELECT i.doc_id AS doc_id,
+        |       CAST(CASE WHEN EXISTS (SELECT 1 FROM documents b WHERE b.text = i.text)
+        |            THEN 0 ELSE 1 END AS BIGINT) AS is_new
+        |FROM inc i""".stripMargin,
     // stream_simhash_candidates: full SQL recompute of the simhash (the
     // simhash_neardup CTE), the 20 Manku 3-of-6-block keys (spec table =
     // TextHash.SimBlockTriples in combinations order, 11-bit lane packing,

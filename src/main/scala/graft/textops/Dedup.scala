@@ -78,6 +78,26 @@ object Dedup {
     (reps, members)
   }
 
+  /** Cross-corpus incremental dedup — the "only new content" stage of a
+    * recurring crawl: flag incoming-snapshot docs whose exact text already
+    * exists anywhere in the base corpus. Both sides reduce to the
+    * (xxhash64, length) 12-byte key before the join — the text never crosses
+    * the shuffle (same collision budget as [[textGroups]]: a collision
+    * wrongly drops one genuinely-new doc at ~2^-64/pair). The base side is
+    * corpus-sized, so nothing is broadcast-assumed: a plain shuffled left
+    * join over distinct base keys, skew/strategy left to AQE. Output: every
+    * incoming doc with is_new 0/1 (filter is_new=1 downstream). */
+  def crossCorpusNew(incoming: DataFrame, base: DataFrame): DataFrame = {
+    val keyed = incoming.select(col("doc_id"),
+      xxhash64(col("text")).as("tkey"), length(col("text")).cast("long").as("tlen"))
+    val baseKeys = base
+      .select(xxhash64(col("text")).as("tkey"), length(col("text")).cast("long").as("tlen"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    keyed.join(baseKeys, Seq("tkey", "tlen"), "left")
+      .select(col("doc_id"), col("hit").isNull.cast("long").as("is_new"))
+  }
+
   /** MinHash band-key LSH candidate pairs (a < b), distinct. Run this on
     * REPRESENTATIVES ([[textGroups]]), never the raw corpus: identical texts
     * share every band, so raw-corpus candidates are quadratic in the largest

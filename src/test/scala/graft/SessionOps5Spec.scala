@@ -125,6 +125,46 @@ class SessionOps5Spec extends AnyFunSuite {
     assert(byKey.sameElements(c.sortBy(_._3).map(_._1)))
   }
 
+  // ---- Dedup.crossCorpusNew ----
+
+  test("cross-corpus dedup: exact copies flagged old, edits and additions new; text stays off the shuffle") {
+    import graft.textops.Dedup
+    val base = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "same same")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "alpha beta"),   // unchanged recrawl -> old
+      (12L, "gamma delta!"), // edited -> new
+      (13L, "brand new doc"),// addition -> new
+      (14L, "same same")     // dup of base 3 -> old
+    ).toDF("doc_id", "text")
+    val df = Dedup.crossCorpusNew(incoming, base)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(11L -> 0L, 12L -> 1L, 13L -> 1L, 14L -> 0L))
+    // the join moves 12-byte keys, never the text: no string attribute may
+    // cross a hash shuffle (the textGroups contract)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val big = SparkEntry.queries("cross_corpus_dedup")(spark, sf)
+    big.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(walk)) ++ nested
+    }
+    // restrict to HASH shuffles: tp()'s round-robin input repartition
+    // (the CLAUDE.md single-file-split salt) legitimately carries text
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    for (sh <- walk(big.queryExecution.executedPlan).collect {
+           case s: ShuffleExchangeExec if s.outputPartitioning.isInstanceOf[HashPartitioning] => s
+         }; a <- sh.output)
+      assert(a.dataType != StringType,
+        s"string attribute $a crosses a hash shuffle - text must reduce to (xxhash64, length) first")
+  }
+
   // ---- HostRank.reciprocalLinks ----
 
   test("reciprocal links: truth table — both directions required, weights kept") {
