@@ -1022,6 +1022,11 @@ object SparkEntry {
       // equal the batch dedup_exact answer
       pageplus.streaming.StreamingExtract.dedupExactOnce(s, dir)
     }),
+    "stream_cross_corpus" -> ((s, dir) =>
+      // stream-static twin of cross_corpus_dedup: stateless per-micro-batch
+      // hash join against the static base key table — verdicts identical
+      // under any micro-batching, append-exact
+      pageplus.streaming.StreamingExtract.crossCorpusOnce(s, dir)),
     "stream_simhash_candidates" -> ((s, dir) => {
       // incremental near-dup candidate filter: min doc_id per Manku key in
       // the state store (arrival-order-independent), drained then joined
@@ -1808,6 +1813,16 @@ object SparkEntry {
     // equality against the base corpus; the engine must reach the same
     // verdict through the (xxhash64, length) narrow-key join
     "cross_corpus_dedup" ->
+      """WITH inc AS (SELECT doc_id + 1000000 AS doc_id,
+        |                    CASE WHEN doc_id%2=1 THEN text ELSE 'new ' || text END AS text
+        |             FROM documents)
+        |SELECT i.doc_id AS doc_id,
+        |       CAST(CASE WHEN EXISTS (SELECT 1 FROM documents b WHERE b.text = i.text)
+        |            THEN 0 ELSE 1 END AS BIGINT) AS is_new
+        |FROM inc i""".stripMargin,
+    // stream_cross_corpus: identical recompute — the stateless stream-static
+    // join must land the exact batch answer
+    "stream_cross_corpus" ->
       """WITH inc AS (SELECT doc_id + 1000000 AS doc_id,
         |                    CASE WHEN doc_id%2=1 THEN text ELSE 'new ' || text END AS text
         |             FROM documents)

@@ -169,6 +169,29 @@ object StreamingExtract {
       .select("keep_id", "n_copies")
   }
 
+  /** Stream-static cross-corpus dedup — the streaming twin of
+    * [[graft.textops.Dedup.crossCorpusNew]]: incoming docs arrive as a
+    * stream (odd docs unchanged, even docs edited — the recrawl plant shared
+    * with the batch query), while the base corpus's (xxhash64, length) key
+    * table is STATIC, loaded once per run (at scale: a snapshot of the dedup
+    * key index). Stream-static left joins are STATELESS in Structured
+    * Streaming — each micro-batch hash-joins against the static side, no
+    * state store at all (unlike the flatMapGroupsWithState twins) — so the
+    * per-doc verdict is identical under any micro-batching and append mode
+    * is exact: a verdict is final on arrival. The streaming side still
+    * reduces to the 12-byte key before the join. */
+  def crossCorpusOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val incoming = streamTable(spark, sfDir, "documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select((col("doc_id") + graft.textops.Dedup.PlantOffset).as("doc_id"),
+        when(col("doc_id") % 2 === 1, col("text"))
+          .otherwise(concat(lit("new "), col("text"))).as("text"))
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    drainToTable(graft.textops.Dedup.crossCorpusNew(incoming, base),
+      "stream_crosscorpus", "append")
+  }
+
   /** Streaming SimHash near-duplicate CANDIDATE filter — the incremental
     * complement of the batch [[graft.textops.Dedup.simhashPairs]]: as docs
     * arrive, each contributes its 20 Manku block keys
