@@ -1271,6 +1271,12 @@ object SparkEntry {
       // pseudo-random total order (reproducible across re-runs/resume, unlike
       // orderBy(rand())) — same two-pass rank, never a single-task Window
       graft.textops.SequencePack.trainShuffle(tp(s, dir, "documents"))),
+    "sequence_pack_shuffled" -> ((s, dir) =>
+      // packing in the SHUFFLED epoch order (trainShuffle's salted-FNV total
+      // order): one composed two-pass job — the packed sequences ARE the
+      // shuffled training batches
+      graft.textops.SequencePack.packShuffled(tp(s, dir, "documents"))
+        .orderBy("doc_id")),
     "sequence_pack_bpe" -> ((s, dir) =>
       // packing under REAL tokenizer counts (bpe_encode ∘ two-pass prefix
       // sum) — whitespace counts misprice a BPE budget (fertility ~2.6x
@@ -3411,6 +3417,18 @@ object SparkEntry {
         |       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
         |       CAST((sum(t.n_tokens) * 1000) // sum(t.n_words) AS BIGINT) AS fertility_milli
         |FROM docs_tok t JOIN documents d USING (doc_id) GROUP BY d.lang""".stripMargin),
+    // sequence_pack_shuffled: window cumsum ORDER BY the salted-FNV HUGEINT
+    // key — the single-partition plan the engine must avoid; same FNV CTE as
+    // train_shuffle (Python-validated 0/500)
+    "sequence_pack_shuffled" -> MixtureRowsSql(
+      """,
+        |w AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt FROM documents),
+        |c AS (SELECT w.doc_id AS doc_id, nt, sum(nt + 1) OVER (ORDER BY h % (1::HUGEINT << 63), w.doc_id) AS oe
+        |      FROM w JOIN k ON w.doc_id = k.doc_id)
+        |SELECT doc_id, nt AS n_tokens, CAST(oe - (nt+1) AS BIGINT) AS offset_start,
+        |       CAST((oe - (nt+1)) // 2048 AS BIGINT) AS seq_first,
+        |       CAST((oe - 1) // 2048 AS BIGINT) AS seq_last
+        |FROM c""".stripMargin, salt = "shuf"),
     // sequence_pack_bpe: the oracle's single-partition window cumsum over the
     // ENCODED token counts — the plan the engine must avoid (sequence_pack
     // precedent, composed on BpeEncodeSql's docs_tok)

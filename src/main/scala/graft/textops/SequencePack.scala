@@ -121,6 +121,52 @@ object SequencePack {
     globalRank(ranged, parts).toDF("doc_id", "n_words", "rank")
   }
 
+  /** [[pack]] in SHUFFLED training order — the production packing order:
+    * prefix-sum the token stream under the [[trainShuffle]] total order
+    * (salted-FNV key, doc_id tie-break) instead of raw doc_id order, so the
+    * packed sequences ARE the training batches of the shuffled epoch (one
+    * composed job: shuffle + pack, not a shuffle materialization followed by
+    * a re-sort). Same two-pass prefix sum, range-partitioned on the shuffle
+    * key; output matches [[pack]]'s schema. */
+  def packShuffled(docs: DataFrame, salt: String = "shuf",
+                   budget: Long = 2048L): DataFrame = {
+    require(budget >= 2, "budget must fit at least a separator and a token")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = docs
+      .select(col("doc_id"),
+        (size(split(col("text"), " ", -1)) + 1).cast("long").as("w"))
+      .as[(Long, Long)]
+      .map { case (id, w) => (id, TextHash.fnv64(s"$salt:$id") & Long.MaxValue, w) }
+      .toDF("doc_id", "skey", "w")
+      .repartitionByRange(parts, col("skey"), col("doc_id"))
+      .sortWithinPartitions("skey", "doc_id")
+      .as[(Long, Long, Long)]
+      .cache()
+    val partSums = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(s += _._3)
+      Iterator((pid, s))
+    }.collect().sortBy(_._1)
+    val starts = new Array[Long](parts)
+    var acc = 0L
+    partSums.foreach { case (pid, s) => starts(pid) = acc; acc += s }
+    val bc = spark.sparkContext.broadcast(starts)
+    val out = spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var off = bc.value(pid)
+      it.map { case (id, _, w) =>
+        val start = off
+        off += w
+        (id, w - 1, start, start / budget, (start + w - 1) / budget)
+      }
+    }).toDF("doc_id", "n_tokens", "offset_start", "seq_first", "seq_last")
+      .localCheckpoint(true)
+    // same cache-release discipline as withPrefixSum (ADVICE r4)
+    ranged.unpersist()
+    out
+  }
+
   /** Deterministic training shuffle — the shuffle-before-packing stage:
     * every doc's exact GLOBAL 1-based position under the
     * (fnv64(salt:doc_id) & Long.MaxValue, doc_id) total order. A reproducible

@@ -125,6 +125,30 @@ class SessionOps5Spec extends AnyFunSuite {
     assert(byKey.sameElements(c.sortBy(_._3).map(_._1)))
   }
 
+  test("sequence_pack_shuffled: offsets are the cumsum in trainShuffle order; no Window; partitioning-invariant") {
+    val docs = (0L until 120L).map(i =>
+      (i, (1 to (1 + (i % 9)).toInt).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val got = SequencePack.packShuffled(docs, budget = 16L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent recompute in the salted-FNV order
+    var off = 0L
+    val expected = (0L until 120L)
+      .map(i => (i, 1L + (i % 9)))
+      .sortBy { case (id, _) => (TextHash.fnv64(s"shuf:$id") & Long.MaxValue, id) }
+      .map { case (id, nw) =>
+        val start = off
+        off += nw + 1
+        id -> ((nw, start, start / 16, (start + nw) / 16))
+      }.toMap
+    assert(got == expected)
+    // same output under forced skewed input partitioning
+    val got2 = SequencePack.packShuffled(docs.repartition(13), budget = 16L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got2 == got)
+    val plan = SequencePack.packShuffled(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"shuffled cumsum must not plan as a Window:\n$plan")
+  }
+
   // ---- Dedup.crossCorpusNew ----
 
   test("cross-corpus dedup: exact copies flagged old, edits and additions new; text stays off the shuffle") {
