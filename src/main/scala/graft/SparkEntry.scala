@@ -538,6 +538,11 @@ object SparkEntry {
       // surprise per doc (broadcast LM, two map-side passes)
       graft.textops.Curate.lmQuality(tp(s, dir, "documents"))
     }),
+    "dsir_weights" -> ((s, dir) =>
+      // DSIR importance resampling: per-doc target-vs-raw trigram-LM
+      // log-ratio in the integer bit-length surrogate (broadcast LMs,
+      // map-side scoring, 1-row totals cross-join)
+      graft.textops.Curate.dsirWeights(tp(s, dir, "documents"))),
     "tfidf_keywords" -> ((s, dir) => {
       // per-doc TF-IDF top-5 keyword extraction, integer fixed-point IDF
       // surrogate; term-keyed shuffle join (vocab not broadcast-assumed)
@@ -2771,6 +2776,23 @@ object SparkEntry {
         |                  LEFT JOIN bg ON substring(d.tri,1,2) = bg.bi)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris, CAST(sum(s) AS BIGINT) AS surprise_total,
         |       CAST(sum(s)//count(*) AS BIGINT) AS surprise_avg
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // dsir_weights: the float log replaced by the bit-length surrogate
+    // (length(bin(x)) = floor(log2)+1, add-1 smoothed) so the importance
+    // weight recomputes bit-for-bit; totals folded out of the per-trigram
+    // term. Python-validated 0/500 before wiring.
+    "dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
+        |        FROM t WHERE length(lt) >= 3),
+        |lmt AS (SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM tri WHERE doc_id%10=0 GROUP BY tri),
+        |lmr AS (SELECT tri, CAST(count(*) AS BIGINT) AS cr FROM tri WHERE doc_id%10>=5 GROUP BY tri),
+        |tot AS (SELECT (SELECT coalesce(sum(ct),0) FROM lmt) AS tt, (SELECT coalesce(sum(cr),0) FROM lmr) AS tr),
+        |sc AS (SELECT d.doc_id,
+        |              CAST(length(bin(coalesce(lmt.ct,0)+1)) - length(bin(coalesce(lmr.cr,0)+1)) AS BIGINT) AS s
+        |       FROM tri d LEFT JOIN lmt ON d.tri = lmt.tri LEFT JOIN lmr ON d.tri = lmr.tri)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
+        |       CAST(sum(s) + count(*) * (length(bin((SELECT tr FROM tot)+1)) - length(bin((SELECT tt FROM tot)+1))) AS BIGINT) AS weight_bits
         |FROM sc GROUP BY doc_id""".stripMargin,
     // tfidf_keywords: same integer IDF surrogate (N*4096)//df; ties broken
     // by term so the per-doc top-5 is total-ordered on both sides.

@@ -373,4 +373,50 @@ object Curate {
       .agg(count(lit(1)).as("n_tris"), sum("s").as("surprise_total"))
       .withColumn("surprise_avg", expr("surprise_total div n_tris"))
   }
+
+  /** DSIR-style importance weight (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling"): score every doc by how much more
+    * likely its character trigrams are under the TARGET-slice LM than under
+    * the RAW-slice LM — log w(x) = Σ_tri [log p_t(tri) − log p_r(tri)], the
+    * importance-resampling selection stage of a pretraining pipeline. The
+    * float log is replaced by the integer BIT-LENGTH surrogate
+    * (floor(log2)+1 = length(bin(x)), add-1 smoothed), so the oracle
+    * recomputes the weight bit-for-bit:
+    * weight_bits = Σ_tri [blen(ct+1) − blen(cr+1)]
+    *             + n_tris · [blen(Tr+1) − blen(Tt+1)]
+    * — marginal trigram LMs, with the global totals Tt/Tr folded out of the
+    * per-trigram term (scalars, applied once per doc).
+    *
+    * Scale shape: [[lmQuality]]'s — one map-side trigram explode; BOTH LMs
+    * collapse to distinct-trigram grain via partial aggregation (key space
+    * bounded by charset^3 ≪ corpus); scoring joins the exploded stream to
+    * the broadcast merged trigram table; the totals ride a 1-row broadcast
+    * cross-join; the doc rollup is partial-agg. No corpus-sized shuffle. */
+  def dsirWeights(docs: DataFrame, targetMod: Long = 0L,
+                  rawModMin: Long = 5L): DataFrame = {
+    val tris = docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .filter(length(col("lt")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))")).as("tri"))
+    val lmT = tris.filter(col("doc_id") % 10 === targetMod)
+      .groupBy("tri").agg(count(lit(1)).as("ct"))
+    val lmR = tris.filter(col("doc_id") % 10 >= rawModMin)
+      .groupBy("tri").agg(count(lit(1)).as("cr"))
+    val lm = lmT.join(lmR, Seq("tri"), "full")
+      .select(col("tri"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = lm.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    tris.join(broadcast(lm), Seq("tri"), "left")
+      .select(col("doc_id"),
+        (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
+          length(bin(coalesce(col("cr"), lit(0L)) + 1))).cast("long").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tris"), sum("s").as("s_sum"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tris"),
+        (col("s_sum") + col("n_tris") *
+          (length(bin(col("tr") + 1)) - length(bin(col("tt") + 1))).cast("long"))
+          .as("weight_bits"))
+  }
 }

@@ -104,6 +104,38 @@ class SessionOps5Spec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"token cumsum must not plan as a Window:\n$plan")
   }
 
+  // ---- Curate.dsirWeights ----
+
+  test("dsir weights: sf0.001 equals the independent bit-length recompute; LM join broadcasts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase)
+    def tris(lt: String): Seq[String] =
+      if (lt.length < 3) Seq.empty else (0 to lt.length - 3).map(i => lt.substring(i, i + 3))
+    val ct = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cr = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((id, lt) <- rows) {
+      if (id % 10 == 0) tris(lt).foreach(t => ct(t) += 1)
+      if (id % 10 >= 5) tris(lt).foreach(t => cr(t) += 1)
+    }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = rows.filter(_._2.length >= 3).map { case (id, lt) =>
+      val ts = tris(lt)
+      val s = ts.map(t => blen(ct(t) + 1) - blen(cr(t) + 1)).sum
+      id -> ((ts.length.toLong, s + ts.length * (blen(tr + 1) - blen(tt + 1))))
+    }.toMap
+    val df = graft.textops.Curate.dsirWeights(docs)
+    val got = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // weights must spread (target and raw slices differ), not collapse to one value
+    assert(got.values.map(_._2).toSet.size > 10)
+    // the trigram-LM scoring join must broadcast — the exploded corpus
+    // stream never hash-shuffles on the string trigram key
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"LM join must broadcast:\n$plan")
+  }
+
   // ---- SequencePack.trainShuffle ----
 
   test("train shuffle: deterministic, salt-sensitive, key matches fnv64") {
