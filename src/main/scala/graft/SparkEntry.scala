@@ -914,6 +914,23 @@ object SparkEntry {
         graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
         .orderBy("host_a", "host_b")),
     "quality_ensemble" -> ((s, dir) => qualityEnsemble(s, dir).orderBy("doc_id")),
+    "quality_mixture" -> ((s, dir) => {
+      // DCLM-style tiered sampling: keep rate scales with the number of
+      // ensemble gates passed (tier 0..3 -> 10/40/70/100% in bp), bucket by
+      // the salted-FNV doc identity (the sample_mixture contract) — the
+      // quality-weighted downsampling stage, fully reproducible
+      import s.implicits._
+      qualityEnsemble(s, dir)
+        .select(col("doc_id"),
+          (col("g_gopher") + col("g_rep") + col("g_lm")).as("tier"))
+        .as[(Long, Long)]
+        .map { case (id, tier) =>
+          val bucket =
+            java.lang.Long.remainderUnsigned(graft.textops.TextHash.fnv64(s"qmix:$id"), 10000L)
+          (id, tier, bucket, if (bucket < 1000L + tier * 3000L) 1L else 0L)
+        }
+        .toDF("doc_id", "tier", "bucket", "keep")
+    }),
     "sitemap_urls" -> ((s, dir) => {
       // sitemap discovery: per-host blobs (even hosts behind a sitemapindex
       // of two parity shards, odd hosts flat) -> StAX parse -> url rows with
@@ -1398,16 +1415,47 @@ object SparkEntry {
 
   /** Shared mixture CTE (`k`): doc -> (host, salted-FNV-1a HUGEINT bucket
     * hash); the final SELECT runs over it. */
-  private def MixtureRowsSql(select: String, salt: String = "mix"): String =
-    s"""WITH k AS (
+  /** The salted-FNV-1a HUGEINT bucket-hash CTE (`k`) as a fragment, so it
+    * composes into other WITH chains (quality_mixture). */
+  private def FnvCte(salt: String): String =
+    s"""k AS (
       |  SELECT doc_id, 'site' || (doc_id%7) || '.example.com' AS host,
       |         list_reduce(
       |           list_prepend(14695981039346656037::HUGEINT,
       |                        [unicode(c)::HUGEINT for c in string_split('$salt:' || doc_id, '')]),
       |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
       |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
-      |  FROM documents)
-      |""".stripMargin + select
+      |  FROM documents)""".stripMargin
+
+  private def MixtureRowsSql(select: String, salt: String = "mix"): String =
+    "WITH " + FnvCte(salt) + "\n" + select
+
+  /** The quality-gate ensemble CTE chain ending in `gates(doc_id, g_gopher,
+    * g_rep, g_lm, keep)` — the three individually-validated gate oracles
+    * joined at doc grain. `extraCtes` appends further CTEs (must start with
+    * ",") before the final select. */
+  private def QualityGatesSql(select: String, extraCtes: String = ""): String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
+      |                  CAST(length(text) AS BIGINT) AS c FROM documents),
+      |g AS (SELECT doc_id, CAST(CASE WHEN len(ws) BETWEEN 50 AND 100000
+      |             AND c-(len(ws)-1) BETWEEN 3*len(ws) AND 10*len(ws)
+      |        THEN 1 ELSE 0 END AS BIGINT) AS g_gopher FROM w),
+      |r AS (SELECT doc_id, CAST(CASE WHEN 2*(len(ws)-len(list_distinct(ws))) <= len(ws)
+      |        THEN 1 ELSE 0 END AS BIGINT) AS g_rep FROM w),
+      |t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+      |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
+      |        FROM t WHERE length(lt) >= 3),
+      |lm AS (SELECT tri, CAST(count(*) AS BIGINT) AS tc FROM tri WHERE doc_id%10<3 GROUP BY tri),
+      |bg AS (SELECT substring(tri,1,2) AS bi, sum(tc) AS bt FROM lm GROUP BY bi),
+      |sc AS (SELECT d.doc_id, CASE WHEN lm.tc IS NULL THEN 4096000
+      |              ELSE least((bg.bt*4096)//lm.tc, 4096000) END AS s
+      |       FROM tri d LEFT JOIN lm ON d.tri = lm.tri
+      |                  LEFT JOIN bg ON substring(d.tri,1,2) = bg.bi),
+      |l AS (SELECT doc_id, CAST(CASE WHEN sum(s)//count(*) <= 20000 THEN 1 ELSE 0 END AS BIGINT) AS g_lm
+      |      FROM sc GROUP BY doc_id),
+      |gates AS (SELECT g.doc_id AS doc_id, g_gopher, g_rep, g_lm, g_gopher*g_rep*g_lm AS keep
+      |          FROM g JOIN r USING (doc_id) JOIN l USING (doc_id))""".stripMargin +
+      extraCtes + "\n" + select
 
   /** bpe_encode / bpe_fertility shared CTE chain (`docs_tok`): vocab-grain
     * application of [[graft.textops.BpeTrain.FixtureMerges]] rendered as
@@ -2326,27 +2374,18 @@ object SparkEntry {
         |ORDER BY host_a, host_b""".stripMargin,
     // quality_ensemble: composes the three individually-validated gate
     // oracles (gopher shape, repetition, LM surprise) at doc grain
-    "quality_ensemble" ->
-      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
-        |                  CAST(length(text) AS BIGINT) AS c FROM documents),
-        |g AS (SELECT doc_id, CAST(CASE WHEN len(ws) BETWEEN 50 AND 100000
-        |             AND c-(len(ws)-1) BETWEEN 3*len(ws) AND 10*len(ws)
-        |        THEN 1 ELSE 0 END AS BIGINT) AS g_gopher FROM w),
-        |r AS (SELECT doc_id, CAST(CASE WHEN 2*(len(ws)-len(list_distinct(ws))) <= len(ws)
-        |        THEN 1 ELSE 0 END AS BIGINT) AS g_rep FROM w),
-        |t AS (SELECT doc_id, lower(text) AS lt FROM documents),
-        |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
-        |        FROM t WHERE length(lt) >= 3),
-        |lm AS (SELECT tri, CAST(count(*) AS BIGINT) AS tc FROM tri WHERE doc_id%10<3 GROUP BY tri),
-        |bg AS (SELECT substring(tri,1,2) AS bi, sum(tc) AS bt FROM lm GROUP BY bi),
-        |sc AS (SELECT d.doc_id, CASE WHEN lm.tc IS NULL THEN 4096000
-        |              ELSE least((bg.bt*4096)//lm.tc, 4096000) END AS s
-        |       FROM tri d LEFT JOIN lm ON d.tri = lm.tri
-        |                  LEFT JOIN bg ON substring(d.tri,1,2) = bg.bi),
-        |l AS (SELECT doc_id, CAST(CASE WHEN sum(s)//count(*) <= 20000 THEN 1 ELSE 0 END AS BIGINT) AS g_lm
-        |      FROM sc GROUP BY doc_id)
-        |SELECT g.doc_id, g_gopher, g_rep, g_lm, g_gopher*g_rep*g_lm AS keep
-        |FROM g JOIN r USING (doc_id) JOIN l USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+    "quality_ensemble" -> QualityGatesSql(
+      """SELECT doc_id, g_gopher, g_rep, g_lm, keep FROM gates ORDER BY doc_id"""),
+    // quality_mixture: DCLM-style tiered sampling — keep rate scales with the
+    // number of ensemble gates passed; bucket = the same salted FNV as
+    // sample_mixture (salt qmix). Python-validated 0/500 before wiring.
+    "quality_mixture" -> QualityGatesSql(
+      """SELECT gates.doc_id AS doc_id, CAST(g_gopher + g_rep + g_lm AS BIGINT) AS tier,
+        |       CAST(h % 10000 AS BIGINT) AS bucket,
+        |       CAST(CASE WHEN (h % 10000) < 1000 + (g_gopher + g_rep + g_lm) * 3000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM gates JOIN k ON gates.doc_id = k.doc_id""".stripMargin,
+      extraCtes = ",\n" + FnvCte("qmix")),
     // sitemap_urls: every document appears exactly once regardless of the
     // index/flat split, so the oracle is pure doc arithmetic; lastmod is
     // date arithmetic rendered ISO (TZ-free), priority integer basis points
