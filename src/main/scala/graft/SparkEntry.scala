@@ -538,6 +538,10 @@ object SparkEntry {
       // surprise per doc (broadcast LM, two map-side passes)
       graft.textops.Curate.lmQuality(tp(s, dir, "documents"))
     }),
+    "entropy_quality" -> ((s, dir) =>
+      // low-entropy junk gate: character-entropy in the integer bit-length
+      // surrogate (map-side explode, char-grain partial agg, doc rollup)
+      graft.textops.Curate.entropyQuality(tp(s, dir, "documents"))),
     "dsir_weights" -> ((s, dir) =>
       // DSIR importance resampling: per-doc target-vs-raw trigram-LM
       // log-ratio in the integer bit-length surrogate (broadcast LMs,
@@ -2825,6 +2829,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris, CAST(sum(s) AS BIGINT) AS surprise_total,
         |       CAST(sum(s)//count(*) AS BIGINT) AS surprise_avg
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // entropy_quality: the same bit-length log surrogate as dsir_weights,
+    // over per-doc character counts. Python-validated 0/500 before wiring.
+    "entropy_quality" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+        |                   unnest([substring(text, i, 1) for i in range(1, length(text)+1)]) AS c
+        |            FROM documents WHERE length(text) >= 1),
+        |cc AS (SELECT doc_id, n, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, n, c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |       CAST(sum(k*(length(bin(n)) - length(bin(k)))) AS BIGINT) AS entropy_bits,
+        |       CAST((sum(k*(length(bin(n)) - length(bin(k)))) * 1000) // n AS BIGINT) AS entropy_milli
+        |FROM cc GROUP BY doc_id, n""".stripMargin,
     // dsir_weights: the float log replaced by the bit-length surrogate
     // (length(bin(x)) = floor(log2)+1, add-1 smoothed) so the importance
     // weight recomputes bit-for-bit; totals folded out of the per-trigram

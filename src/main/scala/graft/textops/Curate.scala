@@ -374,6 +374,28 @@ object Curate {
       .withColumn("surprise_avg", expr("surprise_total div n_tris"))
   }
 
+  /** Character-entropy quality gate (the CCNet/RefinedWeb low-entropy
+    * filter: keyboard mashing, repeated padding, and binary-ish junk all
+    * score LOW; natural prose sits in a narrow band). Shannon entropy's
+    * float log is replaced by the same integer bit-length surrogate as
+    * [[dsirWeights]]: H_bits = Σ_c k_c · (blen(n) − blen(k_c)) over the
+    * doc's character counts, with entropy_milli = H_bits·1000 div n the
+    * gate-able per-char score — bit-exact for the oracle. Map-side char
+    * explode → (doc,char)-grain partial agg (≤ charset rows per doc) →
+    * doc rollup. */
+  def entropyQuality(docs: DataFrame): DataFrame = {
+    docs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
+      .groupBy("doc_id", "n", "c").agg(count(lit(1)).as("k"))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("k") *
+        (length(bin(col("n"))) - length(bin(col("k")))).cast("long")).as("eb"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("eb").as("entropy_bits"),
+        expr("(eb * 1000) div n").as("entropy_milli"))
+  }
+
   /** DSIR-style importance weight (Xie et al., "Data Selection for Language
     * Models via Importance Resampling"): score every doc by how much more
     * likely its character trigrams are under the TARGET-slice LM than under

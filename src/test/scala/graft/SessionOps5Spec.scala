@@ -136,6 +136,27 @@ class SessionOps5Spec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"LM join must broadcast:\n$plan")
   }
 
+  test("entropy quality: sf0.001 equals the bit-length recompute; junk scores low") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val t = r.getString(1)
+      val n = t.length.toLong
+      val eb = t.groupBy(identity).values
+        .map(g => g.length.toLong * (blen(n) - blen(g.length.toLong))).sum
+      r.getLong(0) -> ((n, eb, eb * 1000 / n))
+    }.toMap
+    val got = graft.textops.Curate.entropyQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // the gate separates junk from prose: repeated padding scores far below
+    // the corpus band
+    val junk = Seq((1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")).toDF("doc_id", "text")
+    val jm = graft.textops.Curate.entropyQuality(junk).collect()(0).getLong(3)
+    assert(jm == 0L, s"constant padding must score 0 entropy, got $jm")
+    assert(got.values.map(_._3).min > 2000, "prose must sit well above the junk band")
+  }
+
   // ---- SequencePack.trainShuffle ----
 
   test("train shuffle: deterministic, salt-sensitive, key matches fnv64") {
