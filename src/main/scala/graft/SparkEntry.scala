@@ -552,6 +552,16 @@ object SparkEntry {
       // surrogate; term-keyed shuffle join (vocab not broadcast-assumed)
       graft.textops.Keywords.tfidfTopK(tp(s, dir, "documents"))
     }),
+    "pmi_collocations" -> ((s, dir) =>
+      // corpus PMI bigram mining in the overflow-proof bit-length surrogate:
+      // ONE explode carries both vocabularies (unigram = rollup of the
+      // (w1,w2) partial agg), term-keyed shuffle joins, top-k as TOAP
+      graft.textops.Collocations.pmiTopK(tp(s, dir, "documents"))),
+    "ngram_novelty" -> ((s, dir) =>
+      // per-doc corpus novelty in doc_id order: one explode of distinct
+      // 8-byte gram hashes, min-only window (hash shuffle + fold, no sort),
+      // doc rollup — the explode is consumed exactly once
+      graft.textops.Dedup.ngramNovelty(tp(s, dir, "documents"))),
     "multimodal_features" -> ((s, dir) => {
       // REAL pixel decode (VERDICT r3 item 3): complete valid PNG payloads
       // (deflate + CRC32) -> javax.imageio batch decode -> exact integer
@@ -833,6 +843,23 @@ object SparkEntry {
     }),
     "html_block_stats" -> ((s, dir) => {
       graft.webtext.WebText.blockStats(
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
+    }),
+    "html_to_markdown" -> ((s, dir) => {
+      // boilerplate strip + Markdown re-serialization of the main block:
+      // headings/paragraph structure and inline emphasis/links preserved.
+      // Byte-identity oracle: the render is reconstructible from the
+      // generator's paragraph arithmetic (bold first word when p%3==1,
+      // trailing [last](/w/id/p) link when p%3==2).
+      graft.webtext.WebText.mainMarkdown(
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
+    }),
+    "paragraph_spans" -> ((s, dir) => {
+      // span-level addressing into the extracted main text (north_rule:
+      // "extracted text/spans per document"): per-paragraph [start, end)
+      // char offsets such that extract(html).substring(start, end) is the
+      // paragraph. Map-side flatMap, no shuffle.
+      graft.webtext.WebText.paragraphSpans(
         graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
     }),
     "warc_extract" -> ((s, dir) => {
@@ -2271,6 +2298,43 @@ object SparkEntry {
     // codegen-Expression paths must produce identical bytes)
     "html_main_content" -> HtmlMainOracleSql,
     "html_main_sql_expr" -> HtmlMainOracleSql,
+    // Markdown render reconstructed from the generator's paragraph
+    // arithmetic: '# document {id}' heading, blank-line-joined paragraphs,
+    // '**first**' when p%3==1, trailing '[last](/w/{id}/{p})' when p%3==2
+    // (single-word chunks degenerate to the bare marked word — the CASEs
+    // guard len(chunk)=1). Python-validated 0/500 before wiring.
+    "html_to_markdown" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, CAST((i-1)//24 AS BIGINT) AS p, ws[i:i+23] AS chunk
+        |      FROM d, UNNEST(generate_series(1, len(ws), 24)) AS t(i)),
+        |r AS (SELECT doc_id, p,
+        |        CASE
+        |          WHEN p%3=1 THEN '**'||chunk[1]||'**' ||
+        |               CASE WHEN len(chunk) > 1 THEN ' '||array_to_string(chunk[2:], ' ') ELSE '' END
+        |          WHEN p%3=2 THEN CASE WHEN len(chunk) > 1 THEN array_to_string(chunk[1:len(chunk)-1], ' ')||' ' ELSE '' END
+        |               || '['||chunk[len(chunk)]||'](/w/'||doc_id||'/'||p||')'
+        |          ELSE array_to_string(chunk, ' ')
+        |        END AS m
+        |      FROM p)
+        |SELECT 'doc://'||doc_id AS url,
+        |       '# document '||doc_id || chr(10)||chr(10) ||
+        |       string_agg(m, chr(10)||chr(10) ORDER BY p) AS markdown
+        |FROM r GROUP BY doc_id""".stripMargin,
+    // paragraph spans: cumulative 24-word-chunk lengths + one '\n' joint per
+    // boundary; substring(extracted, start, len) == paragraph by
+    // construction. Python-validated 0/1355 before wiring.
+    "paragraph_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, CAST((i-1)//24 AS BIGINT) AS p,
+        |             CAST(length(array_to_string(ws[i:i+23], ' ')) AS BIGINT) AS plen
+        |      FROM d, UNNEST(generate_series(1, len(ws), 24)) AS t(i))
+        |SELECT 'doc://'||doc_id AS url, p AS para_idx,
+        |       CAST(coalesce(sum(plen) OVER (PARTITION BY doc_id ORDER BY p
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + p AS BIGINT) AS start_off,
+        |       CAST(coalesce(sum(plen) OVER (PARTITION BY doc_id ORDER BY p
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + p + plen AS BIGINT) AS end_off,
+        |       plen AS n_chars
+        |FROM p""".stripMargin,
     // the WARC path must recover the pages byte-identically, so its oracle
     // IS the main-content oracle; warc_stats recomputes the segment audit
     // from doc_id arithmetic (make_timestamp is NTZ in DuckDB — the strftime
@@ -2871,6 +2935,38 @@ object SparkEntry {
         |       FROM sc)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(score AS BIGINT) AS score
         |FROM rk WHERE rank <= 5""".stripMargin,
+    // pmi_collocations: the overflow-proof bit-length PMI surrogate
+    // (bitlen(c)+bitlen(N)-bitlen(c1)-bitlen(c2) — no c*N product); the
+    // position struct mirrors the engine's single-explode shape so unigram
+    // counts are the rollup of the (w1,w2) aggregate. Python-validated
+    // 0/50 before wiring.
+    "pmi_collocations" ->
+      """WITH d AS (SELECT string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT unnest([{'w1': ws[i], 'w2': CASE WHEN i < len(ws) THEN ws[i+1] ELSE NULL END}
+        |                     for i in range(1, len(ws)+1)]) AS g FROM d),
+        |counts AS (SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+        |uni AS (SELECT w1 AS w, CAST(sum(c) AS BIGINT) AS cw FROM counts WHERE c >= 1 GROUP BY w1),
+        |n AS (SELECT sum(cw) AS n FROM uni),
+        |bi AS (SELECT w1, w2, c FROM counts WHERE w2 IS NOT NULL AND c >= 5)
+        |SELECT w1||' '||w2 AS bigram,
+        |       CAST(length(bin(c)) + length(bin((SELECT n FROM n))) -
+        |            length(bin(u1.cw)) - length(bin(u2.cw)) AS BIGINT) AS pmi_bits,
+        |       c AS n
+        |FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+        |ORDER BY pmi_bits DESC, n DESC, bigram ASC LIMIT 50""".stripMargin,
+    // ngram_novelty: the oracle minimizes over raw gram STRINGS where the
+    // engine minimizes over xxhash64 keys — identical barring a 64-bit
+    // collision (the dedup_exact tradeoff). Python-validated 0/500.
+    "ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+7],' ') for i in range(1, len(ws)-6)]) AS gram
+        |      FROM d WHERE len(ws) >= 8),
+        |m AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST((sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS novelty_fp
+        |FROM g JOIN m USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |b AS (SELECT doc_id, ws, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bg FROM w)

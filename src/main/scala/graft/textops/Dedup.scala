@@ -466,4 +466,41 @@ object Dedup {
       .select(col("rep"), col("card").as("inter"), col("card").as("un"))
     expandPairs(repPairs, members, withinCard)
   }
+
+  /** Per-document n-gram NOVELTY against the whole corpus in doc_id order —
+    * the "how much of this document is new" curation signal (dataset-growth
+    * audits, scrape-round dedup triage): a document's word n-gram is novel
+    * iff no lower-doc_id document contains it. Reports the distinct-gram
+    * count, the novel-gram count, and their fixed-point ratio
+    * `(n_novel * 10000) div n_grams`.
+    *
+    * Scale shape: ONE map-side explode of per-doc DISTINCT gram hashes
+    * (array_distinct before the explode — a doc repeating its own refrain
+    * contributes each gram once), then a single gram-keyed window computing
+    * `min(doc_id)` — the physical plan is one hash exchange plus a
+    * partition-local sort on the 8-byte key (radix-sortable longs, no string
+    * comparisons) — and one doc-grain aggregation.
+    * The gram TEXT never crosses a shuffle: the key is the 8-byte xxhash64
+    * (the dedup_exact collision tradeoff: a 64-bit collision can only merge
+    * two grams and err toward "seen"). The explode is consumed exactly once —
+    * no self-join back to a min-table, which would re-run the corpus explode
+    * (the tfidf lesson). Skew note: a corpus-hot gram (boilerplate) makes a
+    * heavy window key; upstream template/line stripping (lineDedup,
+    * Templates) is the intended mitigation, same as every other gram-grain
+    * op here. */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(ws)-$n), " +
+          s"i -> xxhash64(concat_ws(' ', slice(ws, i+1, $n)))))")).as("gh"))
+    g.withColumn("first_doc", min("doc_id").over(Window.partitionBy("gh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 10000L) div n_grams").as("novelty_fp"))
+  }
 }

@@ -129,6 +129,50 @@ object MainContent {
     out.result()
   }
 
+  /** The chosen main block as a DOM element (same pre-order numbering as
+    * [[blocksWithRoot]]), for consumers that need the block's STRUCTURE —
+    * headings, inline markup, link targets — not just its text
+    * ([[graft.webtext.Markdown]]). One extra walk that stops at the match. */
+  def bestElem(root: HElem): Option[HElem] = {
+    val target = pick(blocks(root)).map(_.order).getOrElse(-1)
+    if (target < 0) return None
+    var order = 0
+    var found: Option[HElem] = None
+    def walk(node: HNode): Unit = node match {
+      case e @ HElem(_, _, kids) =>
+        val mine = order
+        order += 1
+        if (found.isEmpty) {
+          if (mine == target) found = Some(e) else kids.foreach(walk)
+        }
+      case _ => ()
+    }
+    walk(root)
+    found
+  }
+
+  /** Per-paragraph character spans within [[extract]]'s output (north_rule:
+    * "extracted text/spans per document"): (paragraph index, start offset,
+    * end offset exclusive) such that `extract(html).substring(start, end)`
+    * is exactly that paragraph. Offsets are a running sum over the '\n'
+    * joints, so spans stay valid for ANY extractor whose output is the
+    * paragraph join — downstream span-level ops (dup-span removal, PII
+    * redaction, quote attribution) address into the extracted text without
+    * re-parsing the page. */
+  def paragraphSpans(html: String): Vector[(Int, Int, Int)] = {
+    val paras = bestBlock(HtmlDom.parse(html)).map(_.agg.paragraphs).getOrElse(Vector.empty)
+    val out = Vector.newBuilder[(Int, Int, Int)]
+    var off = 0
+    var p = 0
+    while (p < paras.length) {
+      val len = paras(p).length
+      out += ((p, off, off + len))
+      off += len + 1
+      p += 1
+    }
+    out.result()
+  }
+
   /** Whole-document block statistics (oracle-checkable counts). */
   final case class DocStats(n_anchors: Long, n_paragraphs: Long, n_comment_divs: Long,
                             main_paragraphs: Long, main_chars: Long)

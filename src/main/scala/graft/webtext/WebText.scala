@@ -41,6 +41,38 @@ object WebText {
       })
   }
 
+  final case class MarkdownRow(url: String, markdown: String)
+
+  /** pages -> (url, markdown): boilerplate strip + Markdown re-serialization
+    * of the main block ([[Markdown]]). Same fused map-side shape as
+    * [[mainContent]] — parse, score, render in one pass, zero shuffles. */
+  def mainMarkdown(pages: DataFrame, saltPartitions: Int = 0): Dataset[MarkdownRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Pipeline.saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) =>
+        MarkdownRow(url, Markdown.render(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+      })
+  }
+
+  final case class ParaSpan(url: String, para_idx: Long, start_off: Long,
+                            end_off: Long, n_chars: Long)
+
+  /** pages -> per-paragraph char spans within the extracted main text
+    * ([[MainContent.paragraphSpans]]): span-level addressing for downstream
+    * dup-span/PII/quote ops without re-parsing pages. Map-side flatMap. */
+  def paragraphSpans(pages: DataFrame, saltPartitions: Int = 0): Dataset[ParaSpan] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Pipeline.saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        MainContent.paragraphSpans(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+          .map { case (p, s, e) => ParaSpan(url, p.toLong, s.toLong, e.toLong, (e - s).toLong) }
+      }
+  }
+
   final case class PageLink(url: String, link_ord: Long, href: String,
                             resolved: String, anchor_text: String, in_main: Boolean)
 

@@ -611,4 +611,33 @@ class PlanSpec extends AnyFunSuite {
         flag == (if (rep != planted(id)) 1L else 0L)
     })
   }
+
+  test("pmi_collocations: one corpus explode feeds both vocabularies; top-k as TOAP") {
+    val q = SparkEntry.queries("pmi_collocations")(spark, sf)
+    q.queryExecution.toRdd.count() // finalize AQE stage reuse
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(fin).size == 1,
+      s"expected exactly one position-pair explode in the final plan:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"expected the (w1, w2) partial-agg exchange shared across branches:\n$fin")
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"top-k must not materialize a global sort:\n$fin")
+    assert(!fin.contains("CartesianProduct"), "only the 1-row totals broadcast is allowed")
+  }
+
+  test("ngram_novelty: single explode consumed once; min-only window keyed on the 8-byte hash") {
+    val q = SparkEntry.queries("ngram_novelty")(spark, sf)
+    q.queryExecution.toRdd.count()
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(fin).size == 1,
+      s"expected exactly one gram explode (no self-join back):\n$fin")
+    assert("FileScan parquet".r.findAllIn(fin).size == 1,
+      s"expected one documents scan:\n$fin")
+    assert(fin.contains("Window"), s"expected the gram-keyed min window:\n$fin")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"))
+    // the gram text must not be a shuffle key: hash partitioning only on gh/doc_id
+    val hashKeys = "hashpartitioning\\(([^)]*)".r.findAllMatchIn(fin).map(_.group(1)).toList
+    assert(hashKeys.nonEmpty && hashKeys.forall(k => k.contains("gh") || k.contains("doc_id")),
+      s"unexpected shuffle keys $hashKeys in:\n$fin")
+  }
 }

@@ -988,3 +988,60 @@ class DedupNormalizedSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == 2L * docs.length) // every row accounted for
   }
 }
+
+class CollocationsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("pmiTopK matches a driver-side bit-length recompute on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).foreach {
+        case Array(a, b) => bi((a, b)) = bi.getOrElse((a, b), 0L) + 1
+        case _           => ()
+      }
+    }
+    val n = uni.values.sum
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = bi.toSeq.collect { case ((a, b), c) if c >= 5 =>
+      (s"$a $b", blen(c) + blen(n) - blen(uni(a)) - blen(uni(b)), c)
+    }.sortBy { case (bg, s, c) => (-s, -c, bg) }.take(50)
+
+    val got = Collocations.pmiTopK(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+}
+
+class NgramNoveltySpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("a verbatim copy scores zero novelty; unique docs score full; partial overlap in between") {
+    import spark.implicits._
+    val base = (1 to 20).map("alpha" + _).mkString(" ")        // 20 words
+    val uniq = (1 to 20).map("omega" + _).mkString(" ")
+    val half = (1 to 12).map("alpha" + _).mkString(" ") + " " +
+      (1 to 8).map("beta" + _).mkString(" ")                   // grams 0..4 seen, rest new
+    val docs = Seq((1L, base), (2L, base), (3L, uniq), (4L, half))
+      .toDF("doc_id", "text")
+    val got = textops.Dedup.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((13L, 13L, 10000L)))  // 20 words -> 13 distinct 8-grams, all first
+    assert(got(2L) == ((13L, 0L, 0L)))       // exact copy: nothing novel
+    assert(got(3L) == ((13L, 13L, 10000L)))
+    // half: grams starting at 0..4 lie inside alpha1..alpha12 -> seen at doc 1
+    assert(got(4L) == ((13L, 8L, (8L * 10000L) / 13L)))
+  }
+
+  test("short documents (< n words) emit no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, (1 to 8).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = textops.Dedup.ngramNovelty(docs).collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+}

@@ -874,3 +874,72 @@ class PrefixTrimSpec extends AnyFunSuite {
     assert(got(5L) == ((0L, "zero shared prefix")))
   }
 }
+
+class MarkdownSpec extends AnyFunSuite {
+  import graft.webtext.Markdown
+
+  private def words(n: Int): String = (1 to n).map("word" + _).mkString(" ")
+
+  /** The render the generator's markup arithmetic implies (mirrors the
+    * DuckDB oracle): heading + blank-line-joined paragraphs, bold first word
+    * when p%3==1, trailing link when p%3==2. */
+  private def expectedMarkdown(docId: Long, text: String): String = {
+    val blocks = Vector.newBuilder[String]
+    blocks += s"# document $docId"
+    HtmlGen.paragraphTexts(text).zipWithIndex.foreach { case (para, p) =>
+      val ws = para.split(" ", -1)
+      val m =
+        if (p % 3 == 1)
+          "**" + ws.head + "**" + (if (ws.length > 1) " " + ws.tail.mkString(" ") else "")
+        else if (p % 3 == 2)
+          (if (ws.length > 1) ws.init.mkString(" ") + " " else "") +
+            s"[${ws.last}](/w/$docId/$p)"
+        else para
+      blocks += m
+    }
+    blocks.result().mkString("\n\n")
+  }
+
+  test("inline and block rules on handcrafted HTML") {
+    val html = "<html><body><article><h2>t</h2>\n" +
+      "<p>a <b>b</b> <i>c</i> <code>d</code> <a href=\"/x\">e</a></p></article></body></html>"
+    assert(Markdown.render(html) == "## t\n\na **b** *c* `d` [e](/x)")
+  }
+
+  test("generated pages render byte-identically to the markup arithmetic across sizes") {
+    for (docId <- 0L until 24L; n <- Seq(1, 10, 24, 25, 48, 73, 100)) {
+      val text = words(n)
+      val got = Markdown.render(HtmlGen.page(docId, text))
+      assert(got == expectedMarkdown(docId, text), s"docId=$docId n=$n")
+    }
+  }
+
+  test("wrapper tie-break is render-invariant: odd (wrapped) and even pages emit the same block shape") {
+    val text = words(73)
+    val odd = Markdown.render(HtmlGen.page(1L, text))
+    val even = Markdown.render(HtmlGen.page(2L, text))
+    // same blocks modulo the doc_id embedded in heading and link targets
+    assert(odd.replace("document 1", "D").replace("/w/1/", "/w/") ==
+      even.replace("document 2", "D").replace("/w/2/", "/w/"))
+  }
+
+  test("paragraph spans address the extracted text exactly") {
+    for (docId <- Seq(0L, 1L, 7L); n <- Seq(1, 24, 25, 73)) {
+      val html = HtmlGen.page(docId, words(n))
+      val extracted = MainContent.extract(html)
+      val spans = MainContent.paragraphSpans(html)
+      assert(spans.nonEmpty)
+      val paras = extracted.split("\n", -1)
+      assert(spans.length == paras.length)
+      spans.foreach { case (p, s, e) =>
+        assert(extracted.substring(s, e) == paras(p), s"docId=$docId n=$n p=$p")
+      }
+      // spans tile the text: consecutive, 1-char joints, full coverage
+      assert(spans.head._2 == 0 && spans.last._3 == extracted.length)
+      spans.sliding(2).foreach {
+        case Vector((_, _, e1), (_, s2, _)) => assert(s2 == e1 + 1)
+        case _ => ()
+      }
+    }
+  }
+}
