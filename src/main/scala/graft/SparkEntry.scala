@@ -862,6 +862,18 @@ object SparkEntry {
       graft.webtext.WebText.paragraphSpans(
         graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
     }),
+    "paragraph_dedup" -> ((s, dir) =>
+      // corpus exact-paragraph dedup AUDIT (RefinedWeb grain) at span
+      // addressing: first-occurrence flag + copy count per paragraph span.
+      // Paragraph text never crosses a shuffle (8-byte phash only).
+      graft.webtext.WebText.paragraphDedup(
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF())),
+    "paragraph_dedup_clean" -> ((s, dir) =>
+      // corpus paragraph dedup APPLIED: pages re-emitted with non-first
+      // duplicate paragraphs cut; fully-duplicate pages drop out. Text moves
+      // exactly twice (phash window, url regroup) — the RefinedWeb plan.
+      graft.webtext.WebText.paragraphDedupClean(
+        graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF())),
     "warc_extract" -> ((s, dir) => {
       // the Common-Crawl ingestion edge: deterministic WARC segment blobs ->
       // record-boundary walk -> boilerplate strip; must be byte-identical to
@@ -2335,6 +2347,44 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + p + plen AS BIGINT) AS end_off,
         |       plen AS n_chars
         |FROM p""".stripMargin,
+    // paragraph dedup audit: the oracle windows over raw paragraph TEXT where
+    // the engine windows over its xxhash64 — identical barring a 64-bit
+    // collision (the dedup_exact tradeoff). Python-validated 0/1355 (45 dup
+    // rows at sf0.01) before wiring.
+    "paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, CAST((i-1)//24 AS BIGINT) AS p,
+        |             array_to_string(ws[i:i+23],' ') AS para,
+        |             CAST(length(array_to_string(ws[i:i+23], ' ')) AS BIGINT) AS plen
+        |      FROM d, UNNEST(generate_series(1, len(ws), 24)) AS t(i)),
+        |s AS (SELECT doc_id, p, para, plen,
+        |        coalesce(sum(plen) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) + p AS start_off
+        |      FROM p),
+        |w AS (SELECT doc_id, p, plen, start_off,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, p) AS rn,
+        |        count(*) OVER (PARTITION BY para) AS ndups
+        |      FROM s)
+        |SELECT 'doc://'||doc_id AS url, p AS para_idx,
+        |   CAST(start_off AS BIGINT) AS start_off, CAST(start_off+plen AS BIGINT) AS end_off,
+        |   CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first,
+        |   CAST(ndups AS BIGINT) AS n_dups
+        |FROM w""".stripMargin,
+    // applied paragraph dedup: keep rn=1 rows, rejoin with '\n' in paragraph
+    // order; docs with zero kept paragraphs drop out (GROUP BY over kept rows
+    // only). Python-validated 0/499 (1 doc fully dropped) before wiring.
+    "paragraph_dedup_clean" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, CAST((i-1)//24 AS BIGINT) AS p,
+        |             array_to_string(ws[i:i+23],' ') AS para
+        |      FROM d, UNNEST(generate_series(1, len(ws), 24)) AS t(i)),
+        |w AS (SELECT doc_id, p, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, p) AS rn
+        |      FROM p)
+        |SELECT 'doc://'||doc_id AS url,
+        |       string_agg(para, chr(10) ORDER BY p) AS clean_text,
+        |       CAST(count(*) AS BIGINT) AS n_kept
+        |FROM w WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     // the WARC path must recover the pages byte-identically, so its oracle
     // IS the main-content oracle; warc_stats recomputes the segment audit
     // from doc_id arithmetic (make_timestamp is NTZ in DuckDB — the strftime

@@ -155,4 +155,88 @@ object WebText {
       .filter(col("rank") <= k)
       .select(col("href"), col("term"), col("rank").cast("long").as("rank"), col("cnt"))
   }
+
+  final case class ParaTextRow(url: String, doc_id: Long, para_idx: Long,
+                               start_off: Long, end_off: Long, para: String)
+
+  /** One fused parse pass -> paragraph-grain rows (text + char span into the
+    * extracted main text). Map-side precursor of the corpus paragraph-dedup
+    * surfaces below; `doc_id` is recovered from the
+    * [[pageplus.data.PagesFromDocuments.url]] scheme so "first occurrence"
+    * has the same numeric total order the oracle uses. */
+  private def paraTextRows(pages: DataFrame, saltPartitions: Int): Dataset[ParaTextRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Pipeline.saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        val paras = MainContent.bestBlock(
+          HtmlDom.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+          .map(_.agg.paragraphs).getOrElse(Vector.empty)
+        val docId = url.stripPrefix("doc://").toLong
+        var off = 0L
+        paras.iterator.zipWithIndex.map { case (t, p) =>
+          val r = ParaTextRow(url, docId, p.toLong, off, off + t.length, t)
+          off += t.length + 1
+          r
+        }
+      }
+  }
+
+  /** Corpus-level EXACT PARAGRAPH DEDUP audit (RefinedWeb-style, at span
+    * grain): for every paragraph of every page, whether it is the FIRST
+    * occurrence of its text corpus-wide (first = least (doc_id, para_idx))
+    * and how many copies exist, addressed as [start_off, end_off) char spans
+    * into the extracted main text — the cut-list rows are `is_first = 0`.
+    *
+    * Scale shape: one fused parse pass; the paragraph TEXT never crosses a
+    * shuffle — it is hashed to an 8-byte xxhash64 map-side and dropped before
+    * the window exchange, so the only wide rows are
+    * (url, doc_id, para_idx, offsets, phash). One hash-keyed exchange feeds
+    * both window functions (row_number + count over the same partition key).
+    * 64-bit collision merges two distinct paragraphs and errs toward
+    * "duplicate" — the dedup_exact tradeoff. Boilerplate-heavy corpora make
+    * hot phash keys; that skew is the same one lineDedup documents, and AQE
+    * skew-split applies to the exchange. */
+  def paragraphDedup(pages: DataFrame, saltPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = paraTextRows(pages, saltPartitions).toDF()
+      .withColumn("phash", xxhash64(col("para")))
+      .select("url", "doc_id", "para_idx", "start_off", "end_off", "phash")
+    val byHash = Window.partitionBy("phash")
+    rows
+      .withColumn("rn", row_number().over(byHash.orderBy("doc_id", "para_idx")))
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+      .select(col("url"), col("para_idx"), col("start_off"), col("end_off"),
+        when(col("rn") === 1, 1L).otherwise(0L).as("is_first"), col("n_dups"))
+  }
+
+  /** Corpus paragraph dedup, APPLIED: every page's main text re-emitted with
+    * all non-first duplicate paragraphs removed (kept paragraphs rejoin with
+    * '\n' in original order). Pages whose every paragraph is a duplicate drop
+    * out entirely — exactly the corpus-dedup intent for verbatim copies.
+    *
+    * Scale shape: this is the surface that MUST move paragraph text, and it
+    * moves it exactly twice — once into the phash-keyed first-occurrence
+    * window, once into the url-grain regroup — the standard RefinedWeb plan
+    * (candidate grain = paragraphs, never documents, never pairs). The
+    * audit-only twin [[paragraphDedup]] is the one to run when only the
+    * cut-list is needed: it ships no text at all. */
+  def paragraphDedupClean(pages: DataFrame, saltPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = paraTextRows(pages, saltPartitions).toDF()
+      .withColumn("phash", xxhash64(col("para")))
+    val rn = row_number().over(Window.partitionBy("phash").orderBy("doc_id", "para_idx"))
+    rows.withColumn("rn", rn)
+      .where(col("rn") === 1)
+      .groupBy(col("url"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            x => x.getField("para")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -640,4 +640,28 @@ class PlanSpec extends AnyFunSuite {
     assert(hashKeys.nonEmpty && hashKeys.forall(k => k.contains("gh") || k.contains("doc_id")),
       s"unexpected shuffle keys $hashKeys in:\n$fin")
   }
+  test("paragraph_dedup: one parse pass; paragraph text never a hash-shuffle key; no cartesian") {
+    val q = SparkEntry.queries("paragraph_dedup")(spark, sf)
+    q.queryExecution.toRdd.count()
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(fin).size == 1,
+      s"expected exactly one documents scan (one fused parse pass):\n$fin")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"))
+    // the window exchange must key on the 8-byte phash, not paragraph text
+    val hashKeys = "hashpartitioning\\(([^)]*)".r.findAllMatchIn(fin).map(_.group(1)).toList
+    assert(hashKeys.nonEmpty && hashKeys.forall(k => k.contains("phash")),
+      s"unexpected hash-shuffle keys $hashKeys in:\n$fin")
+    // the exchanged row must not carry the para column (pruned before the window)
+    assert(!fin.contains("para#") || "Exchange[^\\n]*para#".r.findFirstIn(fin).isEmpty,
+      s"paragraph text crosses the shuffle:\n$fin")
+  }
+
+  test("paragraph_dedup_clean: one parse pass, two text-bearing exchanges, no cartesian") {
+    val q = SparkEntry.queries("paragraph_dedup_clean")(spark, sf)
+    q.queryExecution.toRdd.count()
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(fin).size == 1,
+      s"expected exactly one documents scan:\n$fin")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -943,3 +943,53 @@ class MarkdownSpec extends AnyFunSuite {
     }
   }
 }
+
+class ParagraphDedupSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.{HtmlGen, WebText}
+
+  private def chunk(prefix: String): String = (1 to 24).map(prefix + _).mkString(" ")
+
+  // doc 1 = A B; doc 2 = A C (A is a dup); doc 3 = A B (fully duplicate)
+  private val A = chunk("a"); private val B = chunk("b"); private val C = chunk("c")
+
+  private def pages = {
+    import spark.implicits._
+    WebText.htmlPages(Seq(
+      (1L, s"$A $B", "en"),
+      (2L, s"$A $C", "en"),
+      (3L, s"$A $B", "en")).toDF("doc_id", "text", "lang")).toDF()
+  }
+
+  test("audit: first-occurrence flags, copy counts, span addressing") {
+    val got = WebText.paragraphDedup(pages).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val la = A.length.toLong
+    assert(got(("doc://1", 0L)) == ((0L, la, 1L, 3L)))            // A: first of 3
+    assert(got(("doc://1", 1L)) == ((la + 1, la + 1 + B.length, 1L, 2L))) // B: first of 2
+    assert(got(("doc://2", 0L)) == ((0L, la, 0L, 3L)))            // A copy
+    assert(got(("doc://2", 1L))._3 == 1L)                          // C unique
+    assert(got(("doc://3", 0L)) == ((0L, la, 0L, 3L)))
+    assert(got(("doc://3", 1L))._3 == 0L)
+  }
+
+  test("clean: later duplicates cut, order kept, fully-duplicate page drops out") {
+    val got = WebText.paragraphDedupClean(pages).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got("doc://1") == ((s"$A\n$B", 2L)))
+    assert(got("doc://2") == ((C, 1L)))       // A cut, C kept
+    assert(!got.contains("doc://3"))          // nothing survives
+  }
+
+  test("clean on a dup-free corpus is the identity extraction") {
+    import spark.implicits._
+    val docs = Seq((1L, chunk("x"), "en"), (2L, chunk("y") + " " + chunk("z"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val p = WebText.htmlPages(docs).toDF()
+    val got = WebText.paragraphDedupClean(p).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("doc://1") == HtmlGen.expectedMainText(chunk("x")))
+    assert(got("doc://2") == HtmlGen.expectedMainText(chunk("y") + " " + chunk("z")))
+  }
+}
