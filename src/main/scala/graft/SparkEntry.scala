@@ -813,6 +813,22 @@ object SparkEntry {
       graft.textops.Ann.withBruteForceHits(
         graft.textops.Ann.ivfTopK(emb, queries, k = 5), emb, queries, k = 5)
     }),
+    "pq_codes" -> ((s, dir) =>
+      // product quantization code table: 16 subspaces × 64 codes over the
+      // fixed-point vectors (codebook = bounded id-stride sample, broadcast;
+      // assignment map-side, zero shuffles). 256 B float vector -> 16 codes.
+      graft.textops.Ann.pqCodes(tp(s, dir, "embeddings"))),
+    "ann_pq" -> ((s, dir) => {
+      // PQ asymmetric-distance ANN: per-query 16×64 integer LUT broadcast;
+      // the scan scores vectors by summing table lookups over their codes —
+      // reads 16 code bytes/vec, never the raw embedding. hit = membership
+      // in the exact integer-L2 brute-force top-k (the recall audit).
+      val emb = tp(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      graft.textops.Ann.withPqHits(
+        graft.textops.Ann.pqTopK(emb, queries, k = 5), emb, queries, k = 5)
+    }),
     "multimodal_frames" -> ((s, dir) => {
       // REAL frame extraction: video-like payloads (concatenated complete
       // PNGs) split on parsed container boundaries, every 2nd frame kept,
@@ -2835,6 +2851,62 @@ object SparkEntry {
         |         FROM q5, e WHERE e.vec_id != q5.query_id)
         |       WHERE r <= 5)
         |SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank, r.sim,
+        |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
+        |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
+        |WHERE r.rank <= 5""".stripMargin,
+    // pq_codes: the oracle recomputes the 16×64 stride-seeded codebook and
+    // the integer-L2 assignment bit-for-bit (the ann_oracle_check pattern).
+    // Python-validated 0/8000 before wiring.
+    "pq_codes" ->
+      """WITH e AS (SELECT vec_id, [trunc(x*4096)::BIGINT for x in CAST(embedding AS DOUBLE[])] AS q FROM embeddings),
+        |head AS (SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM e QUALIFY pos < 10000),
+        |n AS (SELECT count(*) AS ns FROM head),
+        |cent AS (SELECT CAST(pos // (ns // 64) AS BIGINT) AS code, q AS cq
+        |         FROM head, n WHERE pos % (ns // 64) = 0 AND pos // (ns // 64) < 64),
+        |subs AS (SELECT unnest(range(16)) AS sub),
+        |dists AS (SELECT e.vec_id, s.sub, c.code,
+        |                 list_sum([(e.q[s.sub*4+d]-c.cq[s.sub*4+d])*(e.q[s.sub*4+d]-c.cq[s.sub*4+d]) for d in range(1,5)]) AS dist
+        |          FROM e, subs s, cent c)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code, CAST(dist AS BIGINT) AS sqdist FROM (
+        |  SELECT vec_id, sub, code, dist,
+        |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+        |  FROM dists) WHERE r = 1""".stripMargin,
+    // ann_pq: ADC = per-(query,sub,code) LUT join against the code table,
+    // exact brute-force integer L2 as the hit ground truth. Integer
+    // fixed-point end to end. Python-validated 0/25 (recall 9/25 on these
+    // structureless uniform embeddings — the audit column, not a target).
+    "ann_pq" ->
+      """WITH e AS (SELECT vec_id, [trunc(x*4096)::BIGINT for x in CAST(embedding AS DOUBLE[])] AS q FROM embeddings),
+        |head AS (SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM e QUALIFY pos < 10000),
+        |n AS (SELECT count(*) AS ns FROM head),
+        |cent AS (SELECT CAST(pos // (ns // 64) AS BIGINT) AS code, q AS cq
+        |         FROM head, n WHERE pos % (ns // 64) = 0 AND pos // (ns // 64) < 64),
+        |subs AS (SELECT unnest(range(16)) AS sub),
+        |dists AS (SELECT e.vec_id, s.sub, c.code,
+        |                 list_sum([(e.q[s.sub*4+d]-c.cq[s.sub*4+d])*(e.q[s.sub*4+d]-c.cq[s.sub*4+d]) for d in range(1,5)]) AS dist
+        |          FROM e, subs s, cent c),
+        |asn AS (SELECT vec_id, sub, code FROM (
+        |          SELECT vec_id, sub, code,
+        |                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+        |          FROM dists) WHERE r = 1),
+        |q5 AS (SELECT vec_id AS query_id, q AS qq FROM e ORDER BY vec_id LIMIT 5),
+        |qd AS (SELECT q5.query_id, s.sub, c.code,
+        |              list_sum([(q5.qq[s.sub*4+d]-c.cq[s.sub*4+d])*(q5.qq[s.sub*4+d]-c.cq[s.sub*4+d]) for d in range(1,5)]) AS d
+        |       FROM q5, subs s, cent c),
+        |adc AS (SELECT qd.query_id, a.vec_id, sum(qd.d) AS adist
+        |        FROM asn a JOIN qd ON qd.sub = a.sub AND qd.code = a.code
+        |        WHERE a.vec_id != qd.query_id
+        |        GROUP BY qd.query_id, a.vec_id),
+        |ranked AS (SELECT query_id, vec_id AS neighbor_id, CAST(adist AS BIGINT) AS adist,
+        |                  row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+        |           FROM adc),
+        |bf AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT q5.query_id, e.vec_id AS neighbor_id,
+        |                row_number() OVER (PARTITION BY q5.query_id
+        |                  ORDER BY list_sum([(q5.qq[d]-e.q[d])*(q5.qq[d]-e.q[d]) for d in range(1,65)]), e.vec_id) AS r
+        |         FROM q5, e WHERE e.vec_id != q5.query_id)
+        |       WHERE r <= 5)
+        |SELECT r.query_id, r.neighbor_id, CAST(r.rank AS BIGINT) AS rank, r.adist,
         |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
         |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
         |WHERE r.rank <= 5""".stripMargin,

@@ -549,4 +549,121 @@ object Ann {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("cdist"),
         when(col("is_dropped").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
+
+  // ---- product quantization (PQ) -------------------------------------------
+
+  /** Per-subspace PQ codebook `[sub][code][dsub]` over the fixed-point
+    * quantized vectors, seeded by the same id-stride head sample as
+    * [[seededCentroids]] (codebooks train on a bounded driver-side sample —
+    * the standard FAISS split: training is sampled, ASSIGNMENT is the
+    * distributed pass). m=16 subspaces of 4 dims × 64 codes compresses a
+    * 64-dim float vector (256 B) to 16 codes (≤16 B) — the representation the
+    * ADC scan below reads instead of the raw embedding column. */
+  def pqCodebook(embeddings: DataFrame, m: Int = 16, ksub: Int = 64,
+                 sampleCap: Int = 10000): Array[Array[Array[Long]]] = {
+    val full = seededCentroids(embeddings, ksub, sampleCap)
+    val dsub = full(0).length / m
+    Array.tabulate(m)(s => Array.tabulate(ksub)(c => full(c).slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Nearest code per subspace (integer squared L2, lowest code breaks ties)
+    * plus its distance — the per-vector PQ assignment + distortion. */
+  def pqAssign(q: Array[Long], book: Array[Array[Array[Long]]]): Array[(Int, Long)] =
+    Array.tabulate(book.length) { s =>
+      val dsub = book(s)(0).length
+      val vs = q.slice(s * dsub, (s + 1) * dsub)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book(s).length) {
+        val d = sqDistQ(vs, book(s)(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+
+  /** PQ code table: one row per (vector, subspace) with the assigned code and
+    * its integer squared-L2 distortion. Codebook broadcast, assignment
+    * map-side, zero shuffles — the plan is a scan plus a flatMap. */
+  def pqCodes(embeddings: DataFrame, m: Int = 16, ksub: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pqCodebook(embeddings, m, ksub))
+    embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        pqAssign(quantize(v), bc.value).iterator.zipWithIndex.map {
+          case ((code, d), s) => (id, s.toLong, code.toLong, d)
+        }
+      }
+      .toDF("vec_id", "sub", "code", "sqdist")
+  }
+
+  /** PQ asymmetric-distance (ADC) ANN: each query precomputes an m×ksub
+    * lookup table of integer squared L2 to every centroid (driver-side,
+    * tiny, broadcast); the scan then scores a vector as the SUM OF m TABLE
+    * LOOKUPS over its codes — it reads 16 code bytes per vector, never the
+    * 256-byte embedding, which is the whole point of PQ at 100 TB: the
+    * candidate scan runs on a 16×-smaller column. Top-k per query by
+    * (adist asc, vec_id asc); integer-exact, so the oracle recomputes the
+    * approximate result bit-for-bit. Self-matches excluded. */
+  def pqTopK(embeddings: DataFrame, queries: Map[Long, Array[Float]], k: Int,
+             m: Int = 16, ksub: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val book = pqCodebook(embeddings, m, ksub)
+    val bcBook = spark.sparkContext.broadcast(book)
+    val luts: Seq[(Long, Array[Array[Long]])] = queries.toSeq.sortBy(_._1).map { case (qid, qv) =>
+      val q = quantize(qv)
+      (qid, Array.tabulate(m) { s =>
+        val dsub = book(s)(0).length
+        val qs = q.slice(s * dsub, (s + 1) * dsub)
+        Array.tabulate(ksub)(c => sqDistQ(qs, book(s)(c)))
+      })
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val codes = pqAssign(quantize(v), bcBook.value)
+        bcLuts.value.iterator.collect {
+          case (qid, lut) if qid != id =>
+            var s = 0
+            var acc = 0L
+            while (s < codes.length) { acc += lut(s)(codes(s)._1); s += 1 }
+            (qid, id, acc)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("adist"))
+  }
+
+  /** Recall audit for the PQ path: `hit` = membership in the EXACT integer-L2
+    * brute-force top-k (PQ approximates L2, so L2 — not cosine — is the right
+    * ground truth). The BF pass scans raw embeddings once; it is the eval,
+    * not the production scan. */
+  def withPqHits(result: DataFrame, embeddings: DataFrame,
+                 queries: Map[Long, Array[Float]], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries.toSeq.sortBy(_._1).map { case (qid, qv) => (qid, quantize(qv)) })
+    val bf = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val q = quantize(v)
+        bc.value.iterator.collect { case (qid, qq) if qid != id => (qid, id, sqDistQ(qq, q)) }
+      }
+      .toDF("query_id", "bf_id", "d")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d").asc, col("bf_id").asc)))
+      .filter(col("r") <= k)
+      .select(col("query_id"), col("bf_id"))
+    result.join(broadcast(bf),
+        result("query_id") === bf("query_id") && result("neighbor_id") === bf("bf_id"), "left")
+      .select(result("query_id"), col("neighbor_id"), col("rank"), col("adist"),
+        when(col("bf_id").isNotNull, 1L).otherwise(0L).as("hit"))
+  }
 }

@@ -1045,3 +1045,68 @@ class NgramNoveltySpec extends AnyFunSuite {
     assert(got == Set(2L))
   }
 }
+
+class PqSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def load = {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    (emb, all)
+  }
+
+  test("pqCodes matches a driver-side integer recompute; every sub assigned") {
+    val (emb, all) = load
+    val book = textops.Ann.pqCodebook(emb)
+    val got = textops.Ann.pqCodes(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == all.size * 16)
+    all.foreach { case (id, v) =>
+      textops.Ann.pqAssign(textops.Ann.quantize(v), book).zipWithIndex.foreach {
+        case ((code, d), s) =>
+          assert(got((id, s.toLong)) == ((code.toLong, d)), s"vec=$id sub=$s")
+      }
+    }
+  }
+
+  test("ADC distance is the LUT-sum identity; ranks deterministic; hit audit vs exact L2") {
+    val (emb, all) = load
+    val queries = all.toSeq.sortBy(_._1).take(5).toMap
+    val rows = textops.Ann.withPqHits(
+      textops.Ann.pqTopK(emb, queries, 5), emb, queries, 5).collect()
+    assert(rows.length == 25)
+    // driver recompute of the full ADC ranking
+    val book = textops.Ann.pqCodebook(emb)
+    val codes = all.map { case (id, v) => id -> textops.Ann.pqAssign(textops.Ann.quantize(v), book).map(_._1) }
+    queries.foreach { case (qid, qv) =>
+      val q = textops.Ann.quantize(qv)
+      val lut = Array.tabulate(16) { s =>
+        val qs = q.slice(s * 4, (s + 1) * 4)
+        Array.tabulate(64)(c => textops.Ann.sqDistQ(qs, book(s)(c)))
+      }
+      val expect = all.keys.filter(_ != qid).toSeq
+        .map(id => (id, (0 until 16).map(s => lut(s)(codes(id)(s))).sum))
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      val gotQ = rows.filter(_.getLong(0) == qid).sortBy(_.getLong(2))
+      expect.zip(gotQ).foreach { case ((eid, ed), r) =>
+        assert(r.getLong(1) == eid && r.getLong(3) == ed, s"q=$qid")
+      }
+    }
+    // hit flags match the exact integer-L2 top-5
+    val bf = queries.map { case (qid, qv) =>
+      val q = textops.Ann.quantize(qv)
+      qid -> all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, textops.Ann.sqDistQ(q, textops.Ann.quantize(v))) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }
+    rows.foreach { r =>
+      assert((r.getLong(4) == 1L) == bf(r.getLong(0)).contains(r.getLong(1)))
+    }
+  }
+
+  test("pq_codes plan is scan + flatMap: zero exchanges") {
+    val (emb, _) = load
+    val plan = textops.Ann.pqCodes(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be map-side:\n$plan")
+  }
+}
