@@ -668,6 +668,17 @@ object SparkEntry {
       val docs = tp(s, dir, "documents")
       graft.textops.Curate.contamination(docs, docs.filter(col("doc_id") % 41 === 0))
     }),
+    "contamination_spans" -> ((s, dir) => {
+      // span-level decontamination: exact char ranges of eval 13-gram leaks
+      // (merged via the sorted-gap identity), the surgical alternative to
+      // dropping whole docs. Planted eval-head leak on doc_id%7==3 gives the
+      // corpus genuine cross-document contamination. Broadcast eval grams,
+      // one map-side pass, zero shuffle.
+      val docs = tp(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 41 === 0)
+      graft.textops.Curate.contaminationSpans(
+        graft.textops.Curate.plantEvalLeak(docs, eval), eval)
+    }),
     "decontaminate_bloom" -> ((s, dir) => {
       // the 100 TB broadcast form of decontaminate: eval grams ride a Bloom
       // sketch (treeAggregate-built, ~3.6 B/gram) instead of an exact string
@@ -3273,6 +3284,41 @@ object SparkEntry {
         |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
         |       coalesce(m.nc, 0) > 0 AS contaminated
         |FROM g LEFT JOIN m ON g.doc_id = m.doc_id""".stripMargin,
+    // contamination_spans: full recompute — planted eval-head leak, matched
+    // gram positions, gaps-and-islands merge (lag + running sum), char
+    // offsets via list_sum prefix arithmetic. The engine matches on exact
+    // gram STRINGS (broadcast eval set), so the oracle is exact too.
+    // Python-validated 0/84 (73 planted cross-doc rows) before wiring.
+    "contamination_spans" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |bench AS (SELECT doc_id AS bid, array_to_string(ws[1:13],' ') AS gram
+        |          FROM w0 WHERE doc_id%41=0 AND len(ws)>=13),
+        |pl AS (SELECT d.doc_id,
+        |         CASE WHEN d.doc_id%7=3 AND b.gram IS NOT NULL
+        |              THEN d.text || ' ' || b.gram ELSE d.text END AS text
+        |       FROM documents d LEFT JOIN bench b ON b.bid = (d.doc_id%2)*41),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM pl),
+        |g0 AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+        |g AS (SELECT doc_id, ws, unnest(CASE WHEN nw >= 13
+        |        THEN [{'pos': i-1, 'gram': array_to_string(ws[i:i+12],' ')} for i in range(1, nw-11)]
+        |        ELSE [] END, recursive := true) FROM g0),
+        |bset AS (SELECT DISTINCT gram FROM bench),
+        |m AS (SELECT g.doc_id, g.ws, g.pos FROM g JOIN bset USING (gram)),
+        |lg AS (SELECT doc_id, ws, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM m),
+        |isl AS (SELECT doc_id, ws, pos,
+        |         sum(CASE WHEN prev IS NULL OR pos - prev > 13 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+        |       FROM lg),
+        |sp AS (SELECT doc_id, any_value(ws) AS ws, isle, min(pos) AS a, max(pos) + 13 AS b, count(*) AS ng
+        |       FROM isl GROUP BY doc_id, isle)
+        |SELECT doc_id, CAST(isle - 1 AS BIGINT) AS span_idx,
+        |  CAST(a AS BIGINT) AS start_word, CAST(b AS BIGINT) AS end_word,
+        |  CAST(CASE WHEN a=0 THEN 0 ELSE list_sum([length(x) for x in ws[1:a]]) + a END AS BIGINT) AS start_char,
+        |  CAST(list_sum([length(x) for x in ws[1:b]]) + b - 1 AS BIGINT) AS end_char,
+        |  CAST(ng AS BIGINT) AS n_grams
+        |FROM sp""".stripMargin,
     // the bloom variant's oracle is the EXACT overlap under the bloom's
     // column names: deterministic sketch layout + verified-FP-free corpus
     // make the approximate result bit-for-bit recomputable (the same move

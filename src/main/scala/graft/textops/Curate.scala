@@ -441,4 +441,77 @@ object Curate {
           (length(bin(col("tr") + 1)) - length(bin(col("tt") + 1))).cast("long"))
           .as("weight_bits"))
   }
+
+  /** Deterministic eval-head leak planting (the dup_spans disclaimer move,
+    * aimed at decontamination): docs with `doc_id % 7 == 3` get the first
+    * n-gram of eval document `(doc_id % 2) * 41` appended, so the corpus
+    * contains GENUINE cross-document contamination at any scale factor
+    * (doc 41 exists from sf0.001 up) and the span extractor below has
+    * non-trivial work. Heads ride a broadcast map keyed by eval doc id. */
+  def plantEvalLeak(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val heads: Map[Long, String] = benchDocs.select("doc_id", "text").as[(Long, String)]
+      .collect().iterator.flatMap { case (id, t) =>
+        val ws = words(t)
+        if (ws.length >= n) Some(id -> ws.take(n).mkString(" ")) else None
+      }.toMap // bounded: the EVAL set
+    val bc = spark.sparkContext.broadcast(heads)
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        val leak = if (id % 7 == 3) bc.value.get((id % 2) * 41) else None
+        (id, leak.map(t + " " + _).getOrElse(t))
+      }
+      .toDF("doc_id", "text")
+  }
+
+  /** SPAN-LEVEL decontamination: instead of [[contamination]]'s per-document
+    * flag, emit the exact character ranges of eval-set n-gram overlap — the
+    * surgical alternative to dropping whole documents (what production
+    * decontamination reports publish: which spans leaked, where). Matched
+    * gram positions merge into maximal intervals via the sorted-gap identity
+    * (two matches join iff their starts are ≤ n apart — same-length
+    * intervals make max-end tracking unnecessary); word intervals convert to
+    * char offsets through the per-doc running word-length prefix sum, so
+    * `text.substring(start_char, end_char)` IS the leaked region.
+    *
+    * Scale shape: identical to [[contamination]] — the eval-gram set is
+    * broadcast and everything else is ONE map-side pass over the corpus,
+    * zero shuffle; per doc the match scan, interval merge, and prefix sums
+    * are all O(words · n / chars). Output is contamination-sized, not
+    * corpus-sized. */
+  def contaminationSpans(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bench: Set[String] = benchGrams(benchDocs, n).collect().toSet
+    val bc = spark.sparkContext.broadcast(bench)
+    docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = words(t)
+        val total = math.max(ws.length - n + 1, 0)
+        // merged [startWord, endWord) intervals + gram count per island
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+        var i = 0
+        while (i < total) {
+          if (bc.value.contains(ws.slice(i, i + n).mkString(" "))) {
+            if (spans.nonEmpty && i - spans.last._3 <= n) {
+              val (a, _, _, ng) = spans.last
+              spans(spans.length - 1) = (a, i + n, i, ng + 1)
+            } else spans += ((i, i + n, i, 1L))
+          }
+          i += 1
+        }
+        if (spans.isEmpty) Iterator.empty
+        else {
+          val pre = new Array[Long](ws.length + 1)
+          var k = 0
+          while (k < ws.length) { pre(k + 1) = pre(k) + ws(k).length; k += 1 }
+          spans.iterator.zipWithIndex.map { case ((a, b, _, ng), si) =>
+            (id, si.toLong, a.toLong, b.toLong, pre(a) + a, pre(b) + b - 1, ng)
+          }
+        }
+      }
+      .toDF("doc_id", "span_idx", "start_word", "end_word",
+        "start_char", "end_char", "n_grams")
+  }
 }

@@ -1110,3 +1110,59 @@ class PqSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"assignment must be map-side:\n$plan")
   }
 }
+
+class ContaminationSpansSpec extends AnyFunSuite {
+  import SparkSuite._
+  import spark.implicits._
+
+  private def w(prefix: String, n: Int): String = (1 to n).map(prefix + _).mkString(" ")
+
+  test("spans address the leaked regions exactly; islands merge on <= n gap") {
+    val head = w("e", 13)                       // the eval head gram
+    val evalDocs = Seq((0L, head + " " + w("tail", 5))).toDF("doc_id", "text")
+    // doc 10: leak mid-doc; doc 20: two leaks 13 apart (contiguous -> merge);
+    // doc 30: two leaks far apart (two islands); doc 40: clean
+    val docs = Seq(
+      (10L, w("a", 4) + " " + head + " " + w("z", 3)),
+      (20L, head + " " + head + " " + w("z", 2)),
+      (30L, head + " " + w("mid", 14) + " " + head),
+      (40L, w("c", 30))).toDF("doc_id", "text")
+    val rows = textops.Curate.contaminationSpans(docs, evalDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every span substring is made only of eval-head words
+    rows.foreach { case ((id, _), (a, b, sc, ec, _)) =>
+      val sub = texts(id).substring(sc.toInt, ec.toInt)
+      assert(sub.split(" ", -1).forall(_.startsWith("e")), s"doc $id: '$sub'")
+      assert(sub.split(" ", -1).length == (b - a))
+    }
+    assert(rows((10L, 0L))._1 == 4L && rows((10L, 0L))._2 == 17L)
+    assert(rows.keys.count(_._1 == 20L) == 1)   // contiguous leaks merged
+    assert(rows((20L, 0L)) == ((0L, 26L, 0L, texts(20L).lastIndexOf(" z1") .toLong, 2L)))
+    assert(rows.keys.count(_._1 == 30L) == 2)   // far apart: two islands
+    assert(!rows.keys.exists(_._1 == 40L))
+  }
+
+  test("plantEvalLeak appends the (doc_id%2)*41 eval head on doc_id%7==3 only") {
+    val docs = Seq(
+      (0L, w("x", 20)), (3L, w("y", 20)), (9L, w("q", 20)), (10L, w("p", 20)),
+      (41L, w("v", 15))).toDF("doc_id", "text")
+    val evalDocs = docs.filter($"doc_id" % 41 === 0)
+    val planted = textops.Curate.plantEvalLeak(docs, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(planted(3L) == w("y", 20) + " " + w("v", 13))   // 3%2=1 -> doc 41's head
+    assert(planted(10L) == w("p", 20) + " " + w("x", 13))  // 10%7=3, 10%2=0 -> doc 0's head
+    assert(planted(0L) == w("x", 20) && planted(9L) == w("q", 20))
+    assert(planted(41L) == w("v", 15))
+  }
+
+  test("contamination_spans plan: broadcast-set map pass, zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evalDocs = docs.filter($"doc_id" % 41 === 0)
+    val plan = textops.Curate.contaminationSpans(
+      textops.Curate.plantEvalLeak(docs, evalDocs), evalDocs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must be one map-side pass:\n$plan")
+  }
+}
