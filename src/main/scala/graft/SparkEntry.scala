@@ -909,6 +909,14 @@ object SparkEntry {
       graft.webtext.Warc.extractFromSegments(
         graft.webtext.Warc.segmentsFromDocuments(tp(s, dir, "documents"))).toDF()
     }),
+    "cdx_index" -> ((s, dir) =>
+      // CDX capture index (the Common-Crawl index artifact): per-record byte
+      // offset + total length inside its WARC segment, so a fetcher can
+      // range-read one record. Map-side walk, records-sized output, page
+      // bytes never materialized. Oracle rebuilds every offset from the
+      // generator's closed-form page-length arithmetic.
+      graft.webtext.Warc.cdxIndex(
+        graft.webtext.Warc.segmentsFromDocuments(tp(s, dir, "documents"))).toDF()),
     "warc_stats" -> ((s, dir) => {
       // per-segment ingestion audit: record count, first target URI, earliest
       // WARC-Date (ISO strings end-to-end — TZ-free by construction)
@@ -2417,6 +2425,43 @@ object SparkEntry {
     // from doc_id arithmetic (make_timestamp is NTZ in DuckDB — the strftime
     // render is TZ-invariant, verified under Asia/Kolkata + America/New_York)
     "warc_extract" -> HtmlMainOracleSql,
+    // cdx_index: every byte offset recomputed from the generator's
+    // closed-form page-length model — skeleton constants measured from the
+    // builder literals, label pools as CASE tables, paragraph markup overhead
+    // as per-index list_sum, WARC header = 113 + digits(doc_id) +
+    // digits(clen) + clen. Python-validated 0/500 before wiring.
+    "cdx_index" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        CAST((len(ws) + 23) // 24 AS BIGINT) AS np,
+        |        length(CAST(doc_id AS VARCHAR)) AS tid,
+        |        4 + doc_id % 4 AS navn, 3 + doc_id % 3 AS siden, 2 + doc_id % 2 AS comn
+        |      FROM d),
+        |clen AS (SELECT doc_id,
+        |    244 + 2*tid
+        |    + navn * 39
+        |    + 50
+        |    + list_sum([34 + (CASE (doc_id+2*k)%6 WHEN 0 THEN 12 WHEN 5 THEN 10 ELSE 11 END) for k in range(0, siden)])
+        |    + 28 + (CASE doc_id%5 WHEN 0 THEN 13 ELSE 12 END)
+        |    + (CASE WHEN doc_id%2=1 THEN 26 ELSE 0 END)
+        |    + 28 + tid
+        |    + (length(text) - (np - 1)) + np * 8
+        |    + list_sum([CASE WHEN p%3=1 THEN 7 WHEN p%3=2 THEN 19 + tid + length(CAST(p AS VARCHAR)) ELSE 0 END for p in range(0, np)])
+        |    + 34
+        |    + list_sum([28 + (CASE (doc_id+k)%6 WHEN 0 THEN 29 WHEN 1 THEN 26 WHEN 2 THEN 29 WHEN 3 THEN 27 WHEN 4 THEN 29 ELSE 27 END) for k in range(0, comn)])
+        |    + 128 AS clen
+        |  FROM c),
+        |rl AS (SELECT doc_id, clen,
+        |    113 + length(CAST(doc_id AS VARCHAR)) + length(CAST(clen AS VARCHAR)) + clen AS rec_length
+        |  FROM clen)
+        |SELECT 'doc://'||doc_id AS url, CAST(doc_id//16 AS BIGINT) AS segment_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id//16 ORDER BY doc_id) - 1 AS BIGINT) AS rec_ord,
+        |  CAST(coalesce(sum(rec_length) OVER (PARTITION BY doc_id//16 ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset,
+        |  CAST(rec_length AS BIGINT) AS rec_length,
+        |  CAST(clen AS BIGINT) AS content_length,
+        |  strftime(make_timestamp(doc_id*3600*1000000), '%Y-%m-%dT%H:%M:%SZ') AS warc_date
+        |FROM rl""".stripMargin,
     "warc_stats" ->
       """SELECT CAST(doc_id//16 AS BIGINT) AS segment_id,
         |       CAST(count(*) AS BIGINT) AS n_records,

@@ -165,4 +165,70 @@ object Warc {
     parse(segments.toDF()).map(r =>
       WarcExtracted(r.url, MainContent.extract(new String(r.html, UTF_8))))
   }
+
+  final case class CdxRow(url: String, segment_id: Long, rec_ord: Long,
+                          rec_offset: Long, rec_length: Long,
+                          content_length: Long, warc_date: String)
+
+  /** CDX-style capture index for one segment blob — the Common-Crawl index
+    * artifact: each record's BYTE ADDRESS (offset + total record length)
+    * inside its segment, so a fetcher can range-read one record without
+    * scanning the blob. Same walk as [[parseSegment]] (same damage-stops
+    * semantics), tracking the cursor instead of copying payloads — indexing
+    * never materializes the page bytes. */
+  def indexSegment(segmentId: Long, blob: Array[Byte]): Vector[CdxRow] = {
+    val out = Vector.newBuilder[CdxRow]
+    var i = 0
+    var ord = 0L
+    var ok = true
+    while (ok && i < blob.length) {
+      if (!startsWith(blob, i, Magic)) ok = false
+      else {
+        val he = headerEnd(blob, i + Magic.length)
+        if (he < 0) ok = false
+        else {
+          var url: String = null; var date: String = null; var clen = -1L
+          new String(blob, i + Magic.length, he - i - Magic.length, UTF_8)
+            .split("\r\n", -1).foreach { line =>
+              val c = line.indexOf(':')
+              if (c > 0) {
+                val k = line.substring(0, c).trim.toLowerCase
+                val v = line.substring(c + 1).trim
+                k match {
+                  case "warc-target-uri" => url = v
+                  case "warc-date"       => date = v
+                  case "content-length" =>
+                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+            }
+          val payloadStart = he + 4
+          if (url == null || date == null || clen < 0 ||
+              payloadStart + clen + 4 > blob.length) ok = false
+          else {
+            val sep = payloadStart + clen.toInt
+            if (blob(sep) == '\r' && blob(sep + 1) == '\n' &&
+                blob(sep + 2) == '\r' && blob(sep + 3) == '\n') {
+              val end = sep + 4
+              out += CdxRow(url, segmentId, ord, i.toLong, (end - i).toLong, clen, date)
+              ord += 1
+              i = end
+            } else ok = false
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** (segment_id, warc) -> CDX rows. Map-side; no shuffle — the index job is
+    * one linear pass per segment at ingestion parallelism, and the output is
+    * records-sized metadata, never page bytes. */
+  def cdxIndex(segments: DataFrame): Dataset[CdxRow] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select("segment_id", "warc").as[(Long, Array[Byte])]
+      .flatMap { case (seg, blob) => indexSegment(seg, blob) }
+  }
 }

@@ -263,7 +263,10 @@ class TzInvarianceSpec extends AnyFunSuite {
       // on ts, sitemap ISO date render, recrawl delta keyed off snapshot ts,
       // and the two HLL paths that derive epochs from events.ts
       "snapshot_asof", "sitemap_urls", "crawl_delta",
-      "hll_distinct", "stream_hll_distinct")
+      "hll_distinct", "stream_hll_distinct",
+      // r5: the CDX index renders WARC-Date through the same explicit-UTC
+      // formatter; invariance pins its epoch arithmetic too
+      "cdx_index")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)

@@ -67,3 +67,47 @@ class WarcSpec extends AnyFunSuite {
     assert(stats.keySet == (0L until ((n + 15) / 16).toLong).toSet)
   }
 }
+
+class CdxSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.Warc
+
+  test("range-read identity: blob slice at every (offset, length) reparses to exactly that record; offsets tile") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(40)
+    val segs = Warc.segmentsFromDocuments(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("warc")).toMap
+    val cdx = Warc.cdxIndex(Warc.segmentsFromDocuments(docs)).collect()
+    assert(cdx.length == 40)
+    cdx.groupBy(_.segment_id).foreach { case (seg, rows) =>
+      val blob = segs(seg)
+      val sorted = rows.sortBy(_.rec_ord)
+      // offsets tile the blob: consecutive, starting at 0, ending at length
+      assert(sorted.head.rec_offset == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.rec_offset == a.rec_offset + a.rec_length)
+        case _ => ()
+      }
+      assert(sorted.last.rec_offset + sorted.last.rec_length == blob.length)
+      sorted.foreach { r =>
+        val slice = java.util.Arrays.copyOfRange(blob,
+          r.rec_offset.toInt, (r.rec_offset + r.rec_length).toInt)
+        val recs = Warc.parseSegment(seg, slice)
+        assert(recs.length == 1 && recs.head.url == r.url &&
+          recs.head.content_length == r.content_length &&
+          recs.head.warc_date == r.warc_date)
+      }
+    }
+  }
+
+  test("damaged segment: indexing stops at the damage, like parseSegment") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(16)
+    val blob = Warc.segmentsFromDocuments(docs).collect()
+      .map(r => r.getAs[Array[Byte]]("warc")).head
+    val rows = Warc.indexSegment(0L, blob)
+    assert(rows.length == 16)
+    val cut = java.util.Arrays.copyOfRange(blob, 0, rows(3).rec_offset.toInt + 10)
+    assert(Warc.indexSegment(0L, cut).length == 3)
+    val corrupt = cut.clone(); corrupt(rows(2).rec_offset.toInt) = 'X'
+    assert(Warc.indexSegment(0L, corrupt).length == 2)
+  }
+}
