@@ -1131,6 +1131,12 @@ object SparkEntry {
       // equal the batch dedup_exact answer
       pageplus.streaming.StreamingExtract.dedupExactOnce(s, dir)
     }),
+    "stream_paragraph_dedup" -> ((s, dir) =>
+      // incremental first-occurrence paragraph dedup: pages stream in, parse
+      // map-side to 8-byte phash rows, state keeps least (doc, para) + count
+      // per hash (order-free folds — equals the batch window answer under
+      // any micro-batching)
+      pageplus.streaming.StreamingExtract.paragraphDedupOnce(s, dir)),
     "stream_cross_corpus" -> ((s, dir) =>
       // stream-static twin of cross_corpus_dedup: stateless per-micro-batch
       // hash join against the static base key table — verdicts identical
@@ -2405,6 +2411,21 @@ object SparkEntry {
         |   CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first,
         |   CAST(ndups AS BIGINT) AS n_dups
         |FROM w""".stripMargin,
+    // streaming paragraph dedup drains to the distinct-paragraph grain:
+    // least (doc, para) + copy count per paragraph text (the engine keys on
+    // xxhash64 — equal barring a 64-bit collision, the dedup_exact tradeoff)
+    "stream_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, CAST((i-1)//24 AS BIGINT) AS p,
+        |             array_to_string(ws[i:i+23],' ') AS para
+        |      FROM d, UNNEST(generate_series(1, len(ws), 24)) AS t(i)),
+        |w AS (SELECT doc_id, p, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, p) AS rn,
+        |        count(*) OVER (PARTITION BY para) AS n
+        |      FROM p)
+        |SELECT 'doc://'||doc_id AS keep_url, p AS keep_para_idx,
+        |       CAST(n AS BIGINT) AS n_copies
+        |FROM w WHERE rn = 1""".stripMargin,
     // applied paragraph dedup: keep rn=1 rows, rejoin with '\n' in paragraph
     // order; docs with zero kept paragraphs drop out (GROUP BY over kept rows
     // only). Python-validated 0/499 (1 doc fully dropped) before wiring.

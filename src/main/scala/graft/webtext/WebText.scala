@@ -198,12 +198,20 @@ object WebText {
     * "duplicate" — the dedup_exact tradeoff. Boilerplate-heavy corpora make
     * hot phash keys; that skew is the same one lineDedup documents, and AQE
     * skew-split applies to the exchange. */
+  /** Narrow paragraph-grain rows for dedup: span plus 8-byte content hash,
+    * paragraph text hashed and DROPPED map-side — the pre-shuffle projection
+    * the batch window AND the streaming state op both consume. */
+  def paragraphHashRows(pages: DataFrame, saltPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    paraTextRows(pages, saltPartitions).toDF()
+      .withColumn("phash", xxhash64(col("para")))
+      .select("url", "doc_id", "para_idx", "start_off", "end_off", "phash")
+  }
+
   def paragraphDedup(pages: DataFrame, saltPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val rows = paraTextRows(pages, saltPartitions).toDF()
-      .withColumn("phash", xxhash64(col("para")))
-      .select("url", "doc_id", "para_idx", "start_off", "end_off", "phash")
+    val rows = paragraphHashRows(pages, saltPartitions)
     val byHash = Window.partitionBy("phash")
     rows
       .withColumn("rn", row_number().over(byHash.orderBy("doc_id", "para_idx")))

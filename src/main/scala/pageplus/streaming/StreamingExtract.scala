@@ -84,6 +84,44 @@ object StreamingExtract {
   /** Same lift for the HTML main-content path: generate -> parse -> block
     * score under readStream, proving every per-row extraction surface of the
     * engine is streaming-ready without code changes. */
+  /** Streaming first-occurrence PARAGRAPH dedup — the incremental form of
+    * [[graft.webtext.WebText.paragraphDedup]]: pages arrive as a stream,
+    * each parses map-side into narrow (8-byte phash, doc, para) rows
+    * (paragraph text never enters the state store), and
+    * `flatMapGroupsWithState` keeps the least (doc_id, para_idx) plus copy
+    * count per hash — ~24 bytes per DISTINCT paragraph, arrival-order
+    * independent (min and count are order-free folds), so the drained state
+    * equals the batch window answer under any micro-batching. */
+  def paragraphDedupOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val rows = graft.webtext.WebText.paragraphHashRows(
+      graft.webtext.WebText.htmlPages(
+        streamTable(spark, sfDir, "documents.parquet")).toDF(),
+      saltPartitions = spark.sparkContext.defaultParallelism)
+      .select("phash", "doc_id", "para_idx")
+      .as[(Long, Long, Long)]
+    val groups = rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Long, Long, Long)]) =>
+          var (kd, kp, n) = state.getOption.getOrElse((Long.MaxValue, Long.MaxValue, 0L))
+          it.foreach { case (_, d, p) =>
+            if (d < kd || (d == kd && p < kp)) { kd = d; kp = p }
+            n += 1
+          }
+          state.update((kd, kp, n))
+          Iterator((key, kd, kp, n))
+      }
+      .toDF("phash", "keep_doc", "keep_para", "n_copies")
+    lastUpdatePerKey(
+      drainToTable(groups, "stream_paradedup", "update", noDataBatch = false),
+      Seq("phash"), "n_copies", Seq("keep_doc", "keep_para"))
+      .select(concat(lit("doc://"), col("keep_doc")).as("keep_url"),
+        col("keep_para").as("keep_para_idx"), col("n_copies"))
+  }
+
   def htmlContentOnce(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = streamTable(spark, sfDir, "documents.parquet")
     val extracted = graft.webtext.WebText.mainContent(

@@ -993,3 +993,18 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(got("doc://2") == HtmlGen.expectedMainText(chunk("y") + " " + chunk("z")))
   }
 }
+
+class StreamParagraphDedupSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("drained streaming state equals the batch first-occurrence groups at sf0.001") {
+    val got = pageplus.streaming.StreamingExtract.paragraphDedupOnce(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch recompute from the audit surface: first rows carry the group size
+    val batch = graft.webtext.WebText.paragraphDedup(
+      graft.webtext.WebText.htmlPages(spark.read.parquet(s"$sf/documents.parquet")).toDF())
+      .collect().filter(_.getLong(4) == 1L)
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got == batch)
+  }
+}
