@@ -574,6 +574,12 @@ object SparkEntry {
     // salted FNV bucket of the doc identity — reproducible on any engine
     // (the oracle recomputes the hash), map-side, zero corpus shuffle
     "sample_mixture" -> ((s, dir) => mixtureSample(s, dir)),
+    // weighted priority sampling to an exact per-host budget (E-S shape,
+    // integer fixed-point keys); WindowGroupLimit prunes to k per partition
+    // before the host shuffle
+    "priority_sample" -> ((s, dir) =>
+      graft.textops.Curate.prioritySample(tp(s, dir, "documents"))
+        .orderBy("host", "rnk")),
     "mixture_manifest" -> ((s, dir) =>
       // the mixing run's audit table: per host, how many documents existed
       // and how many the rate kept (partial-agg rollup of sample_mixture)
@@ -955,6 +961,13 @@ object SparkEntry {
       val a = tp(s, dir, "documents")
       graft.webtext.Recrawl.delta(a, graft.webtext.Recrawl.snapshotB(a))
     }),
+    // SCD2 capture history: validity intervals [valid_from, valid_to) per
+    // (url, version) via one lead() window over the capture log — the batch
+    // materialization of the as-of lookup
+    "scd2_history" -> ((s, dir) =>
+      graft.webtext.Recrawl.scd2(
+          graft.webtext.AsofJoin.plantSnapshots(tp(s, dir, "documents")))
+        .orderBy("k", "version")),
     "host_rank" -> ((s, dir) => {
       // damped PageRank over the synthetic host graph, 3 fixed iterations in
       // integer fixed-point (rank scaled 10^6, basis-point damping) so the
@@ -1112,6 +1125,14 @@ object SparkEntry {
       graft.layout.LayoutText.extract(
         graft.layout.LayoutText.spansFromDocuments(tp(s, dir, "documents"))).toDF()
     }),
+    // ---- real PDF decode (north_rule: PDF/layout parse): deterministic
+    // uncompressed PDF 1.4 binaries -> startxref/xref/object-tree/content-
+    // stream structural parse -> positioned spans -> column-clustered reading
+    // order -> byte-identical document text; wholly map-side ----
+    "pdf_text_extract" -> ((s, dir) =>
+      graft.layout.Pdf.extractText(tp(s, dir, "documents")).toDF()),
+    "pdf_doc_stats" -> ((s, dir) =>
+      graft.layout.Pdf.docStats(tp(s, dir, "documents")).toDF().orderBy("url")),
     "lang_id" -> ((s, dir) => {
       import s.implicits._
       tp(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
@@ -2346,6 +2367,28 @@ object SparkEntry {
     "layout_reading_order" ->
       """SELECT 'doc://' || doc_id AS url, text AS extracted_text
         |FROM documents""".stripMargin,
+    // PDF decode is a bijective re-encoding of the words: the text oracle is
+    // the raw document text; the structural stats are closed-form in the word
+    // count (4 words/span, 12 lines/page, objects = catalog+pages+font+2/page,
+    // TJ for odd-indexed spans with >= 2 words)
+    "pdf_text_extract" ->
+      """SELECT 'doc://' || doc_id AS url, text AS extracted_text
+        |FROM documents""".stripMargin,
+    "pdf_doc_stats" ->
+      """WITH w AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nw FROM documents),
+        |d AS (SELECT doc_id, nw, (nw+3)//4 AS nlines FROM w),
+        |e AS (SELECT doc_id, nlines, (nlines+11)//12 AS npages, nw - 4*(nlines-1) AS lastw FROM d),
+        |f AS (SELECT doc_id, nlines, npages,
+        |        (nlines-1)//2 + CASE WHEN (nlines-1)%2=1 AND lastw>=2 THEN 1 ELSE 0 END AS nttj
+        |      FROM e)
+        |SELECT 'doc://' || doc_id AS url,
+        |  CAST(npages AS BIGINT) AS n_pages,
+        |  CAST(3 + 2*npages AS BIGINT) AS n_objects,
+        |  CAST(4 + 2*npages AS BIGINT) AS xref_size,
+        |  CAST(nlines AS BIGINT) AS n_spans,
+        |  CAST(nlines - nttj AS BIGINT) AS n_tj,
+        |  CAST(nttj AS BIGINT) AS n_ttj
+        |FROM f ORDER BY url""".stripMargin,
     // main-content byte-identity: same word-chunk reassembly as the fulltext
     // oracle, at the HTML generator's 24-word paragraph grain (typed and
     // codegen-Expression paths must produce identical bytes)
@@ -2532,6 +2575,20 @@ object SparkEntry {
     // text equality; the engine compares (xxhash64, length) content keys —
     // same classification barring a 64-bit same-length collision (the
     // dedup_exact tradeoff).
+    // scd2_history: the capture log is the planted as-of snapshot fixture;
+    // intervals are the same lead() recompute — Python-validated 999/999
+    "scd2_history" ->
+      """WITH s AS (
+        |  SELECT doc_id AS k, unnest(range(0, doc_id%3 + 1)) AS version FROM documents),
+        |t AS (SELECT k, version, 1704067200 + version*864000 + (k%97)*3600 AS t FROM s),
+        |v AS (SELECT k, version, t AS valid_from,
+        |        coalesce(lead(t) OVER (PARTITION BY k ORDER BY t), -1) AS valid_to
+        |      FROM t)
+        |SELECT k, CAST(version AS BIGINT) AS version,
+        |       CAST(valid_from AS BIGINT) AS valid_from,
+        |       CAST(valid_to AS BIGINT) AS valid_to,
+        |       CAST(CASE WHEN valid_to = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v ORDER BY k, version""".stripMargin,
     "crawl_delta" ->
       """WITH a AS (SELECT doc_id, text FROM documents),
         |b AS (SELECT doc_id, CASE WHEN doc_id%5=1 THEN text || ' updated' ELSE text END AS text
@@ -3215,6 +3272,19 @@ object SparkEntry {
     "mixture_manifest" -> MixtureRowsSql("""SELECT host, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN (h % 10000) < (doc_id%7 + 1) * 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY host""".stripMargin),
+    // priority_sample: the same FNV CTE supplies the u32 variate; the sample
+    // is recomputed bit-for-bit ((u32 << 16) // w keys, top-25 per host,
+    // doc_id tiebreak) — Python-validated 175/175 vs an independent recompute
+    "priority_sample" -> ("WITH " + FnvCte("psamp") +
+      """,
+        |p AS (SELECT k.doc_id, k.host, CAST(length(d.text) AS BIGINT) + 1 AS w,
+        |        CAST((k.h % (1::HUGEINT << 32))::BIGINT * 65536
+        |             // (CAST(length(d.text) AS BIGINT) + 1) AS BIGINT) AS priority
+        |      FROM k JOIN documents d USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority, doc_id) AS rn
+        |      FROM p)
+        |SELECT host, doc_id, w, priority, CAST(rn AS BIGINT) AS rnk
+        |FROM r WHERE rn <= 25 ORDER BY host, rnk""").stripMargin,
     // image_phash_dedup: the oracle rebuilds every pixel arithmetically
     // (generator + clamped brightness plant), the 8x8 pixel-center sample,
     // the strict x64 mean-threshold aHash, the Manku keys (same spec table

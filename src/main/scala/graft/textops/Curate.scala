@@ -189,6 +189,36 @@ object Curate {
           col("word_chars") <= lit(maxMean) * col("n_words")).cast("long"))
   }
 
+  /** Deterministic weighted priority sampling to an EXACT per-domain budget —
+    * the companion to [[sampleMixture]] when the contract is "exactly k
+    * documents per host, chosen with probability increasing in weight"
+    * (token-budgeted corpus assembly, eval-set carving). The
+    * Efraimidis-Spirakis shape: each doc draws a salted content-free variate
+    * u = fnv64(salt:id) mod 2^32 and competes with key u/w (integer
+    * fixed-point: (u << 16) / w, ties broken by doc_id) — the k SMALLEST keys
+    * per host win, so heavier documents win proportionally more often, yet
+    * the draw is a pure function of (doc key, salt): any cluster size, any
+    * engine, the oracle recomputes the sample bit-for-bit. (True E-S uses the
+    * exponential variate -ln(u)/w; the linear surrogate keeps the integer
+    * determinism contract and the same monotone weight bias.) Plan shape: the
+    * key is map-side; per-host top-k plans as WindowGroupLimit in Spark 4 —
+    * every partition pre-prunes to k rows BEFORE the host shuffle, so the
+    * exchange carries O(k * hosts * partitions) rows, never the corpus. */
+  def prioritySample(docs: DataFrame, k: Int = 25, salt: String = "psamp"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (if (text == null) 0 else text.length).toLong + 1L
+        val u32 = java.lang.Long.remainderUnsigned(TextHash.fnv64(s"$salt:$id"), 1L << 32)
+        (s"site${id % 7}.example.com", id, w, (u32 << 16) / w)
+      }.toDF("host", "doc_id", "w", "priority")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("priority"), col("doc_id"))
+    keyed.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= k.toLong)
+  }
+
   /** Deterministic stratified mixture sampling — the data-mixing stage of a
     * training pipeline: each domain (host) gets a keep RATE in basis points,
     * and a document survives iff a salted content-free hash of its identity

@@ -37,6 +37,27 @@ object Recrawl {
     recrawled.unionByName(fresh)
   }
 
+  /** SCD2 capture history — turn a capture log (k, version, t) into the
+    * slowly-changing-dimension type-2 table every warehouse keeps for a
+    * recrawled corpus: one row per version with its validity interval
+    * [valid_from, valid_to) and an is_current flag (valid_to = -1 sentinel on
+    * the open interval — table-grain rows never carry nulls into the
+    * hash-compared surface). This is the batch materialization of what
+    * [[graft.webtext.AsofJoin]] answers point-wise: an as-of lookup at time t
+    * is exactly the row with valid_from <= t < valid_to.
+    *
+    * Scale shape: one hash shuffle on the key, then a single `lead(t)` window
+    * pass per key — no self-join of captures against captures (the naive
+    * interval build), and skew is bounded by the most-recrawled single url. */
+  def scd2(snaps: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("t")
+    snaps
+      .withColumn("valid_to", coalesce(lead(col("t"), 1).over(w), lit(-1L)).cast("long"))
+      .select(col("k"), col("version").cast("long").as("version"),
+        col("t").cast("long").as("valid_from"), col("valid_to"),
+        when(col("valid_to") === -1L, 1L).otherwise(0L).as("is_current"))
+  }
+
   /** (doc_id, status) for every doc present in either snapshot. */
   def delta(a: DataFrame, b: DataFrame): DataFrame = {
     def keyed(df: DataFrame, h: String, l: String) =
