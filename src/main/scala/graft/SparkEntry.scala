@@ -1282,6 +1282,11 @@ object SparkEntry {
       // df/cf aggs share one term-grain partitioning, cap is group-limited
       graft.textops.InvertedIndex.phraseIndex(tp(s, dir, "documents")).orderBy("term")
     }),
+    // BM25 top-k retrieval over corpus-derived queries: bit-length idf,
+    // 4096-fp length norm, one corpus explode (df AND dl derived from tf),
+    // broadcast query join, WindowGroupLimit top-k
+    "bm25_topk" -> ((s, dir) =>
+      graft.textops.Bm25.topK(tp(s, dir, "documents")).orderBy("q_id", "rnk")),
     "mojibake_repair" -> ((s, dir) => {
       // ftfy-core encoding repair via the codegen Expression: mangled
       // UTF-8-as-Latin-1 prefixes recover byte-exactly, genuine Latin-1
@@ -3550,6 +3555,33 @@ object SparkEntry {
         |SELECT term, CAST(any_value(df) AS BIGINT) AS df, CAST(any_value(cf) AS BIGINT) AS cf,
         |       string_agg(CASE WHEN r <= 20 THEN doc_id || ':' || tf END, ',' ORDER BY doc_id) AS postings
         |FROM rk GROUP BY term HAVING any_value(df) >= 2""".stripMargin,
+    // bm25_topk: full integer recompute — bit-length idf surrogate, 4096-fp
+    // length norm (k1=1.2, b=0.75 in milli-units), per-term trunc division,
+    // queries = distinct first-3-word prefixes of docs 3,10,17,24,31.
+    // Python-validated 50/50 at sf0.01 AND sf0.001 (tools/bm25_check.py)
+    "bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS a FROM dl),
+        |q AS (
+        |  SELECT DISTINCT (doc_id - 3) // 7 AS q_id,
+        |         unnest(string_split(lower(text), ' ')[1:3]) AS term
+        |  FROM documents WHERE doc_id % 7 = 3 AND doc_id <= 31),
+        |sc AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    sum((length(bin(n // df)) * tf * 2200 * 4096)
+        |        // ((tf * 4096 + (1200 * (250 * 4096 + 750 * ((dl * 4096) // (a // n)))) // 1000000) * 1000)
+        |       )::BIGINT AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+        |       JOIN q USING (term)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+        |      FROM sc)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rn AS BIGINT) AS rnk, doc_id, score
+        |FROM r WHERE rn <= 10 ORDER BY q_id, rnk""".stripMargin,
     // mojibake_repair: repairing the mangled prefix must reproduce the CLEAN
     // planted prefix byte-exactly, clean accents and ASCII pass through —
     // the oracle reconstructs the expected output from the plant arithmetic

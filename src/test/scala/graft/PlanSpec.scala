@@ -460,6 +460,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected the (doc_id, term) shuffle stage to be reused by the df branch:\n$fin")
   }
 
+  test("bm25_topk: corpus explodes once (df AND dl reuse the tf exchange), query join broadcasts, top-k group-limited") {
+    val q = SparkEntry.queries("bm25_topk")(spark, sf)
+    q.queryExecution.toRdd.count() // materialize so AQE finalizes stage reuse
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly TWO explodes total: the corpus token stream and the ≤15-row
+    // query-prefix slice — a third would mean df or dl re-exploded the corpus
+    assert("Generate explode".r.findAllIn(fin).size == 2,
+      s"expected corpus + query explodes only:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"expected df/dl to reuse the (doc_id, term) tf exchange:\n$fin")
+    assert(fin.contains("BroadcastHashJoin"),
+      s"expected the query-term join to broadcast:\n$fin")
+    assert(fin.contains("WindowGroupLimit"), s"expected group-limited top-k:\n$fin")
+  }
+
   test("anchor_text_agg: single-tree plan — pages parse once (VERDICT r4 item 2)") {
     // r4 read the page-parse flatMap twice (citation floor + term counting);
     // the windowed-floor rewrite is one linear tree: one parquet scan, one

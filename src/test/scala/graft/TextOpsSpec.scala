@@ -845,6 +845,64 @@ class TfidfSpec extends AnyFunSuite {
   }
 }
 
+class Bm25Spec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.textops.Bm25
+
+  test("bm25 topK matches a driver-side integer recompute on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase)).toSeq
+    val toks = rows.map { case (i, lt) => i -> lt.split(" ", -1).toSeq }.toMap
+    val tf = toks.map { case (i, ws) =>
+      i -> ws.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val dl = toks.map { case (i, ws) => i -> ws.size.toLong }
+    val n = dl.size.toLong
+    val a = dl.values.sum
+    val avgdl = a / n
+    def blen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = (0L to 4L).flatMap { qid =>
+      val qterms = toks(qid * 7 + 3).take(3).distinct
+      val scores = tf.toSeq.flatMap { case (i, c) =>
+        val s = qterms.flatMap { t =>
+          c.get(t).map { f =>
+            val kFp = (1200L * (250L * 4096L + 750L * ((dl(i) * 4096L) / avgdl))) / 1000000L
+            (blen(n / df(t)).toLong * f * 2200L * 4096L) / ((f * 4096L + kFp) * 1000L)
+          }
+        }
+        if (s.isEmpty) None else Some(i -> s.sum)
+      }
+      scores.sortBy { case (i, s) => (-s, i) }.take(10).zipWithIndex
+        .map { case ((i, s), r0) => (qid, (r0 + 1).toLong, i, s) }
+    }.sorted
+
+    val got = Bm25.topK(docs).orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.size == 50)
+  }
+
+  test("bm25 scores rank an exact-phrase doc above a partial-match doc") {
+    import spark.implicits._
+    // doc 3 holds all three query-0 terms; every score row for q 0 must put
+    // a doc containing more distinct query terms at better-or-equal rank
+    // than one with fewer (idf*tf saturates per-term, never cross-subsidizes)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q0terms = docs.filter($"doc_id" === 3).select("text").as[String].head()
+      .toLowerCase.split(" ", -1).take(3).distinct.toSet
+    val byDoc = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (i, t) => i -> q0terms.count(t.toLowerCase.split(" ", -1).contains) }
+      .toMap
+    val top = Bm25.topK(docs).filter($"q_id" === 0).orderBy("rnk")
+      .select("doc_id").as[Long].collect()
+    assert(top.nonEmpty && byDoc(top.head) == q0terms.size,
+      s"rank-1 doc ${top.headOption} should contain all ${q0terms.size} query terms")
+  }
+}
+
 class TextNormSpec extends AnyFunSuite {
   import SparkSuite._
   import graft.textops.TextNorm
