@@ -987,6 +987,13 @@ object SparkEntry {
         graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
         .orderBy("host")
     }),
+    "hits_scores" -> ((s, dir) =>
+      // HITS hubs/authorities over the same host graph, 3 rounds of integer
+      // fixed-point with max-norm renormalization — the link-farm/authority
+      // separator PageRank can't provide; unrolled-CTE oracle bit-for-bit
+      graft.webtext.Hits.hubsAuths(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
+        .orderBy("host")),
     "crawl_budget" -> ((s, dir) => {
       // rank-proportional fetch-slot allocation composed on host_rank's
       // fixed-point output: budget = (rank * 10^6) div sum(rank); the 1-row
@@ -1678,6 +1685,37 @@ object SparkEntry {
          |       FROM nodes n LEFT JOIN (
          |         SELECT e.dst AS host, sum((r${k - 1}.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
          |         FROM e JOIN ow USING (src) JOIN r${k - 1} ON r${k - 1}.host = e.src GROUP BY e.dst) s USING (host))""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iters
+  }
+
+  /** Unrolled HITS CTE chain over the synthetic host graph (same edge recipe
+    * as hostRankCtes): per round k, auth half (hub-weighted in-edge sum,
+    * max-renormalized with one trunc division) then hub half symmetrically.
+    * Python-validated 7/7 at sf0.01 and sf0.001 (tools/hits_check.py). */
+  private def hitsCtes(rounds: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM e0 GROUP BY src, dst),
+        |nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (SELECT host, 1000000 AS hub FROM nodes)""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      s"""a${k}r AS MATERIALIZED (SELECT e.dst AS host, sum(h${k - 1}.hub * e.weight) AS raw
+         |  FROM e JOIN h${k - 1} ON h${k - 1}.host = e.src GROUP BY e.dst),
+         |a$k AS MATERIALIZED (SELECT n.host, coalesce((a${k}r.raw * 1000000) // (SELECT max(raw) FROM a${k}r), 0) AS auth
+         |  FROM nodes n LEFT JOIN a${k}r USING (host)),
+         |h${k}r AS MATERIALIZED (SELECT e.src AS host, sum(a$k.auth * e.weight) AS raw
+         |  FROM e JOIN a$k ON a$k.host = e.dst GROUP BY e.src),
+         |h$k AS MATERIALIZED (SELECT n.host, coalesce((h${k}r.raw * 1000000) // (SELECT max(raw) FROM h${k}r), 0) AS hub
+         |  FROM nodes n LEFT JOIN h${k}r USING (host))""".stripMargin
     }.mkString(",\n")
     head + ",\n" + iters
   }
@@ -2617,6 +2655,11 @@ object SparkEntry {
     // same SQL matches at any sf converging within 40 (measured 28-29).
     "host_rank_converged" ->
       (hostRankCtes(40) + "\nSELECT host, CAST(rank AS BIGINT) AS rank FROM r40 ORDER BY host"),
+    // hits_scores: unrolled auth/hub half-round CTEs, integer max-norm
+    "hits_scores" ->
+      (hitsCtes(3) +
+        "\nSELECT host, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth" +
+        "\nFROM h3 JOIN a3 USING (host) ORDER BY host"),
     // crawl_budget: host_rank's CTE chain + a one-line budget split —
     // floor((rank * 10^6) / sum(rank)), all non-negative so // matches div
     "crawl_budget" ->

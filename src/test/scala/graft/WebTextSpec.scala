@@ -449,6 +449,76 @@ class HostRankSpec extends AnyFunSuite {
   }
 }
 
+class HitsSpec extends AnyFunSuite {
+  import SparkSuite._
+  import org.apache.spark.sql.functions._
+  import graft.webtext.{Hits, HostRank}
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def edgeWeights: Map[(Long, Long), Long] = {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (i <- ids) {
+      w((i % 7, (2 * i + 1) % 7)) += 1
+      if (i % 3 == 0) w((i % 7, (3 * i + 2) % 7)) += 1
+      if (i % 5 < 2) w((i % 7, 0L)) += 1
+    }
+    w.toMap
+  }
+
+  test("hubsAuths matches a driver-side integer recompute on the sf0.001 graph") {
+    val w = edgeWeights
+    val scale = 1000000L
+    var hub = (0L until 7L).map(h => h -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val ar = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (((s0, d), wt) <- w) ar(d) += hub(s0) * wt
+      val amx = ar.values.max
+      auth = (0L until 7L).map(h => h -> (if (ar.contains(h)) ar(h) * scale / amx else 0L)).toMap
+      val hr = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (((s0, d), wt) <- w) hr(s0) += auth(d) * wt
+      val hmx = hr.values.max
+      hub = (0L until 7L).map(h => h -> (if (hr.contains(h)) hr(h) * scale / hmx else 0L)).toMap
+    }
+    val expected = (0L until 7L)
+      .map(h => (s"site$h.example.com", hub(h), auth(h))).sortBy(_._1)
+
+    val got = Hits.hubsAuths(HostRank.hostEdges(docs)).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // max-norm contract: some host pins each score family at exactly scale
+    assert(got.map(_._2).max == 1000000L && got.map(_._3).max == 1000000L)
+    // the hub-edge plant makes site0 the top authority (every id%5<2 doc
+    // endorses it) — HITS must separate it from its merely-average hub score
+    val site0 = got.find(_._1 == "site0.example.com").get
+    assert(site0._3 == 1000000L, s"site0 should be the max authority: $got")
+  }
+
+  test("hubsAuths zeroes the missing side: a pure-sink node gets hub 0, a pure-source auth 0") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("c", "b", 2L))
+      .toDF("src", "dst", "weight")
+    val got = Hits.hubsAuths(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got.find(_._1 == "b").get._2 == 0L, s"sink b must have hub 0: $got")
+    assert(got.find(_._1 == "a").get._3 == 0L, s"source a must have auth 0: $got")
+    // a is the only hub feeding the max authority path at weight 3
+    assert(got.find(_._1 == "a").get._2 == 1000000L, s"a is the top hub: $got")
+    assert(got.forall(r => r._2 <= 1000000L && r._3 <= 1000000L))
+  }
+
+  test("20-round hubsAuths plans in constant depth (lineage truncated every round)") {
+    val ha20 = Hits.hubsAuths(HostRank.hostEdges(docs), iters = 20)
+    val plan = ha20.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"expected checkpoint-truncated lineage in:\n$plan")
+    assert(plan.length < 200000, s"plan blew up to ${plan.length} chars")
+    val mx = ha20.agg(max("hub"), max("auth")).collect()(0)
+    assert(mx.getLong(0) == 1000000L && mx.getLong(1) == 1000000L)
+  }
+}
+
 class RecrawlSpec extends AnyFunSuite {
   import SparkSuite._
   import graft.webtext.Recrawl
