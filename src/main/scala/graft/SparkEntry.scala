@@ -1289,6 +1289,13 @@ object SparkEntry {
       // df/cf aggs share one term-grain partitioning, cap is group-limited
       graft.textops.InvertedIndex.phraseIndex(tp(s, dir, "documents")).orderBy("term")
     }),
+    // containment near-dup (Broder's asymmetric twin of Jaccard): bottom-k
+    // KMV sketch candidates with a hot-bucket cap, exact hash-array verify —
+    // flags the planted predecessor-quote docs as subset duplicates
+    "containment_dedup" -> ((s, dir) =>
+      graft.textops.Containment.containmentPairs(
+          graft.textops.Containment.plantQuotes(tp(s, dir, "documents")))
+        .orderBy("a", "b")),
     // BM25 top-k retrieval over corpus-derived queries: bit-length idf,
     // 4096-fp length norm, one corpus explode (df AND dl derived from tf),
     // broadcast query join, WindowGroupLimit top-k
@@ -3598,6 +3605,40 @@ object SparkEntry {
         |SELECT term, CAST(any_value(df) AS BIGINT) AS df, CAST(any_value(cf) AS BIGINT) AS cf,
         |       string_agg(CASE WHEN r <= 20 THEN doc_id || ':' || tf END, ',' ORDER BY doc_id) AS postings
         |FROM rk GROUP BY term HAVING any_value(df) >= 2""".stripMargin,
+    // containment_dedup: the oracle recomputes the ENTIRE approximate
+    // pipeline bit-for-bit — FNV-1a gram keys (63-bit masked, ASCII fold),
+    // bottom-6 sketch probed into the FULL gram index (the asymmetric
+    // candidate rule), ≤64-doc key cap, exact list_intersect verify.
+    // Python-validated 81/81 pairs at sf0.01, 87/87 at sf0.001, all 56
+    // planted quote pairs surfaced (tools/containment_check.py)
+    "containment_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |p AS (SELECT b.doc_id,
+        |        CASE WHEN b.doc_id%9=2 AND pv.text IS NOT NULL THEN pv.text || ' ' || b.text ELSE b.text END AS text
+        |      FROM base b LEFT JOIN base pv ON pv.doc_id = b.doc_id - 1),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM p),
+        |gt AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+4],' ') for i in range(1, len(ws)-3)]) AS grams
+        |       FROM w WHERE len(ws) >= 5),
+        |g AS (SELECT doc_id, list_sort(list_distinct(
+        |        [ (list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |             [unicode(c)::HUGEINT for c in string_split(x,'')]),
+        |             (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT<<64))
+        |            % (1::HUGEINT<<63))::BIGINT
+        |          for x in grams ])) AS gh
+        |      FROM gt),
+        |ge AS (SELECT doc_id, unnest(gh) AS s FROM g),
+        |sk AS (SELECT doc_id, unnest(gh[1:6]) AS s FROM g),
+        |ok AS (SELECT s FROM ge GROUP BY s HAVING count(*) <= 64),
+        |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS a, greatest(x.doc_id, y.doc_id) AS b
+        |         FROM sk x JOIN ok USING (s) JOIN ge y ON x.s = y.s AND x.doc_id <> y.doc_id),
+        |v AS (SELECT c.a, c.b,
+        |        CAST(len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS inter,
+        |        CAST(len(ga.gh) AS BIGINT) AS na, CAST(len(gb.gh) AS BIGINT) AS nb
+        |      FROM cand c JOIN g ga ON ga.doc_id=c.a JOIN g gb ON gb.doc_id=c.b)
+        |SELECT a, b, inter, na, nb,
+        |       (inter*10000)//na AS cont_a, (inter*10000)//nb AS cont_b,
+        |       CAST(CASE WHEN inter*10 >= na*9 OR inter*10 >= nb*9 THEN 1 ELSE 0 END AS BIGINT) AS contained
+        |FROM v ORDER BY a, b""".stripMargin,
     // bm25_topk: full integer recompute — bit-length idf surrogate, 4096-fp
     // length norm (k1=1.2, b=0.75 in milli-units), per-term trunc division,
     // queries = distinct first-3-word prefixes of docs 3,10,17,24,31.

@@ -845,6 +845,90 @@ class TfidfSpec extends AnyFunSuite {
   }
 }
 
+class ContainmentSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.textops.{Containment, TextHash}
+
+  private val W = 5
+  private val MASK = Long.MaxValue
+
+  test("containmentPairs matches a driver-side recompute of the full KMV pipeline on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val planted = rows.map { case (id, t) =>
+      id -> (if (id % 9 == 2 && rows.contains(id - 1)) rows(id - 1) + " " + t else t)
+    }
+    val gh = planted.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < W) None
+      else Some(id -> (0 to ws.length - W)
+        .map(i => TextHash.fnv64(ws.slice(i, i + W).mkString(" ")) & MASK)
+        .distinct.sorted.toVector)
+    }
+    val full = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    for ((id, keys) <- gh; s <- keys) full(s) ::= id
+    val cand = (for {
+      (id, keys) <- gh.toSeq
+      s <- keys.take(6)
+      ds = full(s) if ds.size <= 64
+      other <- ds if other != id
+    } yield (math.min(id, other), math.max(id, other))).toSet
+    val expected = cand.toSeq.sorted.map { case (a, b) =>
+      val (sa, sb) = (gh(a).toSet, gh(b).toSet)
+      val inter = (sa & sb).size.toLong
+      val (na, nb) = (sa.size.toLong, sb.size.toLong)
+      (a, b, inter, na, nb, inter * 10000L / na, inter * 10000L / nb,
+        if (inter * 10 >= na * 9 || inter * 10 >= nb * 9) 1L else 0L)
+    }
+
+    val got = Containment.containmentPairs(Containment.plantQuotes(docs))
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // every surfaced planted pair (id-1 quoted inside id) is PERFECT
+    // containment of the smaller doc: cont_a == 10000 exactly
+    val plantedGot = got.filter { case (a, b, _, _, _, _, _, _) => b == a + 1 && b % 9 == 2 }
+    assert(plantedGot.nonEmpty, "the sketch surfaced no planted quote pairs")
+    assert(plantedGot.forall(_._6 == 10000L),
+      s"quoted docs must be fully contained: ${plantedGot.filter(_._6 != 10000L)}")
+  }
+
+  test("containment flags a subset duplicate that Jaccard dilutes below threshold") {
+    import spark.implicits._
+    // A = 40 distinct-gram words, B = A ++ 160 more: containment(A→B) = 1,
+    // Jaccard = |A|/|B| ≈ 0.2 — the exact case union-based dedup misses
+    val wordsA = (0 until 40).map(i => s"alpha$i")
+    val wordsB = wordsA ++ (0 until 160).map(i => s"beta$i")
+    val docs = Seq((100L, wordsA.mkString(" ")), (200L, wordsB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Containment.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(7)))
+    assert(got.length == 1)
+    val (a, b, contA, contained) = got.head
+    assert((a, b) == (100L, 200L) && contA == 10000L && contained == 1L)
+    // and the union-denominator score really is far below the 0.9 bar
+    val inter = 40 - W + 1 + 0L // grams of A (36), all shared
+    val un = (40 - W + 1) + (200 - W + 1) - inter
+    assert(inter * 10 < un * 9)
+  }
+
+  test("hot-bucket cap drops pair generation from oversize buckets") {
+    import spark.implicits._
+    // 70 docs sharing one identical text: every sketch bucket holds 70 > 64
+    // docs, so the cap must yield ZERO candidate pairs (the LSH skew guard)
+    val docs = (0L until 70L).map(i => (i, (0 until 20).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Containment.containmentPairs(docs).count() == 0L)
+    // while 3 such docs pair up fine
+    val small = (0L until 3L).map(i => (i, (0 until 20).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Containment.containmentPairs(small).count() == 3L)
+  }
+}
+
 class Bm25Spec extends AnyFunSuite {
   import SparkSuite._
   import graft.textops.Bm25
