@@ -1138,6 +1138,10 @@ object SparkEntry {
     // order -> byte-identical document text; wholly map-side ----
     "pdf_text_extract" -> ((s, dir) =>
       graft.layout.Pdf.extractText(tp(s, dir, "documents")).toDF()),
+    // same decode pipeline through /Filter /FlateDecode content streams
+    // (JDK DEFLATE round-trip) — the compressed form real PDFs take
+    "pdf_flate_extract" -> ((s, dir) =>
+      graft.layout.Pdf.extractText(tp(s, dir, "documents"), compress = true).toDF()),
     "pdf_doc_stats" -> ((s, dir) =>
       graft.layout.Pdf.docStats(tp(s, dir, "documents")).toDF().orderBy("url")),
     "lang_id" -> ((s, dir) => {
@@ -2422,6 +2426,10 @@ object SparkEntry {
     // count (4 words/span, 12 lines/page, objects = catalog+pages+font+2/page,
     // TJ for odd-indexed spans with >= 2 words)
     "pdf_text_extract" ->
+      """SELECT 'doc://' || doc_id AS url, text AS extracted_text
+        |FROM documents""".stripMargin,
+    // flate round-trip must be text-transparent: same byte-identity oracle
+    "pdf_flate_extract" ->
       """SELECT 'doc://' || doc_id AS url, text AS extracted_text
         |FROM documents""".stripMargin,
     "pdf_doc_stats" ->

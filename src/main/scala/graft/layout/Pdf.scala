@@ -8,8 +8,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * (north_rule: "PDF/layout parse").
   *
   * [[LayoutText]] covers the layout-analysis half over a span table; this
-  * module makes the *decoder* half real. Uncompressed PDF needs no codec
-  * library: the renderer emits byte-exact PDF 1.4 (catalog / pages tree /
+  * module makes the *decoder* half real. No external codec library is
+  * needed: uncompressed streams are plain bytes and /FlateDecode (the filter
+  * virtually every real PDF uses) is the JDK's java.util.zip DEFLATE. The
+  * renderer emits byte-exact PDF 1.4 (catalog / pages tree /
   * font / per-page content streams, an xref table whose 20-byte entries carry
   * the true byte offset of every object, and a startxref trailer), and the
   * parser is a genuine structural reader — it locates the xref from the file
@@ -99,10 +101,42 @@ object Pdf {
     sb.toString
   }
 
-  /** Deterministic uncompressed PDF 1.4 bytes for one document. Objects:
-    * 1 catalog, 2 pages tree, 3 font, then (page, contents) pairs; xref
-    * entries are exactly 20 bytes and carry true offsets. */
-  def render(docId: Long, text: String): Array[Byte] = {
+  /** zlib-wrap `data` (RFC 1950/1951 via java.util.zip, the JDK's DEFLATE —
+    * no external codec). Fixed level so a given input always compresses to
+    * the same bytes within a run; correctness never depends on the
+    * compressed image, only on round-tripping through [[inflate]]. */
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inverse of [[deflate]]; throws on corrupt or truncated streams. */
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(false)
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+    val buf = new Array[Byte](4096)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || !inf.needsInput(), "truncated FlateDecode stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Deterministic PDF 1.4 bytes for one document. Objects: 1 catalog,
+    * 2 pages tree, 3 font, then (page, contents) pairs; xref entries are
+    * exactly 20 bytes and carry true offsets. With `compress` the content
+    * streams are /Filter /FlateDecode (the form virtually every real PDF
+    * takes); the structural layout, object numbering, and xref discipline
+    * are identical — only stream bytes and offsets change. */
+  def render(docId: Long, text: String, compress: Boolean = false): Array[Byte] = {
     val url = s"doc://$docId"
     val placed = place(text)
     val nPages = placed.map(_.page).max + 1
@@ -116,7 +150,12 @@ object Pdf {
       objs += ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * p} 0 R >>")
       val st = contentStream(url, pg)
-      objs += s"<< /Length ${st.length} >>\nstream\n$st\nendstream"
+      if (compress) {
+        val z = deflate(st.getBytes(Iso))
+        objs += (s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n" +
+          new String(z, Iso) + "\nendstream")
+      } else
+        objs += s"<< /Length ${st.length} >>\nstream\n$st\nendstream"
     }
     val bodies = objs.result()
     val sb = new StringBuilder
@@ -374,8 +413,14 @@ object Pdf {
     val spans = Vector.newBuilder[Span]
     kids.zipWithIndex.foreach { case (kid, pageNo) =>
       val page = asDict(load(kid)._1)
-      val data = load(asRef(page("Contents")))._2
+      val (cv, rawOpt) = load(asRef(page("Contents")))
+      val raw = rawOpt
         .getOrElse(throw new IllegalArgumentException(s"page $pageNo has no content stream"))
+      val data = asDict(cv).get("Filter") match {
+        case Some(PName("FlateDecode")) => inflate(raw)
+        case Some(other) => throw new IllegalArgumentException(s"unsupported /Filter $other")
+        case None => raw
+      }
       val (ss, tj, ttj) = contentSpans(url, pageNo, data)
       spans ++= ss; nTj += tj; nTtj += ttj
     }
@@ -398,13 +443,14 @@ object Pdf {
                             n_spans: Long, n_tj: Long, n_ttj: Long)
 
   /** documents -> (url, extracted_text) via render -> structural parse ->
-    * layout reconstruction, wholly map-side (no shuffle). */
-  def extractText(docs: DataFrame): Dataset[Extracted] = {
+    * layout reconstruction, wholly map-side (no shuffle). `compress` runs
+    * the identical pipeline through /FlateDecode content streams. */
+  def extractText(docs: DataFrame, compress: Boolean = false): Dataset[Extracted] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
       val url = s"doc://$id"
-      val doc = parse(url, render(id, text))
+      val doc = parse(url, render(id, text, compress))
       Extracted(url, readingOrderText(doc.spans))
     }
   }
