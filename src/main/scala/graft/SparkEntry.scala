@@ -1169,6 +1169,12 @@ object SparkEntry {
       // per hash (order-free folds — equals the batch window answer under
       // any micro-batching)
       pageplus.streaming.StreamingExtract.paragraphDedupOnce(s, dir)),
+    "stream_scd2_history" -> ((s, dir) =>
+      // incremental SCD2: state = open interval per key only (16 bytes);
+      // closures + fresh opens stream out, last-write-wins per (k, version)
+      // collapses the update log — equals the batch lead() answer
+      pageplus.streaming.StreamingExtract.scd2Once(s, dir)
+        .orderBy("k", "version")),
     "stream_cross_corpus" -> ((s, dir) =>
       // stream-static twin of cross_corpus_dedup: stateless per-micro-batch
       // hash join against the static base key table — verdicts identical
@@ -1699,6 +1705,21 @@ object SparkEntry {
     }.mkString(",\n")
     head + ",\n" + iters
   }
+
+  /** SCD2 oracle over the planted capture log — shared by the batch query
+    * and its streaming twin (both must produce the same dimension table). */
+  private val Scd2Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id AS k, unnest(range(0, doc_id%3 + 1)) AS version FROM documents),
+      |t AS (SELECT k, version, 1704067200 + version*864000 + (k%97)*3600 AS t FROM s),
+      |v AS (SELECT k, version, t AS valid_from,
+      |        coalesce(lead(t) OVER (PARTITION BY k ORDER BY t), -1) AS valid_to
+      |      FROM t)
+      |SELECT k, CAST(version AS BIGINT) AS version,
+      |       CAST(valid_from AS BIGINT) AS valid_from,
+      |       CAST(valid_to AS BIGINT) AS valid_to,
+      |       CAST(CASE WHEN valid_to = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM v ORDER BY k, version""".stripMargin
 
   /** Unrolled HITS CTE chain over the synthetic host graph (same edge recipe
     * as hostRankCtes): per round k, auth half (hub-weighted in-edge sum,
@@ -2634,19 +2655,10 @@ object SparkEntry {
     // same classification barring a 64-bit same-length collision (the
     // dedup_exact tradeoff).
     // scd2_history: the capture log is the planted as-of snapshot fixture;
-    // intervals are the same lead() recompute — Python-validated 999/999
-    "scd2_history" ->
-      """WITH s AS (
-        |  SELECT doc_id AS k, unnest(range(0, doc_id%3 + 1)) AS version FROM documents),
-        |t AS (SELECT k, version, 1704067200 + version*864000 + (k%97)*3600 AS t FROM s),
-        |v AS (SELECT k, version, t AS valid_from,
-        |        coalesce(lead(t) OVER (PARTITION BY k ORDER BY t), -1) AS valid_to
-        |      FROM t)
-        |SELECT k, CAST(version AS BIGINT) AS version,
-        |       CAST(valid_from AS BIGINT) AS valid_from,
-        |       CAST(valid_to AS BIGINT) AS valid_to,
-        |       CAST(CASE WHEN valid_to = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM v ORDER BY k, version""".stripMargin,
+    // intervals are the same lead() recompute — Python-validated 999/999.
+    // The streaming twin must converge to the identical dimension table.
+    "scd2_history" -> Scd2Sql,
+    "stream_scd2_history" -> Scd2Sql,
     "crawl_delta" ->
       """WITH a AS (SELECT doc_id, text FROM documents),
         |b AS (SELECT doc_id, CASE WHEN doc_id%5=1 THEN text || ' updated' ELSE text END AS text

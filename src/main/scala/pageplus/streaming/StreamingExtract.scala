@@ -130,6 +130,51 @@ object StreamingExtract {
     drainToTable(extracted, "stream_html", "append")
   }
 
+  /** Streaming SCD2 — the incremental twin of [[graft.webtext.Recrawl.scd2]]:
+    * capture rows (k, version, t) arrive as a stream and
+    * `flatMapGroupsWithState` maintains ONLY the open interval per key
+    * (16 bytes: current version + valid_from — never the history, which has
+    * already been emitted). Each new capture emits the closure of the
+    * previous current row ([from, t), is_current 0) and a fresh open row
+    * ([t, -1), is_current 1); the update-mode sink's append log is collapsed
+    * by last-write-wins per (k, version), where "last" = max(valid_to) —
+    * the -1 open sentinel loses to any later closure, exactly the upsert a
+    * real SCD2 dimension table performs. Within a micro-batch captures fold
+    * in (t, version) order; across batches the state assumes time-ordered
+    * arrival per key (the sessionize caveat — a deployment would buffer
+    * within the watermark). With the one-shot AvailableNow drain used here
+    * the result equals the batch lead() answer exactly. */
+  def scd2Once(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val snaps = graft.webtext.AsofJoin.plantSnapshots(
+        streamTable(spark, sfDir, "documents.parquet"))
+      .select("k", "version", "t").as[(Long, Long, Long)]
+    val hist = snaps.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, it, state: GroupState[(Long, Long)]) =>
+          val out = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+          var cur = state.getOption
+          it.toSeq.sortBy { case (_, v, t) => (t, v) }.foreach { case (_, v, t) =>
+            cur.foreach { case (cv, cf) => out += ((k, cv, cf, t, 0L)) }
+            cur = Some((v, t))
+          }
+          cur.foreach { case (cv, cf) =>
+            state.update((cv, cf))
+            out += ((k, cv, cf, -1L, 1L))
+          }
+          out.result().iterator
+      }
+      .toDF("k", "version", "valid_from", "valid_to", "is_current")
+    lastUpdatePerKey(
+      drainToTable(hist, "stream_scd2", "update", noDataBatch = false),
+      Seq("k", "version"), "valid_to", Seq("valid_from", "is_current"))
+      .select(col("k"), col("version"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
+
   /** Stateful gap-based sessionization under Structured Streaming:
     * `flatMapGroupsWithState` carries (lastSec, nSessions, nEvents) per user —
     * the custom-state operator surface (KeyValueGroupedDataset) the window

@@ -1078,3 +1078,30 @@ class StreamParagraphDedupSpec extends AnyFunSuite {
     assert(got == batch)
   }
 }
+
+class StreamScd2Spec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("drained streaming SCD2 equals the batch lead() dimension table at sf0.001") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = pageplus.streaming.StreamingExtract.scd2Once(spark, sf)
+      .collect().map(key).toSet
+    val batch = graft.webtext.Recrawl.scd2(
+        graft.webtext.AsofJoin.plantSnapshots(spark.read.parquet(s"$sf/documents.parquet")))
+      .collect().map(key).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // state discipline: exactly one open interval per key, and every closed
+    // interval's valid_to equals the next version's valid_from (chained)
+    val byK = got.groupBy(_._1)
+    byK.foreach { case (k, rows) =>
+      assert(rows.count(_._4 == -1L) == 1, s"key $k must have one open interval")
+      val sorted = rows.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3, s"key $k interval chain broken")
+        case _ => ()
+      }
+    }
+  }
+}
