@@ -915,6 +915,14 @@ object SparkEntry {
       graft.webtext.Warc.extractFromSegments(
         graft.webtext.Warc.segmentsFromDocuments(tp(s, dir, "documents"))).toDF()
     }),
+    "wet_extract" -> ((s, dir) =>
+      // WARC -> WET conversion segments (the .warc.wet derived artifact) ->
+      // read BACK with the same walker: one fused parse+extract+re-emit pass
+      // per segment, no shuffle; dates ride as ISO strings end-to-end
+      graft.webtext.Warc.wetParse(
+        graft.webtext.Warc.wetSegments(
+          graft.webtext.Warc.segmentsFromDocuments(tp(s, dir, "documents"))))
+        .toDF().orderBy("url")),
     "cdx_index" -> ((s, dir) =>
       // CDX capture index (the Common-Crawl index artifact): per-record byte
       // offset + total length inside its WARC segment, so a fetcher can
@@ -2568,6 +2576,20 @@ object SparkEntry {
     // from doc_id arithmetic (make_timestamp is NTZ in DuckDB — the strftime
     // render is TZ-invariant, verified under Asia/Kolkata + America/New_York)
     "warc_extract" -> HtmlMainOracleSql,
+    // wet_extract: WET rows reconstructed in closed form — the payload is
+    // html_main_content's 24-word rechunk (same char count as the raw text,
+    // ASCII, so content_length = its length), the date is the response
+    // record's ISO render of doc_id*3600s
+    "wet_extract" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       strftime(make_timestamp(doc_id*3600*1000000), '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+        |       CAST(length(extracted_text) AS BIGINT) AS content_length,
+        |       extracted_text
+        |FROM (SELECT doc_id,
+        |        array_to_string([array_to_string(words[i:i+23], ' ')
+        |                         for i in range(1, len(words)+1, 24)], chr(10)) AS extracted_text
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |ORDER BY url""".stripMargin,
     // cdx_index: every byte offset recomputed from the generator's
     // closed-form page-length model — skeleton constants measured from the
     // builder literals, label pools as CASE tables, paragraph markup overhead

@@ -37,14 +37,15 @@ object Warc {
   def warcDate(epochMs: Long): String =
     DateFmt.format(java.time.Instant.ofEpochMilli(epochMs))
 
-  /** One WARC/1.0 response record: version line, named headers, blank line,
-    * payload, CRLF CRLF separator. */
-  def record(url: String, epochMs: Long, payload: Array[Byte]): Array[Byte] = {
+  /** One WARC/1.0 record with explicit type + ISO date: version line, named
+    * headers, blank line, payload, CRLF CRLF separator. */
+  private def recordBytes(warcType: String, url: String, dateIso: String,
+                          payload: Array[Byte]): Array[Byte] = {
     val header =
       "WARC/1.0\r\n" +
-        "WARC-Type: response\r\n" +
+        s"WARC-Type: $warcType\r\n" +
         s"WARC-Target-URI: $url\r\n" +
-        s"WARC-Date: ${warcDate(epochMs)}\r\n" +
+        s"WARC-Date: $dateIso\r\n" +
         s"Content-Length: ${payload.length}\r\n" +
         "\r\n"
     val hb = header.getBytes(UTF_8)
@@ -55,6 +56,10 @@ object Warc {
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out
   }
+
+  /** One WARC/1.0 response record. */
+  def record(url: String, epochMs: Long, payload: Array[Byte]): Array[Byte] =
+    recordBytes("response", url, warcDate(epochMs), payload)
 
   /** documents -> (segment_id, warc): `perSegment` records per blob in
     * doc_id order (doc_id / perSegment buckets). The groupByKey shuffle is
@@ -164,6 +169,50 @@ object Warc {
     import spark.implicits._
     parse(segments.toDF()).map(r =>
       WarcExtracted(r.url, MainContent.extract(new String(r.html, UTF_8))))
+  }
+
+  /** WARC response segments -> WET conversion segments — the Common-Crawl
+    * derived artifact (`.warc.wet`) every text pipeline actually consumes:
+    * one `WARC-Type: conversion` record per response, payload = the
+    * boilerplate-stripped main-content text, `WARC-Date` copied verbatim
+    * from the source record (string-carried, never parsed into a zoned
+    * type). Framing is identical to the response form, so ONE walker
+    * ([[parseSegment]]) reads both formats and inherits the damage-stops
+    * degrade contract.
+    *
+    * Scale shape: mapPartitions at segment grain — parse, extract, and
+    * re-emit fuse into one pass per blob with no shuffle anywhere; output
+    * segments are text-sized (≪ input), which is exactly why crawls ship
+    * WET next to WARC. */
+  def wetSegments(segments: DataFrame): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select("segment_id", "warc").as[(Long, Array[Byte])]
+      .map { case (seg, blob) =>
+        val recs = parseSegment(seg, blob)
+        val parts = recs.map { r =>
+          val text = MainContent.extract(new String(r.html, UTF_8))
+          recordBytes("conversion", r.url, r.warc_date, text.getBytes(UTF_8))
+        }
+        val buf = new Array[Byte](parts.iterator.map(_.length).sum)
+        var off = 0
+        parts.foreach { p => System.arraycopy(p, 0, buf, off, p.length); off += p.length }
+        (seg, buf)
+      }
+      .toDF("segment_id", "wet")
+  }
+
+  final case class WetRecord(url: String, warc_date: String,
+                             content_length: Long, extracted_text: String)
+
+  /** Read WET segments back: same walker, payload decoded as UTF-8 text. */
+  def wetParse(wets: DataFrame): Dataset[WetRecord] = {
+    val spark = wets.sparkSession
+    import spark.implicits._
+    wets.select("segment_id", "wet").as[(Long, Array[Byte])]
+      .flatMap { case (seg, blob) => parseSegment(seg, blob) }
+      .map(r => WetRecord(r.url, r.warc_date, r.content_length,
+        new String(r.html, UTF_8)))
   }
 
   final case class CdxRow(url: String, segment_id: Long, rec_ord: Long,

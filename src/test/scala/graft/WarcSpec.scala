@@ -66,6 +66,35 @@ class WarcSpec extends AnyFunSuite {
     assert(stats.values.sum == n)
     assert(stats.keySet == (0L until ((n + 15) / 16).toLong).toSet)
   }
+
+  test("WET conversion: records carry the extracted text, conversion type, and the source date") {
+    import SparkSuite._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val segs = Warc.segmentsFromDocuments(docs)
+    val wet = Warc.wetSegments(segs)
+    // segment blobs are marked as conversions and shed the HTML chrome
+    val blob = new String(wet.orderBy("segment_id").limit(1)
+      .collect()(0).getAs[Array[Byte]]("wet"), UTF_8)
+    assert(blob.contains("WARC-Type: conversion") && !blob.contains("WARC-Type: response"))
+    assert(!blob.contains("<html") && !blob.contains("<nav"))
+    // read-back equals the direct extraction, dates copied from the response
+    val got = Warc.wetParse(wet).collect()
+      .map(r => r.url -> ((r.warc_date, r.content_length, r.extracted_text))).toMap
+    val direct = SparkEntry.queries("html_main_content")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == direct.size)
+    direct.foreach { case (url, text) =>
+      val (d, cl, t) = got(url)
+      assert(t == text, s"$url text")
+      assert(cl == text.getBytes(UTF_8).length.toLong, s"$url length")
+      val id = url.stripPrefix("doc://").toLong
+      assert(d == Warc.warcDate(id * 3600 * 1000L), s"$url date")
+    }
+    // WET is smaller than WARC (that's its reason to exist)
+    val warcBytes = segs.collect().map(_.getAs[Array[Byte]]("warc").length.toLong).sum
+    val wetBytes = wet.collect().map(_.getAs[Array[Byte]]("wet").length.toLong).sum
+    assert(wetBytes < warcBytes)
+  }
 }
 
 class CdxSpec extends AnyFunSuite {
