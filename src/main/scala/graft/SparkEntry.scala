@@ -812,6 +812,17 @@ object SparkEntry {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
       graft.textops.Ann.bruteForceTopK(emb, queries, k = 5)
     }),
+    "contrastive_pairs" -> ((s, dir) => {
+      // hard-negative mining over the twin-planted corpus: rank-1 non-dup =
+      // positive, next 5 = hard negatives; anchor near-dups (the planted
+      // exact twins) excluded by the integer rational cosine and reported
+      // as role='dup' audit rows
+      val emb = graft.textops.Ann.plantedEmbeddings(tp(s, dir, "embeddings"))
+      val anchors = emb.orderBy("vec_id").limit(5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      graft.textops.Ann.hardNegatives(emb, anchors, k = 6)
+        .orderBy("query_id", "rank", "neighbor_id")
+    }),
     // ANN LSH/IVF stay genuinely approximate; the oracle recomputes the SAME
     // approximate algorithm bit-for-bit (integer fixed-point bucketing /
     // assignment — see Ann scaladoc) and the `hit` flag is the recall join
@@ -2934,6 +2945,37 @@ object SparkEntry {
         |                                     e.vec_id) AS rank
         |  FROM q, embeddings e WHERE e.vec_id != q.query_id)
         |WHERE rank <= 5""".stripMargin,
+    // contrastive_pairs: ranking by exact double cosine (the ann_bruteforce
+    // contract), dup exclusion by integer rational cosine over trunc(x*4096)
+    // quantized vectors in HUGEINT — Python-validated 35/35 rows with 5 dup
+    // exclusions at sf0.01 and sf0.001 (tools/contrastive_check.py)
+    "contrastive_pairs" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         [trunc(x*4096)::BIGINT for x in CAST(embedding AS DOUBLE[])] AS q
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v,
+        |         [trunc(x*4096)::BIGINT for x in CAST(embedding AS DOUBLE[])] AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq FROM all_v ORDER BY vec_id LIMIT 5),
+        |p AS (
+        |  SELECT qs.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(qs.qv, e.v) AS rawsim,
+        |         list_sum([qs.qq[d] * e.q[d] for d in range(1, len(e.q)+1)])::HUGEINT AS dot,
+        |         list_sum([qs.qq[d] * qs.qq[d] for d in range(1, len(qs.qq)+1)])::HUGEINT AS na,
+        |         list_sum([e.q[d] * e.q[d] for d in range(1, len(e.q)+1)])::HUGEINT AS nb
+        |  FROM qs, all_v e WHERE e.vec_id <> qs.query_id),
+        |d AS (SELECT *, CASE WHEN dot > 0 AND dot*dot*1000000 >= 999*999*na*nb
+        |                     THEN 1 ELSE 0 END AS isdup FROM p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rawsim DESC, neighbor_id) AS rn
+        |      FROM d WHERE isdup = 0)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(rawsim, 6) AS sim,
+        |       CASE WHEN rn = 1 THEN 'positive' ELSE 'hard_negative' END AS role
+        |FROM r WHERE rn <= 6
+        |UNION ALL
+        |SELECT query_id, neighbor_id, 0, round(rawsim, 6), 'dup' FROM d WHERE isdup = 1
+        |ORDER BY query_id, rank, neighbor_id""".stripMargin,
     // Bit-exact recompute of the APPROXIMATE LSH ANN: ±1 hyperplane signs
     // (splitmix64 table inlined as a literal, same constants as Ann.signs),
     // integer sign-dot bucketing over trunc(x*4096) fixed-point vectors,

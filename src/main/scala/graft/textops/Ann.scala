@@ -84,6 +84,85 @@ object Ann {
     }.toDF("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Hard-negative mining for contrastive training — per anchor, the
+    * most-similar non-duplicate neighbor is the POSITIVE and the next
+    * `k - 1` are HARD NEGATIVES (the highest-loss negatives an in-batch
+    * sampler can feed a bi-encoder). Near-duplicates of the anchor are the
+    * classic false-negative trap (the "negative" is actually the same
+    * content), so they are excluded from ranking and reported as `role =
+    * 'dup'` audit rows instead.
+    *
+    * Determinism contract: RANKING uses the exact double cosine (the
+    * ann_bruteforce contract, rounded to 6 for output); the DUP DECISION is
+    * integer rationals over trunc(x·4096) quantized vectors — cos ≥
+    * num/den ⟺ dot > 0 ∧ dot²·den² ≥ num²·‖a‖²·‖b‖² evaluated in BigInt
+    * (the semanticDedup compare), so the oracle reproduces every exclusion
+    * bit-for-bit.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — one pass over the
+    * embedding table with the ≤A-anchor batch broadcast, per-partition
+    * bounded heaps, a per-anchor merge; dup rows stream out of the scan
+    * directly (per anchor they number at most its near-dup twin set). */
+  def hardNegatives(embeddings: DataFrame, anchors: Map[Long, Array[Float]],
+                    k: Int, dupNum: Long = 999L, dupDen: Long = 1000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      anchors.toSeq.sortBy(_._1).map { case (id, v) => (id, v, quantize(v)) })
+    val numSq = BigInt(dupNum) * BigInt(dupNum)
+    val denSq = BigInt(dupDen) * BigInt(dupDen)
+    // (query_id, neighbor_id, sim, isDup) partials
+    val scored = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+        val dups = Vector.newBuilder[(Long, Long, Double)]
+        it.foreach { case (id, v) =>
+          val vq = quantize(v)
+          var qi = 0
+          while (qi < qs.size) {
+            val (qid, qv, qq) = qs(qi)
+            if (qid != id) {
+              var dot = 0L; var na = 0L; var nb = 0L
+              var d = 0
+              val n = math.min(qq.length, vq.length)
+              while (d < n) { dot += qq(d) * vq(d); na += qq(d) * qq(d); nb += vq(d) * vq(d); d += 1 }
+              val isDup = dot > 0L &&
+                BigInt(dot) * BigInt(dot) * denSq >= numSq * BigInt(na) * BigInt(nb)
+              val sim = cosine(qv, v)
+              if (isDup) dups += ((qid, id, sim))
+              else {
+                val h = heaps(qi)
+                h += ((id, sim))
+                if (h.size > 4 * k) {
+                  val kept = h.sortBy { case (i2, s) => (-s, i2) }.take(k)
+                  h.clear(); h ++= kept
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        dups.result().iterator.map { case (q, nb2, s) => (q, Seq((nb2, s)), true) } ++
+          qs.indices.iterator.map { qi =>
+            (qs(qi)._1, heaps(qi).sortBy { case (i2, s) => (-s, i2) }.take(k).toSeq, false)
+          }
+      }
+    val dupRows = scored.filter(_._3).flatMap { case (q, xs, _) =>
+      xs.map { case (nb2, s) => (q, nb2, 0L, round6(s), "dup") }
+    }
+    val ranked = scored.filter(!_._3)
+      .groupByKey(_._1)
+      .reduceGroups((x, y) => (x._1, mergeTopK(k, x._2, y._2), false))
+      .map(_._2)
+      .flatMap { case (q, tops, _) =>
+        tops.zipWithIndex.map { case ((nb2, s), r) =>
+          (q, nb2, (r + 1).toLong, round6(s), if (r == 0) "positive" else "hard_negative")
+        }
+      }
+    dupRows.union(ranked).toDF("query_id", "neighbor_id", "rank", "sim", "role")
+  }
+
   // ---- fixed-point quantization (shared by LSH + IVF) -----------------------
 
   /** 2^12 fixed point: exact in double for any float input, exact to

@@ -324,6 +324,40 @@ class DedupSparkSpec extends AnyFunSuite {
       "within-cluster pair join must key on cluster")
   }
 
+  test("hard-negative mining: dup twins excluded, positive is the best non-dup, negatives follow") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planted = textops.Ann.plantedEmbeddings(emb)
+    val all = planted.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val anchors = all.toSeq.sortBy(_._1).take(5).toMap
+    val got = textops.Ann.hardNegatives(planted, anchors, k = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == anchors.keySet)
+    anchors.keys.foreach { qid =>
+      val rows = byQ(qid)
+      // the planted exact twin is excluded as a dup, at cosine 1.0
+      val dups = rows.filter(_._5 == "dup")
+      assert(dups.map(_._2).toSet == Set(qid + textops.Dedup.PlantOffset), s"q=$qid dups=$dups")
+      assert(dups.forall(d => d._4 == 1.0 && d._3 == 0L))
+      // exactly one positive at rank 1, k-1 negatives at 2..6, none the twin
+      val pos = rows.filter(_._5 == "positive")
+      assert(pos.length == 1 && pos.head._3 == 1L)
+      val negs = rows.filter(_._5 == "hard_negative").sortBy(_._3)
+      assert(negs.map(_._3).toSeq == (2L to 6L))
+      // ranking is non-increasing in sim and never includes the dup
+      val ranked = (pos ++ negs).sortBy(_._3)
+      assert(ranked.sliding(2).forall { case Array(a, b) => a._4 >= b._4; case _ => true })
+      assert(!ranked.exists(_._2 == qid + textops.Dedup.PlantOffset))
+      // local recompute of the positive: best cosine among non-dup vectors
+      val qv = anchors(qid)
+      val best = all.toSeq
+        .filter { case (id, _) => id != qid && id != qid + textops.Dedup.PlantOffset }
+        .map { case (id, v) => (id, textops.Ann.cosine(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.head._1
+      assert(pos.head._2 == best, s"q=$qid positive should be $best")
+    }
+  }
+
   test("ann brute force matches a local recompute; lsh recall is reasonable") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
