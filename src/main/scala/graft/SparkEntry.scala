@@ -577,6 +577,33 @@ object SparkEntry {
     // weighted priority sampling to an exact per-host budget (E-S shape,
     // integer fixed-point keys); WindowGroupLimit prunes to k per partition
     // before the host shuffle
+    // dedup-safe batch scheduling: wave = rank within duplicate group
+    // (narrow hash keys), shard = salted-FNV split, batch = disjoint range
+    // per wave — two copies can never share a batch, structurally
+    "batch_schedule" -> ((s, dir) =>
+      graft.textops.BatchSchedule.dedupSafeBatches(
+          graft.textops.BatchSchedule.plantTwins(tp(s, dir, "documents")))
+        .orderBy("doc_id")),
+    // duplication-aware epoch schedule: per unique text (narrow hash key),
+    // repeat budget inversely proportional to natural multiplicity —
+    // crawl-over-represented content is not also over-trained
+    "epoch_schedule" -> ((s, dir) =>
+      graft.textops.BatchSchedule.epochSchedule(
+          graft.textops.BatchSchedule.plantCopies(tp(s, dir, "documents")))
+        .orderBy("doc_id")),
+    // leakage-proof train/test split: content-free FNV draw collapsed to
+    // the min over each exact-duplicate group — cross-split duplicate
+    // leakage impossible by construction, `moved` audits the raw hazard
+    "split_leakproof" -> ((s, dir) =>
+      graft.textops.TrainSplit.splitLeakproof(
+          graft.textops.BatchSchedule.plantTwins(tp(s, dir, "documents")))
+        .orderBy("doc_id")),
+    // exact type-1 quantiles over the bounded length domain: value-grain
+    // agg is the only corpus-scale stage; cumulative + non-equi broadcast
+    // join run on <= |domain| rows
+    "exact_quantiles" -> ((s, dir) =>
+      graft.textops.LengthStats.exactQuantiles(tp(s, dir, "documents"))
+        .orderBy("q_bp")),
     "priority_sample" -> ((s, dir) =>
       graft.textops.Curate.prioritySample(tp(s, dir, "documents"))
         .orderBy("host", "rnk")),
@@ -1006,6 +1033,28 @@ object SparkEntry {
         graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
         .orderBy("host")
     }),
+    "host_triangles" -> ((s, dir) =>
+      // triangle counts + local clustering coefficients via degree-ordered
+      // orientation (Suri-Vassilvitskii): wedges only at oriented
+      // out-neighbors, closed against the oriented edge set — each triangle
+      // once, wedge cost bounded by sum out-deg^2 with out-deg = O(sqrt m)
+      graft.webtext.Triangles.hostTriangles(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
+        .orderBy("host")),
+    "kcore_hosts" -> ((s, dir) =>
+      // k-core peeling to the fixed point (Seidman): per round drop hosts
+      // with induced degree < k — link farms peel out, interlinked
+      // communities survive; edge-grain semi-joins, per-round localCheckpoint
+      graft.webtext.KCore.kcoreHosts(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
+        .orderBy("host")),
+    "cocitation_hosts" -> ((s, dir) =>
+      // co-citation similarity (Small/Dean-Henzinger): exact Jaccard of two
+      // hosts' citing sets in basis points — pair generator fans out on the
+      // CITING side only (out-degree-bounded wedges, popular targets free)
+      graft.webtext.Cocite.cocitationPairs(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
+        .orderBy("h1", "h2")),
     "hits_scores" -> ((s, dir) =>
       // HITS hubs/authorities over the same host graph, 3 rounds of integer
       // fixed-point with max-norm renormalization — the link-farm/authority
@@ -1700,6 +1749,32 @@ object SparkEntry {
     * the 40-round chain re-expands nodes/e/ow per round — measured >2 min at
     * sf0.01 plain vs 1.5 s materialized (bit-identical result, validated
     * against the Python fixed-point recompute before wiring). */
+  /** Unrolled k-core peel rounds over the host graph (k = 3). MATERIALIZED
+    * is load-bearing: each round references the previous CTE twice, so the
+    * un-materialized expansion is 4^rounds scans of the parquet. Rounds past
+    * the fixed point are no-ops, so a fixed unroll ≥ the data's peel depth
+    * (validated 2 at both sfs, tools/round5b_check.py asserts ≤ 8) equals
+    * the engine's data-dependent loop exactly. */
+  private def kcoreCtes(rounds: Int): String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |und AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e0 WHERE src <> dst),
+        |n0 AS MATERIALIZED (SELECT a AS host FROM und UNION SELECT b FROM und)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""e$r AS MATERIALIZED (SELECT a, b FROM und WHERE a IN (SELECT host FROM n${r - 1}) AND b IN (SELECT host FROM n${r - 1})),
+         |n$r AS MATERIALIZED (SELECT host FROM (SELECT a AS host FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   private def hostRankCtes(rounds: Int): String = {
     val head =
       """WITH e0 AS MATERIALIZED (
@@ -2715,6 +2790,61 @@ object SparkEntry {
     // same SQL matches at any sf converging within 40 (measured 28-29).
     "host_rank_converged" ->
       (hostRankCtes(40) + "\nSELECT host, CAST(rank AS BIGINT) AS rank FROM r40 ORDER BY host"),
+    // host_triangles: the oracle enumerates triangles by the lexicographic
+    // 3-way join (same SET as the engine's degree-ordered orientation);
+    // Python-validated 7/7 at both sfs (tools/sched_quant_tri_check.py)
+    "host_triangles" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e0 WHERE src <> dst),
+        |deg AS (SELECT host, count(*)::BIGINT AS deg
+        |        FROM (SELECT a AS host FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ph AS (SELECT host, count(*)::BIGINT AS tri
+        |       FROM (SELECT unnest([x,y,z]) AS host FROM tri) GROUP BY 1)
+        |SELECT deg.host, deg.deg, coalesce(ph.tri, 0)::BIGINT AS tri,
+        |       CAST(CASE WHEN deg.deg < 2 THEN 0
+        |            ELSE (coalesce(ph.tri,0)*20000)//(deg.deg*(deg.deg-1)) END AS BIGINT) AS cc_bp
+        |FROM deg LEFT JOIN ph USING (host) ORDER BY host""".stripMargin,
+    // kcore_hosts: unrolled peel rounds (fixed point ⇒ extra rounds no-op);
+    // Python-validated at both sfs (tools/round5b_check.py, 2 peel rounds)
+    "kcore_hosts" -> (kcoreCtes(8) + """,
+      |core_e AS (SELECT a, b FROM und WHERE a IN (SELECT host FROM n8) AND b IN (SELECT host FROM n8)),
+      |core_d AS (SELECT host, count(*)::BIGINT AS core_deg
+      |           FROM (SELECT a AS host FROM core_e UNION ALL SELECT b FROM core_e) GROUP BY 1)
+      |SELECT n0.host,
+      |       CAST(CASE WHEN core_d.host IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+      |       coalesce(core_d.core_deg, 0)::BIGINT AS core_deg
+      |FROM n0 LEFT JOIN core_d ON n0.host = core_d.host ORDER BY n0.host""".stripMargin),
+    // cocitation_hosts: exact Jaccard of citing sets per co-cited pair;
+    // Python-validated 9/9 pairs at both sfs (tools/round5b_check.py)
+    "cocitation_hosts" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |ind AS (SELECT dst, count(*)::BIGINT AS indeg FROM e GROUP BY 1),
+        |p AS (SELECT e1.dst AS h1, e2.dst AS h2, count(*)::BIGINT AS cocite
+        |      FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst GROUP BY 1, 2)
+        |SELECT h1, h2, cocite,
+        |       CAST((cocite*10000)//(i1.indeg + i2.indeg - cocite) AS BIGINT) AS jac_bp
+        |FROM p JOIN ind i1 ON p.h1 = i1.dst JOIN ind i2 ON p.h2 = i2.dst
+        |ORDER BY h1, h2""".stripMargin,
     // hits_scores: unrolled auth/hub half-round CTEs, integer max-norm
     "hits_scores" ->
       (hitsCtes(3) +
@@ -3411,6 +3541,66 @@ object SparkEntry {
     "mixture_manifest" -> MixtureRowsSql("""SELECT host, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN (h % 10000) < (doc_id%7 + 1) * 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY host""".stripMargin),
+    // batch_schedule: the oracle groups by raw text (the engine's narrow
+    // (xxhash64, length) key — the dedup_exact collision tradeoff) and
+    // replays the salted-FNV shard split; validity (no same-text batch
+    // collision) is asserted by the checker. Python-validated 1000/1000 at
+    // both sfs (tools/sched_quant_tri_check.py)
+    "batch_schedule" ->
+      """WITH all_d AS (SELECT doc_id, text FROM documents
+        |               UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |h AS (SELECT doc_id, text, list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(c)::HUGEINT for c in string_split('batch:' || doc_id, '')]),
+        |        (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT<<64)) AS hv
+        |      FROM all_d),
+        |w AS (SELECT doc_id, (hv % 4)::BIGINT AS shard,
+        |             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS wave FROM h)
+        |SELECT doc_id, CAST(wave AS BIGINT) AS wave, shard,
+        |       CAST((wave-1)*4 + shard AS BIGINT) AS batch
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // epoch_schedule: variable-multiplicity plant (group sizes 1..4 by
+    // doc_id%4), per-group min-id representative + inverse-multiplicity
+    // epoch budget; Python-validated 500/500 groups at both sfs
+    // (tools/round5b_check.py)
+    "epoch_schedule" ->
+      """WITH all_d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id%4 >= 1
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id%4 >= 2
+        |  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id%4 >= 3),
+        |g AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count FROM all_d GROUP BY text)
+        |SELECT doc_id, dup_count,
+        |       CAST(greatest(1, 4//dup_count) AS BIGINT) AS epochs,
+        |       CAST(dup_count * greatest(1, 4//dup_count) AS BIGINT) AS naive_passes
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // split_leakproof: FNV("split:"||id) mod 100 draw, min-collapsed over
+    // exact-duplicate groups (twins planted) — the oracle replays the draw
+    // and the collapse; Python-validated 1000/1000 rows, 99 moved, at both
+    // sfs (tools/round5b_check.py)
+    "split_leakproof" ->
+      """WITH all_d AS (SELECT doc_id, text FROM documents
+        |               UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |h AS (SELECT doc_id, text, list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(c)::HUGEINT for c in string_split('split:' || doc_id, '')]),
+        |        (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT<<64)) AS hv
+        |      FROM all_d),
+        |r AS (SELECT doc_id, text,
+        |             CASE WHEN (hv % 100) < 10 THEN 1 ELSE 0 END AS raw_split FROM h),
+        |f AS (SELECT doc_id, raw_split,
+        |             min(raw_split) OVER (PARTITION BY text) AS split FROM r)
+        |SELECT doc_id, CAST(raw_split AS BIGINT) AS raw_split, CAST(split AS BIGINT) AS split,
+        |       CAST(CASE WHEN raw_split <> split THEN 1 ELSE 0 END AS BIGINT) AS moved
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // exact_quantiles: full type-1 inverse-CDF recompute at value grain;
+    // Python-validated at both sfs (tools/sched_quant_tri_check.py)
+    "exact_quantiles" ->
+      """WITH v AS (SELECT length(text)::BIGINT AS v, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cumn FROM v),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM v),
+        |q AS (SELECT unnest([2500,5000,7500,9000,9900])::BIGINT AS q_bp),
+        |r AS (SELECT q_bp, (q_bp*total + 9999)//10000 AS rnk FROM q, t)
+        |SELECT q_bp, CAST(rnk AS BIGINT) AS rnk, CAST(min(c.v) AS BIGINT) AS value
+        |FROM r JOIN c ON c.cumn >= r.rnk GROUP BY 1, 2 ORDER BY q_bp""".stripMargin,
     // priority_sample: the same FNV CTE supplies the u32 variate; the sample
     // is recomputed bit-for-bit ((u32 << 16) // w keys, top-25 per host,
     // doc_id tiebreak) — Python-validated 175/175 vs an independent recompute

@@ -36,4 +36,35 @@ object LengthStats {
     cum.crossJoin(broadcast(total))
       .agg(max("total").as("n_docs"), qLo(50), qLo(90), qLo(99))
   }
+
+  /** EXACT corpus quantiles — the companion to [[lengthQuantiles]] when the
+    * measured variable has a BOUNDED VALUE DOMAIN (char length, token count,
+    * line count: domains of ≤ ~10^6 distinct values no matter how many
+    * documents). The classic "exact quantiles need a global sort" objection
+    * does not apply to bounded domains: aggregate to value grain (map-side
+    * partials — the ONLY corpus-scale stage), then every later step runs on
+    * ≤ |domain| rows, where a cumulative window and a non-equi broadcast
+    * join are free. Quantile contract, integer-exact and oracle-mirrored:
+    * q (basis points) selects the SMALLEST value whose cumulative count
+    * reaches rank = ceil(q·N / 10000) = (q·N + 9999) div 10000 — the
+    * classic type-1 (inverse-CDF) definition. */
+  def exactQuantiles(docs: DataFrame,
+                     qsBp: Seq[Long] = Seq(2500L, 5000L, 7500L, 9000L, 9900L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vals = docs.select(length(col("text")).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val total = vals.agg(sum("n").as("total"))
+    // value-grain cumulative: the single-partition window is over the
+    // bounded domain (≤ distinct lengths), never the corpus
+    val cum = vals.withColumn("cumn",
+      sum("n").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = qsBp.toDF("q_bp").crossJoin(broadcast(total))
+      .withColumn("rnk", expr("(q_bp * total + 9999L) div 10000L"))
+      .select("q_bp", "rnk")
+    ranks.join(broadcast(cum), col("cumn") >= col("rnk"))
+      .groupBy("q_bp", "rnk").agg(min("v").as("value"))
+      .select("q_bp", "rnk", "value")
+  }
 }

@@ -263,6 +263,91 @@ class SessionOps4Spec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 16L, 256L, 512L)))
   }
 
+  test("exact_quantiles: type-1 inverse-CDF over the value domain, driver-recomputed at sf0.001") {
+    import graft.textops.LengthStats
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lens = docs.select("text").collect().map(_.getString(0).length.toLong).sorted
+    val n = lens.length.toLong
+    val expected = Seq(2500L, 5000L, 7500L, 9000L, 9900L).map { q =>
+      val rnk = (q * n + 9999L) / 10000L
+      (q, rnk, lens((rnk - 1).toInt))
+    }
+    val got = LengthStats.exactQuantiles(docs).orderBy("q_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // boundary exactness on a hand case: 4 docs of lengths 1,2,3,4 ->
+    // p2500 rank ceil(0.25*4)=1 -> 1; p5000 rank 2 -> 2; p9900 rank 4 -> 4
+    val tiny = Seq((0L, "a"), (1L, "ab"), (2L, "abc"), (3L, "abcd")).toDF("doc_id", "text")
+    val t = LengthStats.exactQuantiles(tiny).orderBy("q_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(t == Map(2500L -> 1L, 5000L -> 2L, 7500L -> 3L, 9000L -> 4L, 9900L -> 4L))
+  }
+
+  test("batch_schedule: duplicates never share a batch; waves and shards exact") {
+    import graft.textops.{BatchSchedule, TextHash}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val planted = BatchSchedule.plantTwins(docs)
+    val got = BatchSchedule.dedupSafeBatches(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == docs.count() * 2)
+    val byId = got.map(r => r._1 -> r).toMap
+    // twins: base doc wave 1, twin wave 2; batches in disjoint wave ranges
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val (b, t) = (byId(id), byId(id + graft.textops.Dedup.PlantOffset))
+      assert(b._2 == 1L && t._2 == 2L, s"waves for $id: $b $t")
+      assert(b._4 != t._4, s"twin shares batch for $id")
+      assert(b._4 >= 0 && b._4 < 4 && t._4 >= 4 && t._4 < 8)
+      // shard replays the salted FNV split exactly
+      assert(b._3 == java.lang.Long.remainderUnsigned(TextHash.fnv64(s"batch:$id"), 4L))
+    }
+    // hash split actually spreads wave-1 across all shards
+    val wave1Shards = got.filter(_._2 == 1L).map(_._3).toSet
+    assert(wave1Shards == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("epoch_schedule: inverse-multiplicity epoch budget per unique text") {
+    import graft.textops.BatchSchedule
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = BatchSchedule.epochSchedule(BatchSchedule.plantCopies(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // texts are unique per doc, so groups are exactly the plant: size id%4+1,
+    // representative = the base id (planted copies all have larger ids)
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).sorted.map { id =>
+      val c = id % 4 + 1
+      val e = math.max(1L, 4L / c)
+      (id, c, e, c * e)
+    }
+    assert(got.toSeq == want.toSeq)
+    // schedule caps repeats: singletons get the full budget, quadruples 1
+    assert(got.filter(_._2 == 1L).forall(_._3 == 4L))
+    assert(got.filter(_._2 == 4L).forall(_._3 == 1L))
+  }
+
+  test("split_leakproof: duplicates never straddle the split; draw replayed exactly") {
+    import graft.textops.{BatchSchedule, TextHash}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = BatchSchedule.plantTwins(docs)
+    val rows = graft.textops.TrainSplit.splitLeakproof(got).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    var moved = 0L
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val (b, t) = (byId(id), byId(id + graft.textops.Dedup.PlantOffset))
+      // structural guarantee: twins carry the same final split
+      assert(b._3 == t._3, s"split leak for $id: $b $t")
+      // raw draw replays FNV("split:"||id) mod 100 < 10
+      def raw(i: Long) =
+        if (java.lang.Long.remainderUnsigned(TextHash.fnv64(s"split:$i"), 100L) < 10L) 1L else 0L
+      assert(b._2 == raw(id) && t._2 == raw(id + graft.textops.Dedup.PlantOffset))
+      // final = min over the group; moved audits the difference
+      val m = math.min(b._2, t._2)
+      assert(b._3 == m && b._4 == (if (b._2 != m) 1L else 0L))
+      moved += b._4 + t._4
+    }
+    assert(moved > 0, "plant produced no leakage moves — test is vacuous")
+    assert(rows.exists(_._3 == 1L), "degenerate split: no test docs survived")
+  }
+
   test("url_templates: digit runs collapse, mixed-run paths group correctly") {
     import graft.webtext.UrlTemplates
     val urls = Seq(

@@ -519,6 +519,149 @@ class HitsSpec extends AnyFunSuite {
   }
 }
 
+class TrianglesSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.{HostRank, Triangles}
+
+  test("hostTriangles matches a driver-side adjacency recompute on the sf0.001 graph") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val und = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (i <- ids) {
+      val es = Seq((i % 7, (2 * i + 1) % 7)) ++
+        (if (i % 3 == 0) Seq((i % 7, (3 * i + 2) % 7)) else Nil) ++
+        (if (i % 5 < 2) Seq((i % 7, 0L)) else Nil)
+      es.foreach { case (s, d) => if (s != d) und += ((math.min(s, d), math.max(s, d))) }
+    }
+    val adj = (0L until 7L).map(h =>
+      h -> und.collect { case (a, b) if a == h => b; case (a, b) if b == h => a }.toSet).toMap
+    val triC = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (a <- 0L until 7L; b <- adj(a) if b > a; c <- adj(a) intersect adj(b) if c > b) {
+      triC(a) += 1; triC(b) += 1; triC(c) += 1
+    }
+    val expected = (0L until 7L).filter(adj(_).nonEmpty).map { h =>
+      val d = adj(h).size.toLong
+      val t = triC(h)
+      (s"site$h.example.com", d, t, if (d < 2) 0L else t * 20000L / (d * (d - 1)))
+    }.sortBy(_._1)
+
+    val got = Triangles.hostTriangles(HostRank.hostEdges(docs)).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("triangle ground truths: K3 counts one per host at cc 10000, a path has none") {
+    import spark.implicits._
+    val k3 = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)).toDF("src", "dst", "weight")
+    val gotK3 = Triangles.hostTriangles(k3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(gotK3 == Seq(("a", 2L, 1L, 10000L), ("b", 2L, 1L, 10000L), ("c", 2L, 1L, 10000L)))
+    val path = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L)).toDF("src", "dst", "weight")
+    assert(Triangles.hostTriangles(path).collect().forall(_.getLong(2) == 0L))
+    // reverse-duplicate directed edges collapse to one undirected edge
+    val dup = Seq(("a", "b", 1L), ("b", "a", 9L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "weight")
+    assert(Triangles.hostTriangles(dup).collect().map(_.getLong(2)).sum == 3L)
+  }
+
+  test("triangle plan: equi-joins only, no cartesian in wedge or closure stages") {
+    val q = Triangles.hostTriangles(
+      HostRank.hostEdges(spark.read.parquet(s"$sf/documents.parquet")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure must stay keyed:\n$plan")
+  }
+}
+
+class KCoreSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.{HostRank, KCore}
+
+  test("kcoreHosts matches a driver-side peel recompute on the sf0.001 graph") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val und = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (i <- ids) {
+      val es = Seq((i % 7, (2 * i + 1) % 7)) ++
+        (if (i % 3 == 0) Seq((i % 7, (3 * i + 2) % 7)) else Nil) ++
+        (if (i % 5 < 2) Seq((i % 7, 0L)) else Nil)
+      es.foreach { case (s, d) => if (s != d) und += ((math.min(s, d), math.max(s, d))) }
+    }
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSet
+    var cur = nodes
+    var stable = false
+    while (!stable) {
+      val deg = cur.map(h => h -> und.count { case (a, b) =>
+        (a == h && cur(b)) || (b == h && cur(a)) }).toMap
+      val next = cur.filter(deg(_) >= 3)
+      stable = next == cur
+      cur = next
+    }
+    val expected = nodes.toSeq.sorted.map { h =>
+      val cd = if (cur(h)) und.count { case (a, b) =>
+        (a == h && cur(b)) || (b == h && cur(a)) }.toLong else 0L
+      (s"site$h.example.com", if (cur(h)) 1L else 0L, cd)
+    }
+    val got = KCore.kcoreHosts(HostRank.hostEdges(docs)).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._2 == 0L) && got.exists(_._2 == 1L), "peel must be non-trivial")
+  }
+
+  test("kcore peels cascading chains: a path fully dissolves at k=2, K4 survives k=3") {
+    import spark.implicits._
+    // path a-b-c-d-e at k=2: endpoints peel, then b/d, then c — 3 rounds
+    val path = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
+      .toDF("src", "dst", "weight")
+    val gp = KCore.kcoreHosts(path, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(gp.length == 5 && gp.forall(r => r._2 == 0L && r._3 == 0L))
+    // K4 + pendant f: pendant peels, the clique survives at full degree
+    val k4p = Seq(("a", "b", 1L), ("a", "c", 1L), ("a", "d", 1L), ("b", "c", 1L),
+      ("b", "d", 1L), ("c", "d", 1L), ("d", "f", 1L)).toDF("src", "dst", "weight")
+    val gk = KCore.kcoreHosts(k4p, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(gk == Seq(("a", 1L, 3L), ("b", 1L, 3L), ("c", 1L, 3L), ("d", 1L, 3L), ("f", 0L, 0L)))
+  }
+}
+
+class CociteSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.{Cocite, HostRank}
+
+  test("cocitationPairs matches a driver-side citing-set recompute on the sf0.001 graph") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val citers = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for (i <- ids) {
+      val es = Seq((i % 7, (2 * i + 1) % 7)) ++
+        (if (i % 3 == 0) Seq((i % 7, (3 * i + 2) % 7)) else Nil) ++
+        (if (i % 5 < 2) Seq((i % 7, 0L)) else Nil)
+      es.foreach { case (s, d) => if (s != d) citers(d) = citers(d) + s }
+    }
+    val hs = citers.keys.toSeq.sorted
+    val expected = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      co = (citers(hs(i)) intersect citers(hs(j))).size.toLong if co > 0
+      un = (citers(hs(i)).size + citers(hs(j)).size).toLong - co
+    } yield (s"site${hs(i)}.example.com", s"site${hs(j)}.example.com", co, co * 10000L / un))
+      .sortBy(p => (p._1, p._2))
+    val got = Cocite.cocitationPairs(HostRank.hostEdges(docs)).orderBy("h1", "h2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("cocitation ground truths: shared citers count once, jaccard exact") {
+    import spark.implicits._
+    // c,d cited by {a,b}; e cited by {a}; duplicate directed edge collapses
+    val e = Seq(("a", "c", 1L), ("a", "c", 9L), ("b", "c", 1L), ("a", "d", 1L),
+      ("b", "d", 1L), ("a", "e", 1L)).toDF("src", "dst", "weight")
+    val got = Cocite.cocitationPairs(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == Seq(("c", "d", 2L, 10000L), ("c", "e", 1L, 5000L), ("d", "e", 1L, 5000L)))
+  }
+}
+
 class RecrawlSpec extends AnyFunSuite {
   import SparkSuite._
   import graft.webtext.Recrawl
