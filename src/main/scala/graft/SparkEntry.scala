@@ -547,6 +547,26 @@ object SparkEntry {
       // log-ratio in the integer bit-length surrogate (broadcast LMs,
       // map-side scoring, 1-row totals cross-join)
       graft.textops.Curate.dsirWeights(tp(s, dir, "documents"))),
+    "dsir_select" -> ((s, dir) =>
+      // DSIR selection to an exact budget: top-k by (weight_bits, doc_id)
+      // — plans as TakeOrderedAndProject, never a global sort; rank window
+      // runs over the k survivors only
+      graft.textops.Curate.dsirSelect(tp(s, dir, "documents"))
+        .orderBy("rnk")),
+    "cusum_bursts" -> ((s, dir) =>
+      // one-sided CUSUM burst detection in closed form (prefix sum −
+      // running min, two key-grain windows — the sequential recurrence
+      // parallelizes exactly); dense hour series, adaptive integer
+      // threshold, deterministic planted spike; TZ-free via TimeCols
+      graft.events.Cusum.hourlyBursts(
+          graft.events.Cusum.plantBurst(tp(s, dir, "events")))
+        .orderBy("event_type", "bucket")),
+    "zorder_layout" -> ((s, dir) =>
+      // Morton-curve layout audit: bit-interleaved 10-bit key, 16 files =
+      // 8×8 tiles of (d1,d2) space — both filter columns prune via file
+      // min/max, unlike any single-column sort
+      graft.layout.ZOrder.layoutAudit(tp(s, dir, "documents"))
+        .orderBy("file_id")),
     "tfidf_keywords" -> ((s, dir) => {
       // per-doc TF-IDF top-5 keyword extraction, integer fixed-point IDF
       // surrogate; term-keyed shuffle join (vocab not broadcast-assumed)
@@ -3446,6 +3466,64 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
         |       CAST(sum(s) + count(*) * (length(bin((SELECT tr FROM tot)+1)) - length(bin((SELECT tt FROM tot)+1))) AS BIGINT) AS weight_bits
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // dsir_select: the dsir_weights CTE chain + a global (weight DESC, id)
+    // rank cut at 100; Python-validated at both sfs (tools/round5c_check.py)
+    "dsir_select" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
+        |        FROM t WHERE length(lt) >= 3),
+        |lmt AS (SELECT tri, CAST(count(*) AS BIGINT) AS ct FROM tri WHERE doc_id%10=0 GROUP BY tri),
+        |lmr AS (SELECT tri, CAST(count(*) AS BIGINT) AS cr FROM tri WHERE doc_id%10>=5 GROUP BY tri),
+        |tot AS (SELECT (SELECT coalesce(sum(ct),0) FROM lmt) AS tt, (SELECT coalesce(sum(cr),0) FROM lmr) AS tr),
+        |sc AS (SELECT d.doc_id,
+        |              CAST(length(bin(coalesce(lmt.ct,0)+1)) - length(bin(coalesce(lmr.cr,0)+1)) AS BIGINT) AS s
+        |       FROM tri d LEFT JOIN lmt ON d.tri = lmt.tri LEFT JOIN lmr ON d.tri = lmr.tri),
+        |w AS (SELECT doc_id,
+        |             CAST(sum(s) + count(*) * (length(bin((SELECT tr FROM tot)+1)) - length(bin((SELECT tt FROM tot)+1))) AS BIGINT) AS weight_bits
+        |      FROM sc GROUP BY doc_id),
+        |r AS (SELECT doc_id, weight_bits,
+        |             row_number() OVER (ORDER BY weight_bits DESC, doc_id) AS rnk FROM w)
+        |SELECT doc_id, weight_bits, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 100
+        |ORDER BY rnk""".stripMargin,
+    // cusum_bursts: closed-form CUSUM (prefix sum − running min) over the
+    // dense per-type hour series, adaptive integer threshold, planted
+    // spike; Python-validated at both sfs (102 and 885 burst buckets,
+    // tools/round5c_check.py)
+    "cusum_bursts" ->
+      """WITH all_e AS (
+        |  SELECT event_id, event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, event_type,
+        |         TIMESTAMP '2024-01-15 12:00:00' + to_hours(event_id%3) AS ts
+        |  FROM events WHERE event_id%5=0),
+        |ep AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS b FROM all_e),
+        |rng AS (SELECT event_type, min(b) AS lo, max(b) AS hi, count(*)::BIGINT AS total FROM ep GROUP BY 1),
+        |th AS (SELECT event_type, lo, hi, (total + (hi-lo+1) - 1) // (hi-lo+1) + 1 AS thr FROM rng),
+        |bk AS (SELECT event_type, thr, unnest([lo + i for i in range(0, hi - lo + 1)]) AS b FROM th),
+        |cnt AS (SELECT event_type, b, count(*)::BIGINT AS n FROM ep GROUP BY 1, 2),
+        |d AS (SELECT bk.event_type, bk.thr, bk.b, coalesce(cnt.n, 0)::BIGINT AS n
+        |      FROM bk LEFT JOIN cnt USING (event_type, b)),
+        |p AS (SELECT event_type, thr, b, n,
+        |             sum(n - thr) OVER (PARTITION BY event_type ORDER BY b) AS pf FROM d),
+        |m AS (SELECT event_type, thr, b, n, pf,
+        |             least(0, min(pf) OVER (PARTITION BY event_type ORDER BY b)) AS mn FROM p)
+        |SELECT event_type, CAST(b AS BIGINT) AS bucket, n, CAST(thr AS BIGINT) AS thr,
+        |       CAST(pf - mn AS BIGINT) AS s,
+        |       CAST(CASE WHEN pf - mn >= thr + 2 THEN 1 ELSE 0 END AS BIGINT) AS burst
+        |FROM m ORDER BY event_type, bucket""".stripMargin,
+    // zorder_layout: Morton interleave + 16-file audit; the 8×8-tile
+    // locality invariant is asserted by the checker at both sfs
+    // (tools/round5c_check.py)
+    "zorder_layout" ->
+      """WITH z AS (SELECT doc_id, doc_id%32 AS d1, length(text)%32 AS d2 FROM documents),
+        |zi AS (SELECT doc_id, d1, d2,
+        |              list_sum([(((d1 >> i) & 1) << (2*i+1)) + (((d2 >> i) & 1) << (2*i))
+        |                        for i in range(0, 5)]) AS zval FROM z),
+        |f AS (SELECT doc_id, d1, d2, zval // 64 AS file_id FROM zi)
+        |SELECT CAST(file_id AS BIGINT) AS file_id, count(*)::BIGINT AS n_rows,
+        |       CAST(min(d1) AS BIGINT) AS min_d1, CAST(max(d1) AS BIGINT) AS max_d1,
+        |       CAST(min(d2) AS BIGINT) AS min_d2, CAST(max(d2) AS BIGINT) AS max_d2
+        |FROM f GROUP BY 1 ORDER BY file_id""".stripMargin,
     // tfidf_keywords: same integer IDF surrogate (N*4096)//df; ties broken
     // by term so the per-doc top-5 is total-ordered on both sides.
     "tfidf_keywords" ->

@@ -472,6 +472,25 @@ object Curate {
           .as("weight_bits"))
   }
 
+  /** DSIR selection to an exact budget — the step after [[dsirWeights]]:
+    * keep the k docs whose importance weight says they look most like the
+    * target distribution (Xie et al. 2023 select by weight; the budget
+    * variant is the deterministic twin of their Gumbel resampling). Total
+    * order = (weight_bits DESC, doc_id) so the cut is unambiguous on any
+    * engine. Scale shape: weights are doc-grain; the global top-k plans as
+    * TakeOrderedAndProject (per-partition pre-prune to k, never a global
+    * sort); the rank column is a window over the k survivors only. */
+  def dsirSelect(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = dsirWeights(docs)
+      .select(col("doc_id"), col("weight_bits"))
+      .orderBy(col("weight_bits").desc, col("doc_id"))
+      .limit(k)
+    // k rows — the unpartitioned window is budget-sized, not corpus-sized
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("weight_bits").desc, col("doc_id"))).cast("long"))
+  }
+
   /** Deterministic eval-head leak planting (the dup_spans disclaimer move,
     * aimed at decontamination): docs with `doc_id % 7 == 3` get the first
     * n-gram of eval document `(doc_id % 2) * 41` appended, so the corpus

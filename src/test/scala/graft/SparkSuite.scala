@@ -266,7 +266,11 @@ class TzInvarianceSpec extends AnyFunSuite {
       "hll_distinct", "stream_hll_distinct",
       // r5: the CDX index renders WARC-Date through the same explicit-UTC
       // formatter; invariance pins its epoch arithmetic too
-      "cdx_index")
+      "cdx_index",
+      // r5: CUSUM buckets derive from ntzEpochSeconds AND the planted spike
+      // is an NTZ literal + field-arithmetic interval — both must hold
+      // under DST zones
+      "cusum_bursts")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
