@@ -567,6 +567,29 @@ object SparkEntry {
       // min/max, unlike any single-column sort
       graft.layout.ZOrder.layoutAudit(tp(s, dir, "documents"))
         .orderBy("file_id")),
+    "funnel_counts" -> ((s, dir) =>
+      // ordered conversion funnel with per-step windows: user-grain
+      // filtered projections + one per-user-bounded click×view join +
+      // user-grain mins — no corpus window, no driver state; TZ-free keys
+      graft.events.Funnel.funnel(tp(s, dir, "events"))
+        .orderBy("user_id")),
+    "fuzzy_join" -> ((s, dir) => {
+      // blocked record linkage: content-derived 8-char block key turns the
+      // quadratic edit-distance matrix into an equi-join; Levenshtein
+      // verifies only inside blocks
+      val docs = tp(s, dir, "documents")
+      graft.textops.FuzzyJoin.linkTitles(
+          graft.textops.FuzzyJoin.catalogA(docs),
+          graft.textops.FuzzyJoin.catalogB(docs))
+        .orderBy("a_id", "b_id")
+    }),
+    "hyperball_reach" -> ((s, dir) =>
+      // HyperBall neighborhood function: per-host reach |ball(v,r)| as an
+      // HLL sketch, BFS round = edge-grain join + (host,register) max —
+      // linear in edges, reach-size-independent (exact column = audit only)
+      graft.webtext.HyperBall.reach(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")))
+        .orderBy("host", "r")),
     "tfidf_keywords" -> ((s, dir) => {
       // per-doc TF-IDF top-5 keyword extraction, integer fixed-point IDF
       // surrogate; term-keyed shuffle join (vocab not broadcast-assumed)
@@ -2865,6 +2888,74 @@ object SparkEntry {
         |       CAST((cocite*10000)//(i1.indeg + i2.indeg - cocite) AS BIGINT) AS jac_bp
         |FROM p JOIN ind i1 ON p.h1 = i1.dst JOIN ind i2 ON p.h2 = i2.dst
         |ORDER BY h1, h2""".stripMargin,
+    // hyperball_reach: the full sketch recomputed in SQL — FNV of the host
+    // string through the HUGEINT splitmix64 chain (the hll_distinct CTE
+    // shapes), 3 register-max rounds over the self-looped adjacency, grid
+    // fill + the same alpha·m²·2^59 integer estimator; exact balls via the
+    // unrolled pair closure. Python-validated 21/21 rows at both sfs
+    // (tools/round5d_check.py)
+    "hyperball_reach" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |und AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM e0 WHERE src <> dst),
+        |hosts AS MATERIALIZED (SELECT a AS host FROM und UNION SELECT b FROM und),
+        |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und
+        |                     UNION SELECT host, host FROM hosts),
+        |f AS (SELECT host, list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(c)::HUGEINT for c in string_split(host, '')]),
+        |        (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT<<64)) AS v
+        |      FROM hosts),
+        |h1 AS (SELECT host, (v + 11400714819323198485) % 18446744073709551616 AS z FROM f),
+        |h2 AS (SELECT host, xor(z, z >> 30) AS x FROM h1),
+        |h3 AS (SELECT host,
+        |         ((x % 4294967296) * 484763065
+        |          + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h2),
+        |h4 AS (SELECT host, xor(z, z >> 27) AS x FROM h3),
+        |h5 AS (SELECT host,
+        |         ((x % 4294967296) * 321982955
+        |          + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h4),
+        |hh AS (SELECT host, xor(z, z >> 31) AS h FROM h5),
+        |s0 AS MATERIALIZED (SELECT host, CAST(h // 288230376151711744 AS BIGINT) AS idx,
+        |        CAST(CASE WHEN h % 288230376151711744 = 0 THEN 59
+        |                  ELSE 58 - len(bin(h % 288230376151711744)) + 1 END AS BIGINT) AS rho
+        |      FROM hh),
+        |s1 AS MATERIALIZED (SELECT adj.u AS host, idx, max(rho) AS rho FROM adj JOIN s0 ON s0.host = adj.v GROUP BY 1, 2),
+        |s2 AS MATERIALIZED (SELECT adj.u AS host, idx, max(rho) AS rho FROM adj JOIN s1 ON s1.host = adj.v GROUP BY 1, 2),
+        |s3 AS MATERIALIZED (SELECT adj.u AS host, idx, max(rho) AS rho FROM adj JOIN s2 ON s2.host = adj.v GROUP BY 1, 2),
+        |p0 AS MATERIALIZED (SELECT host, host AS member FROM hosts),
+        |p1 AS MATERIALIZED (SELECT DISTINCT adj.u AS host, p0.member FROM adj JOIN p0 ON p0.host = adj.v),
+        |p2 AS MATERIALIZED (SELECT DISTINCT adj.u AS host, p1.member FROM adj JOIN p1 ON p1.host = adj.v),
+        |p3 AS MATERIALIZED (SELECT DISTINCT adj.u AS host, p2.member FROM adj JOIN p2 ON p2.host = adj.v),
+        |grid AS (SELECT hosts.host, g.i AS idx FROM hosts, UNNEST(generate_series(0, 63)) g(i)),
+        |est AS (
+        |  SELECT 1 AS r, grid.host, sum(CAST(1 AS HUGEINT) << (59 - coalesce(s1.rho, 0))) AS z2
+        |  FROM grid LEFT JOIN s1 ON grid.host = s1.host AND grid.idx = s1.idx GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 2, grid.host, sum(CAST(1 AS HUGEINT) << (59 - coalesce(s2.rho, 0)))
+        |  FROM grid LEFT JOIN s2 ON grid.host = s2.host AND grid.idx = s2.idx GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 3, grid.host, sum(CAST(1 AS HUGEINT) << (59 - coalesce(s3.rho, 0)))
+        |  FROM grid LEFT JOIN s3 ON grid.host = s3.host AND grid.idx = s3.idx GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT 1 AS r, host, count(*)::BIGINT AS ball_exact FROM p1 GROUP BY 1, 2
+        |  UNION ALL SELECT 2, host, count(*)::BIGINT FROM p2 GROUP BY 1, 2
+        |  UNION ALL SELECT 3, host, count(*)::BIGINT FROM p3 GROUP BY 1, 2)
+        |SELECT est.host, CAST(est.r AS BIGINT) AS r,
+        |       CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) AS ball_est,
+        |       ex.ball_exact
+        |FROM est JOIN ex ON est.host = ex.host AND est.r = ex.r
+        |ORDER BY est.host, est.r""".stripMargin,
     // hits_scores: unrolled auth/hub half-round CTEs, integer max-norm
     "hits_scores" ->
       (hitsCtes(3) +
@@ -3524,6 +3615,40 @@ object SparkEntry {
         |       CAST(min(d1) AS BIGINT) AS min_d1, CAST(max(d1) AS BIGINT) AS max_d1,
         |       CAST(min(d2) AS BIGINT) AS min_d2, CAST(max(d2) AS BIGINT) AS max_d2
         |FROM f GROUP BY 1 ORDER BY file_id""".stripMargin,
+    // fuzzy_join: block on the title's first 8 chars, verify lev <= 3;
+    // Python-validated 439/436 pairs at the two sfs (tools/round5d_check.py)
+    "fuzzy_join" ->
+      """WITH a AS (SELECT doc_id AS a_id, substring(text, 1, 40) AS title_a FROM documents),
+        |b AS (SELECT doc_id + 1000000 AS b_id,
+        |             CASE WHEN doc_id%5=0 THEN reverse(substring(text, 1, 40))
+        |                  ELSE substring(text, 1, 40) || ' v' || (doc_id%3) END AS title_b
+        |      FROM documents),
+        |c AS (SELECT a_id, b_id, title_a, title_b FROM a JOIN b
+        |      ON substring(title_a, 1, 8) = substring(title_b, 1, 8)),
+        |m AS (SELECT a_id, b_id, CAST(levenshtein(title_a, title_b) AS BIGINT) AS lev FROM c)
+        |SELECT a_id, b_id, lev FROM m WHERE lev <= 3 ORDER BY a_id, b_id""".stripMargin,
+    // funnel_counts: any-touch ordered funnel, W = 14400 s per step,
+    // composite (sec, event_id) order key; Python-validated at both sfs
+    // with all three levels populated (tools/round5d_check.py)
+    "funnel_counts" ->
+      """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec,
+        |                   floor(epoch(ts))::BIGINT * 10000000 + event_id AS k
+        |            FROM events),
+        |v AS (SELECT user_id, min(k) AS vk FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |cand AS (SELECT c.user_id, c.k FROM ev c JOIN ev vv
+        |         ON c.user_id = vv.user_id AND vv.event_type = 'view'
+        |        WHERE c.event_type = 'click' AND vv.k < c.k AND c.sec - vv.sec <= 14400),
+        |cs AS (SELECT user_id, min(k) AS ck FROM cand GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(k) AS pk FROM ev JOIN cs USING (user_id)
+        |      WHERE event_type = 'purchase' AND k > ck AND sec - ck // 10000000 <= 14400
+        |      GROUP BY 1)
+        |SELECT v.user_id,
+        |       CAST(1 + (ck IS NOT NULL)::INT + (pk IS NOT NULL)::INT AS BIGINT) AS reached,
+        |       CAST(vk // 10000000 AS BIGINT) AS view_sec,
+        |       CAST(coalesce(ck // 10000000, -1) AS BIGINT) AS click_sec,
+        |       CAST(coalesce(pk // 10000000, -1) AS BIGINT) AS purchase_sec
+        |FROM v LEFT JOIN cs ON v.user_id = cs.user_id LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     // tfidf_keywords: same integer IDF surrogate (N*4096)//df; ties broken
     // by term so the per-doc top-5 is total-ordered on both sides.
     "tfidf_keywords" ->

@@ -87,6 +87,150 @@ class ZOrderSpec extends AnyFunSuite {
   }
 }
 
+class FuzzyJoinSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.textops.FuzzyJoin
+
+  private def lev(a: String, b: String): Long = {
+    var prev = (0 to b.length).toArray
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length).toLong
+  }
+
+  test("linkTitles matches a driver-side blocked-levenshtein recompute on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val a = rows.map { case (i, t) => i -> t.take(40) }
+    val b = rows.map { case (i, t) =>
+      (i + 1000000L) -> (if (i % 5 == 0) t.take(40).reverse else t.take(40) + s" v${i % 3}")
+    }
+    val expected = (for {
+      (ai, ta) <- a.toSeq; (bi, tb) <- b.toSeq
+      if ta.take(8) == tb.take(8)
+      d = lev(ta, tb) if d <= 3
+    } yield (ai, bi, d)).sortBy(p => (p._1, p._2))
+    val got = FuzzyJoin.linkTitles(FuzzyJoin.catalogA(docs), FuzzyJoin.catalogB(docs))
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // every suffix twin matches (lev exactly 3); no reversed twin does
+    val twins = got.filter(p => p._2 - p._1 == 1000000L)
+    assert(twins.length == rows.keys.count(_ % 5 != 0) && twins.forall(_._3 == 3L))
+    assert(!got.exists(p => p._2 - p._1 == 1000000L && p._1 % 5 == 0))
+  }
+}
+
+class FunnelSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.events.Funnel
+
+  test("funnel matches a driver-side recompute on sf0.001 and fills all levels") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val evs = events.select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[LocalDateTime](3).toEpochSecond(java.time.ZoneOffset.UTC)))
+    val W = 14400L
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, es) =>
+      val ks = es.map(e => (e._4 * 10000000L + e._2, e._3, e._4)).sortBy(_._1)
+      val views = ks.filter(_._2 == "view")
+      if (views.isEmpty) None
+      else {
+        val vk = views.head._1
+        val ck = ks.collectFirst { case (k, "click", s)
+          if views.exists(v => v._1 < k && s - v._3 <= W) => k }
+        val pk = ck.flatMap(c => ks.collectFirst { case (k, "purchase", s)
+          if k > c && s - c / 10000000L <= W => k })
+        Some((u, 1L + ck.size + pk.size, vk / 10000000L,
+          ck.map(_ / 10000000L).getOrElse(-1L), pk.map(_ / 10000000L).getOrElse(-1L)))
+      }
+    }
+    val got = Funnel.funnel(events).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L), "all funnel levels must appear")
+  }
+
+  test("funnel hand case: window rejection, ordering, any-view attribution") {
+    import spark.implicits._
+    val t0 = LocalDateTime.of(2024, 5, 1, 8, 0)
+    val ev = Seq(
+      // u1: click 5h after the only view -> outside W, reached 1
+      (1L, 10L, "view", t0), (1L, 11L, "click", t0.plusHours(5)),
+      // u2: click in window, purchase 10h after click -> reached 2
+      (2L, 20L, "view", t0), (2L, 21L, "click", t0.plusHours(1)),
+      (2L, 22L, "purchase", t0.plusHours(11)),
+      // u3: full funnel inside windows; the click converts the SECOND view
+      (3L, 30L, "view", t0), (3L, 31L, "view", t0.plusHours(6)),
+      (3L, 32L, "click", t0.plusHours(7)), (3L, 33L, "purchase", t0.plusHours(8)),
+      // u4: click strictly before any view -> reached 1
+      (4L, 40L, "click", t0.minusHours(1)), (4L, 41L, "view", t0)
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.funnel(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 1L)))
+  }
+}
+
+class HyperBallSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.{HostRank, HyperBall}
+
+  test("reach matches a driver-side sketch+closure recompute on the sf0.001 graph") {
+    import graft.expr.HllSketchAgg
+    import graft.textops.TextHash
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val und = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (i <- ids) {
+      val es = Seq((i % 7, (2 * i + 1) % 7)) ++
+        (if (i % 3 == 0) Seq((i % 7, (3 * i + 2) % 7)) else Nil) ++
+        (if (i % 5 < 2) Seq((i % 7, 0L)) else Nil)
+      es.foreach { case (s, d) => if (s != d) und += ((math.min(s, d), math.max(s, d))) }
+    }
+    val hosts = und.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+    val adj = hosts.map(h => h -> (und.collect {
+      case (a, b) if a == h => b; case (a, b) if b == h => a }.toSet + h)).toMap
+    def name(h: Long) = s"site$h.example.com"
+    var state = hosts.map { h =>
+      val hv = HllSketchAgg.splitmix64(TextHash.fnv64(name(h)))
+      val rest = hv & ((1L << 58) - 1)
+      val rho = if (rest == 0L) 59L
+        else 58L - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1L
+      h -> Map((hv >>> 58) -> rho)
+    }.toMap
+    var balls = hosts.map(h => h -> Set(h)).toMap
+    val num = BigInt(709343) * 64 * 64 * (BigInt(1) << 59)
+    val expected = (1 to 3).flatMap { r =>
+      state = hosts.map { h =>
+        h -> adj(h).flatMap(state(_).toSeq).groupBy(_._1).map { case (i, vs) => i -> vs.map(_._2).max }
+      }.toMap
+      balls = hosts.map(h => h -> adj(h).flatMap(balls(_))).toMap
+      hosts.map { h =>
+        val z2 = (0 until 64).map(i => BigInt(1) << (59 - state(h).getOrElse(i.toLong, 0L)).toInt).sum
+        (name(h), r.toLong, (num / (BigInt(1000000) * z2)).toLong, balls(h).size.toLong)
+      }
+    }.sortBy(p => (p._1, p._2))
+    val got = HyperBall.reach(HostRank.hostEdges(docs)).orderBy("host", "r")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // monotone balls; the connected host graph saturates within diameter
+    got.groupBy(_._1).values.foreach { rs =>
+      val ex = rs.sortBy(_._2).map(_._4)
+      assert(ex == ex.sorted, s"ball_exact must be monotone: $rs")
+    }
+    assert(got.filter(_._2 == 3L).forall(_._4 == hosts.length.toLong),
+      "every host reaches the whole connected graph by r=3")
+  }
+}
+
 class DsirSelectSpec extends AnyFunSuite {
   import SparkSuite._
   import graft.textops.Curate

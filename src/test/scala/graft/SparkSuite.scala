@@ -270,7 +270,9 @@ class TzInvarianceSpec extends AnyFunSuite {
       // r5: CUSUM buckets derive from ntzEpochSeconds AND the planted spike
       // is an NTZ literal + field-arithmetic interval — both must hold
       // under DST zones
-      "cusum_bursts")
+      "cusum_bursts",
+      // r5: funnel order keys are ntzEpochSeconds-derived composites
+      "funnel_counts")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
