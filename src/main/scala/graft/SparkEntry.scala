@@ -567,6 +567,47 @@ object SparkEntry {
       // min/max, unlike any single-column sort
       graft.layout.ZOrder.layoutAudit(tp(s, dir, "documents"))
         .orderBy("file_id")),
+    "range_join" -> ((s, dir) => {
+      // bucketized interval-containment join: quantize the time axis,
+      // explode intervals to their bucket span, equi-join points on the
+      // single bucket they live in, exact BETWEEN re-verify inside the
+      // match — the equi-join form of the range join Catalyst would
+      // otherwise nested-loop (plan-pinned)
+      val ev = tp(s, dir, "events")
+      graft.events.RangeJoin.containJoin(
+          graft.events.RangeJoin.incidentWindows(ev),
+          graft.events.RangeJoin.errorPoints(ev))
+        .orderBy("iv_id", "event_id")
+    }),
+    "range_join_rule" -> ((s, dir) => {
+      // the SAME naive BETWEEN join a user would write — planned through
+      // the injected Catalyst optimizer rule (plans.BucketedRangeJoin),
+      // which rewrites it to the bucketized equi-join; without the rule
+      // this plan is a BroadcastNestedLoopJoin (pinned in the spec)
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BucketedRangeJoin]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BucketedRangeJoin()
+      val ev = tp(s, dir, "events")
+      val iv = graft.events.RangeJoin.incidentWindows(ev)
+      val pt = graft.events.RangeJoin.errorPoints(ev)
+      // plain col() refs: the two sides carry disjoint column names (df("…")
+      // refs trip DetectAmbiguousSelfJoin — both sides scan the same table)
+      iv.join(pt, col("sec") >= col("lo") && col("sec") <= col("hi"))
+        .select("iv_id", "event_id", "sec")
+        .orderBy("iv_id", "event_id")
+    }),
+    "budget_alloc" -> ((s, dir) =>
+      // largest-remainder apportionment: exact global budget across hosts,
+      // base floor shares + top-R remainders as TakeOrderedAndProject
+      graft.textops.Curate.budgetAlloc(tp(s, dir, "documents"))
+        .orderBy("host")),
+    "ppr_hosts" -> ((s, dir) =>
+      // personalized PageRank (random walk with restart at site0): rank =
+      // proximity to the seed; unreachable hosts stay exactly 0
+      graft.webtext.HostRank.pprRank(
+        graft.webtext.HostRank.hostEdges(tp(s, dir, "documents")),
+        "site0.example.com")
+        .orderBy("host")),
     "funnel_counts" -> ((s, dir) =>
       // ordered conversion funnel with per-step windows: user-grain
       // filtered projections + one per-user-bounded click×view join +
@@ -1286,6 +1327,13 @@ object SparkEntry {
       // collapses the update log — equals the batch lead() answer
       pageplus.streaming.StreamingExtract.scd2Once(s, dir)
         .orderBy("k", "version")),
+    "stream_range_join" -> ((s, dir) =>
+      // stream-static twin of range_join: streaming error points tagged
+      // against static incident windows — the bucket equi-key is what makes
+      // a stream-static range join POSSIBLE (streaming has no nested-loop);
+      // stateless, append-exact under any micro-batching
+      pageplus.streaming.StreamingExtract.rangeJoinOnce(s, dir)
+        .orderBy("iv_id", "event_id")),
     "stream_cross_corpus" -> ((s, dir) =>
       // stream-static twin of cross_corpus_dedup: stateless per-micro-batch
       // hash join against the static base key table — verdicts identical
@@ -1814,6 +1862,34 @@ object SparkEntry {
     val iters = (1 to rounds).map { r =>
       s"""e$r AS MATERIALIZED (SELECT a, b FROM und WHERE a IN (SELECT host FROM n${r - 1}) AND b IN (SELECT host FROM n${r - 1})),
          |n$r AS MATERIALIZED (SELECT host FROM (SELECT a AS host FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** Unrolled personalized-PageRank rounds: hostRankCtes with all teleport
+    * mass at the seed (r0 = scale at seed, teleport paid only at seed). */
+  private def pprCtes(rounds: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((2*doc_id+1)%7) || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site' || ((3*doc_id+2)%7) || '.example.com' AS dst FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id%7) || '.example.com' AS src,
+        |         'site0.example.com' AS dst FROM documents WHERE doc_id%5<2),
+        |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM e0 GROUP BY src, dst),
+        |ow AS MATERIALIZED (SELECT src, sum(weight) AS outw FROM e GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS MATERIALIZED (SELECT host, CASE WHEN host = 'site0.example.com' THEN 1000000 ELSE 0 END AS rank FROM nodes)""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT n.host,
+         |       (CASE WHEN n.host = 'site0.example.com' THEN (10000-8500)*1000000//10000 ELSE 0 END)
+         |       + coalesce(s.c, 0) AS rank
+         |       FROM nodes n LEFT JOIN (
+         |         SELECT e.dst AS host, sum((r${k - 1}.rank * e.weight * 8500) // (ow.outw * 10000)) AS c
+         |         FROM e JOIN ow USING (src) JOIN r${k - 1} ON r${k - 1}.host = e.src GROUP BY e.dst) s USING (host))""".stripMargin
     }
     (head +: iters).mkString(",\n")
   }
@@ -2888,6 +2964,51 @@ object SparkEntry {
         |       CAST((cocite*10000)//(i1.indeg + i2.indeg - cocite) AS BIGINT) AS jac_bp
         |FROM p JOIN ind i1 ON p.h1 = i1.dst JOIN ind i2 ON p.h2 = i2.dst
         |ORDER BY h1, h2""".stripMargin,
+    // ppr_hosts: unrolled personalized-PageRank rounds (teleport at seed
+    // only); Python-validated at both sfs incl. the unreachable-host zero
+    // (tools/round5e_check.py)
+    "ppr_hosts" ->
+      (pprCtes(3) + "\nSELECT host, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY host"),
+    // range_join: the oracle is the direct BETWEEN join (DuckDB IEJoin);
+    // the engine's bucketized equi-join must produce the identical pair
+    // set; Python-validated 5/443 pairs at the two sfs
+    // (tools/round5e_check.py, incl. the single-bucket-meet property)
+    "range_join" ->
+      """WITH ev AS (SELECT event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+        |iv AS (SELECT event_id AS iv_id, sec AS lo, sec + 5400 AS hi FROM ev WHERE event_id % 97 = 0),
+        |pt AS (SELECT event_id, sec FROM ev WHERE event_type = 'error')
+        |SELECT iv_id, pt.event_id, sec FROM iv JOIN pt ON sec BETWEEN lo AND hi
+        |ORDER BY iv_id, pt.event_id""".stripMargin,
+    // range_join_rule: identical result contract to range_join — the rule
+    // only changes the physical plan, never the pair set
+    "range_join_rule" ->
+      """WITH ev AS (SELECT event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+        |iv AS (SELECT event_id AS iv_id, sec AS lo, sec + 5400 AS hi FROM ev WHERE event_id % 97 = 0),
+        |pt AS (SELECT event_id, sec FROM ev WHERE event_type = 'error')
+        |SELECT iv_id, pt.event_id, sec FROM iv JOIN pt ON sec BETWEEN lo AND hi
+        |ORDER BY iv_id, pt.event_id""".stripMargin,
+    // stream_range_join: append-exact stream-static twin — identical pair
+    // set to the batch BETWEEN join
+    "stream_range_join" ->
+      """WITH ev AS (SELECT event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events),
+        |iv AS (SELECT event_id AS iv_id, sec AS lo, sec + 5400 AS hi FROM ev WHERE event_id % 97 = 0),
+        |pt AS (SELECT event_id, sec FROM ev WHERE event_type = 'error')
+        |SELECT iv_id, pt.event_id, sec FROM iv JOIN pt ON sec BETWEEN lo AND hi
+        |ORDER BY iv_id, pt.event_id""".stripMargin,
+    // budget_alloc: largest-remainder apportionment to an exact budget of
+    // 997 (prime, so remainder slots exist at any sf); Python-validated at
+    // both sfs (tools/round5e_check.py)
+    "budget_alloc" ->
+      """WITH h AS (SELECT 'site' || (doc_id%7) || '.example.com' AS host,
+        |                  count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total FROM h),
+        |b AS (SELECT host, n_docs, (997*n_docs)//total AS base, (997*n_docs)%total AS rem FROM h, t),
+        |s AS (SELECT sum(base)::BIGINT AS sb FROM b),
+        |r AS (SELECT host, n_docs, base,
+        |             row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b)
+        |SELECT host, n_docs,
+        |       CAST(base + CASE WHEN rk <= 997 - (SELECT sb FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY host""".stripMargin,
     // hyperball_reach: the full sketch recomputed in SQL — FNV of the host
     // string through the HUGEINT splitmix64 chain (the hll_distinct CTE
     // shapes), 3 register-max rounds over the self-looped adjacency, grid

@@ -472,6 +472,40 @@ object Curate {
           .as("weight_bits"))
   }
 
+  /** Largest-remainder (Hamilton) budget allocation — split an EXACT global
+    * sample budget across strata (hosts) proportional to their sizes:
+    * base = ⌊B·c_h / N⌋ per host, then the R = B − Σbase leftover slots go
+    * to the hosts with the largest remainders (B·c_h mod N, host asc
+    * tiebreak). The classic apportionment rule: totals always hit B
+    * exactly, every host is within 1 of its real share — what
+    * [[prioritySample]]'s per-host budgets should BE when a global budget
+    * is the contract. All integer, oracle-mirrored.
+    *
+    * Scale shape: host counts = one map-side agg; total = broadcast 1-row;
+    * the leftover winners = a top-R by (rem, host), i.e.
+    * TakeOrderedAndProject over the host-grain table — no global window.
+    * R itself is a bounded 1-row driver read (the BpeTrain argmax class). */
+  def budgetAlloc(docs: DataFrame, budget: Long = 997L): DataFrame = {
+    require(budget >= 0)
+    val h = docs
+      .select(concat(lit("site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com")).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n_docs"))
+    val t = h.agg(sum("n_docs").as("total"))
+    val b = h.crossJoin(broadcast(t))
+      .select(col("host"), col("n_docs"),
+        expr(s"(${budget}L * n_docs) div total").as("base"),
+        expr(s"(${budget}L * n_docs) % total").as("rem"))
+      .cache()
+    val leftover = (budget - b.agg(sum("base")).head.getLong(0)).toInt
+    val winners = b.orderBy(col("rem").desc, col("host")).limit(leftover)
+      .select(col("host"))
+    val out = b.join(winners.withColumn("w", lit(1L)), Seq("host"), "left")
+      .select(col("host"), col("n_docs"),
+        (col("base") + coalesce(col("w"), lit(0L))).as("alloc"))
+    out
+  }
+
   /** DSIR selection to an exact budget — the step after [[dsirWeights]]:
     * keep the k docs whose importance weight says they look most like the
     * target distribution (Xie et al. 2023 select by weight; the budget

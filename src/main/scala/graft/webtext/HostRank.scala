@@ -99,6 +99,41 @@ object HostRank {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart to a single seed) —
+    * the related-host discovery primitive: where [[rank]] spreads teleport
+    * mass uniformly (global importance), PPR restarts every walk at `seed`,
+    * so rank mass measures PROXIMITY to the seed through the link structure
+    * (Jeh–Widom 2003; "more like this host"). Same exact integer-fixed-point
+    * update, same edge-grain shuffles; the only changes are r0 (all `scale`
+    * at the seed) and the teleport term (paid only at the seed). Hosts the
+    * seed cannot reach stay exactly 0 — the oracle-checked witness that
+    * mass flows only through real paths. */
+  def pprRank(edges: DataFrame, seed: String, iters: Int = 3,
+              dampBp: Long = 8500L, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampBp >= 0 && dampBp <= 10000 && scale > 0)
+    val nodes = edges.select(col("src").as("host"))
+      .unionByName(edges.select(col("dst").as("host")))
+      .distinct().cache()
+    val outW = edges.groupBy("src").agg(sum("weight").as("outw"))
+    val edgesN = edges.join(outW, "src").cache()
+    val teleport = (10000L - dampBp) * scale / 10000L
+    var ranks = nodes.withColumn("rank",
+      when(col("host") === seed, scale).otherwise(0L))
+    for (r <- 1 to iters) {
+      val contrib = edgesN
+        .join(ranks.withColumnRenamed("host", "src"), "src")
+        .select(col("dst").as("host"),
+          expr(s"(rank * weight * ${dampBp}L) div (outw * 10000L)").as("c"))
+        .groupBy("host").agg(sum("c").as("in_rank"))
+      ranks = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (when(col("host") === seed, teleport).otherwise(0L) +
+            coalesce(col("in_rank"), lit(0L))).as("rank"))
+      if (r % 3 == 0 && r < iters) ranks = ranks.localCheckpoint(false)
+    }
+    ranks
+  }
+
   /** Convergence-stopped PageRank (VERDICT r4 stretch 7): iterate [[rank]]'s
     * exact integer update until the rank vector reaches its trunc-division
     * FIXED POINT — witnessed by a host-grain join of consecutive rounds with

@@ -263,6 +263,23 @@ object StreamingExtract {
     * per-doc verdict is identical under any micro-batching and append mode
     * is exact: a verdict is final on arrival. The streaming side still
     * reduces to the 12-byte key before the join. */
+  /** Streaming twin of the bucketized range join: error points ARRIVE as a
+    * stream, incident windows are the static side — the live "which open
+    * incident does this error belong to" tagger. The bucketized form is what
+    * makes this possible at all: a stream-static join must be an EQUI-join
+    * (no nested-loop exists in streaming), so the bucket key is load-bearing,
+    * not an optimization. Stateless (no watermark, no state store): each
+    * point meets its intervals in exactly one bucket, append-exact under any
+    * micro-batching — the drained table equals the batch `range_join` rows. */
+  def rangeJoinOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.events.RangeJoin
+    val pts = RangeJoin.errorPoints(
+      streamTable(spark, sfDir, "events.parquet")
+        .repartition(spark.sparkContext.defaultParallelism))
+    val iv = RangeJoin.incidentWindows(spark.read.parquet(s"$sfDir/events.parquet"))
+    drainToTable(RangeJoin.containJoin(iv, pts), "stream_rangejoin", "append")
+  }
+
   def crossCorpusOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val incoming = streamTable(spark, sfDir, "documents.parquet")

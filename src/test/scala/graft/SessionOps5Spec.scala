@@ -231,6 +231,179 @@ class HyperBallSpec extends AnyFunSuite {
   }
 }
 
+class RangeJoinSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.events.RangeJoin
+
+  test("bucketized containment join equals the direct BETWEEN join on sf0.001") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val evs = events.select("event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[LocalDateTime](2).toEpochSecond(java.time.ZoneOffset.UTC)))
+    val ivs = evs.filter(_._1 % 97 == 0).map(e => (e._1, e._3, e._3 + 5400L))
+    val pts = evs.filter(_._2 == "error").map(e => (e._1, e._3))
+    val expected = (for {
+      (i, lo, hi) <- ivs; (e, s) <- pts if s >= lo && s <= hi
+    } yield (i, e, s)).sortBy(p => (p._1, p._2)).toSeq
+    val got = RangeJoin.containJoin(
+        RangeJoin.incidentWindows(events), RangeJoin.errorPoints(events))
+      .orderBy("iv_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("range join hand case: inclusive bounds, bucket-boundary straddling") {
+    import spark.implicits._
+    // interval [1000, 6400] spans buckets 0..3 at B=1800; points at the exact
+    // bounds are IN, one past is OUT; point 5000 sits in an interior bucket
+    val iv = Seq((1L, 1000L, 6400L)).toDF("iv_id", "lo", "hi")
+    val pt = Seq((10L, 999L), (11L, 1000L), (12L, 1800L), (13L, 5000L),
+      (14L, 6400L), (15L, 6401L)).toDF("event_id", "sec")
+    val got = RangeJoin.containJoin(iv, pt).collect().map(_.getLong(1)).sorted.toSeq
+    assert(got == Seq(11L, 12L, 13L, 14L))
+  }
+
+  test("range join plans as an equi-join: no nested-loop, no cartesian") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val plan = RangeJoin.containJoin(
+        RangeJoin.incidentWindows(events), RangeJoin.errorPoints(events))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay keyed:\n$plan")
+  }
+}
+
+class RangeJoinRuleSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.events.RangeJoin
+  import graft.plans.BucketedRangeJoin
+  import org.apache.spark.sql.DataFrame
+
+  import org.apache.spark.sql.functions.col
+
+  private def naive(iv: DataFrame, pt: DataFrame) =
+    iv.join(pt, col("sec") >= col("lo") && col("sec") <= col("hi"))
+      .select("iv_id", "event_id", "sec")
+
+  private def withRule[A](f: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ BucketedRangeJoin()
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("the optimizer rule rewrites the naive BETWEEN join to an equi-join, result-identical") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val iv = RangeJoin.incidentWindows(events)
+    val pt = RangeJoin.errorPoints(events)
+    val without = naive(iv, pt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // sanity: without the rule, Catalyst bottoms out at a nested loop
+    val naivePlan = naive(iv, pt).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"expected the naive plan to nested-loop:\n$naivePlan")
+    withRule {
+      val q = naive(iv, pt)
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rule must produce a keyed join:\n$plan")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == without && got.nonEmpty)
+      // and it equals the hand-bucketized operator
+      val manual = RangeJoin.containJoin(iv, pt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == manual)
+    }
+  }
+
+  test("the rule handles the swapped orientation (points on the left)") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val iv = RangeJoin.incidentWindows(events)
+    val pt = RangeJoin.errorPoints(events)
+    val expected = naive(iv, pt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    withRule {
+      val q = pt.join(iv, col("sec") >= col("lo") && col("sec") <= col("hi"))
+        .select("iv_id", "event_id", "sec")
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"swapped form must rewrite:\n$plan")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == expected)
+    }
+  }
+}
+
+class StreamRangeJoinSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.events.RangeJoin
+
+  test("drained stream-static range join equals the batch pair set") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val batch = RangeJoin.containJoin(
+        RangeJoin.incidentWindows(events), RangeJoin.errorPoints(events))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = pageplus.streaming.StreamingExtract.rangeJoinOnce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+}
+
+class PprSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.HostRank
+
+  test("pprRank matches a driver-side fixed-point recompute; unreachable hosts stay 0") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    def site(x: Long) = s"site$x.example.com"
+    for (i <- ids) {
+      edges((site(i % 7), site((2 * i + 1) % 7))) += 1
+      if (i % 3 == 0) edges((site(i % 7), site((3 * i + 2) % 7))) += 1
+      if (i % 5 < 2) edges((site(i % 7), site(0))) += 1
+    }
+    val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val hosts = edges.keys.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+    val seed = site(0)
+    var rank = hosts.map(h => h -> (if (h == seed) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val c = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for (((s, d), w) <- edges) c(d) += rank(s) * w * 8500L / (outw(s) * 10000L)
+      rank = hosts.map(h => h -> ((if (h == seed) 150000L else 0L) + c(h))).toMap
+    }
+    val got = HostRank.pprRank(HostRank.hostEdges(docs), seed).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == hosts.map(h => (h, rank(h))))
+    // site6 has no in-edges: PPR mass cannot reach it — exactly 0
+    assert(got.find(_._1 == site(6)).exists(_._2 == 0L))
+    assert(got.find(_._1 == seed).exists(_._2 > 0L))
+  }
+}
+
+class BudgetAllocSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.textops.Curate
+
+  test("largest-remainder allocation hits the budget exactly, within 1 of proportional") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Curate.budgetAlloc(docs).orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val total = got.map(_._2).sum
+    assert(got.map(_._3).sum == 997L, "allocation must sum to the budget")
+    got.foreach { case (h, n, a) =>
+      val base = 997L * n / total
+      assert(a == base || a == base + 1, s"$h alloc $a not within 1 of share $base")
+    }
+    // replay the remainder ranking exactly
+    val r = (997L - got.map(p => 997L * p._2 / total).sum).toInt
+    val winners = got.map(p => (p._1, 997L * p._2 % total))
+      .sortBy(p => (-p._2, p._1)).take(r).map(_._1).toSet
+    got.foreach { case (h, n, a) =>
+      assert(a == 997L * n / total + (if (winners(h)) 1L else 0L))
+    }
+  }
+}
+
 class DsirSelectSpec extends AnyFunSuite {
   import SparkSuite._
   import graft.textops.Curate

@@ -272,7 +272,9 @@ class TzInvarianceSpec extends AnyFunSuite {
       // under DST zones
       "cusum_bursts",
       // r5: funnel order keys are ntzEpochSeconds-derived composites
-      "funnel_counts")
+      "funnel_counts",
+      // r5: interval bounds and point epochs are ntzEpochSeconds-derived
+      "range_join", "range_join_rule", "stream_range_join")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
