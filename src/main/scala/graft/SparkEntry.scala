@@ -778,6 +778,14 @@ object SparkEntry {
       graft.webtext.UrlOps.hostStats(
         graft.webtext.UrlOps.plantMessyUrls(tp(s, dir, "documents")), "text")
     }),
+    // eTLD+1 extraction (public-suffix longest match, prevailing-rule
+    // fallback, private registries, IPv4/single-label edge cases) — pure
+    // builtin when-chain + anchored regexp, map-side codegen, no UDF
+    "registered_domain" -> ((s, dir) =>
+      graft.webtext.UrlOps.withRegisteredDomain(
+          graft.webtext.UrlOps.plantHosts(tp(s, dir, "documents")))
+        .select("doc_id", "host", "suffix", "registered_domain")
+        .orderBy("doc_id")),
     "decontaminate" -> ((s, dir) => {
       // 13-gram eval-set overlap (GPT-3/PaLM decontamination): eval set =
       // every doc_id % 41 == 0 document's first 13-gram, broadcast; one
@@ -1069,6 +1077,13 @@ object SparkEntry {
       graft.webtext.WebText.pageLinks(
         graft.webtext.WebText.htmlPages(tp(s, dir, "documents")).toDF()).toDF()
     }),
+    // structured web-table mining (WDC-style): one row per td/th cell with
+    // table/row/col addressing + header flag, entities decoded; fused
+    // map-side parse->emit, cell rows shrink the corpus before downstream
+    "html_tables" -> ((s, dir) =>
+      graft.webtext.WebText.tableCells(
+          graft.webtext.WebText.tablePages(tp(s, dir, "documents")).toDF()).toDF()
+        .orderBy("url", "table_idx", "row_idx", "col_idx")),
     "link_targets_top" -> ((s, dir) => {
       // cross-corpus target popularity (the frontier/blocklist rollup over
       // the exploded link table): partial-agg on href, then top-k — plans as
@@ -1098,6 +1113,13 @@ object SparkEntry {
       graft.webtext.Recrawl.scd2(
           graft.webtext.AsofJoin.plantSnapshots(tp(s, dir, "documents")))
         .orderBy("k", "version")),
+    // adaptive recrawl scheduling: observed mean change interval (trunc
+    // division) clamped to [2h, 24h] -> next_fetch + hot/warm/cold/unseen
+    // tier; one narrow (k,t) hash agg, everything after is codegen arithmetic
+    "recrawl_interval" -> ((s, dir) =>
+      graft.webtext.Recrawl.recrawlIntervals(
+          graft.webtext.Recrawl.plantCaptures(tp(s, dir, "documents")))
+        .orderBy("k")),
     "host_rank" -> ((s, dir) => {
       // damped PageRank over the synthetic host graph, 3 fixed iterations in
       // integer fixed-point (rank scaled 10^6, basis-point damping) so the
@@ -1189,6 +1211,17 @@ object SparkEntry {
         graft.webtext.Sitemap.plantSitemaps(tp(s, dir, "documents")))
         .orderBy("loc")
     }),
+    // syndication-feed parsing: one StAX pass handles RSS 2.0 AND Atom
+    // (fixture alternates by parity), items ≪ feed bytes, map-side flatMap
+    "feed_items" -> ((s, dir) =>
+      graft.webtext.Feeds.items(
+          graft.webtext.Feeds.plantFeeds(tp(s, dir, "documents"))).toDF()
+        .orderBy("doc_id", "item_idx")),
+    // robots-meta opt-out governance (noindex/noai exclusion with auditable
+    // per-directive flags; unrelated directives must not trip the gate)
+    "optout_gate" -> ((s, dir) =>
+      graft.webtext.Metadata.optOutGate(tp(s, dir, "documents")).toDF()
+        .orderBy("doc_id")),
     "redirect_resolve" -> ((s, dir) => {
       // frontier redirect-chain resolution via pointer doubling: 3 node-grain
       // self-joins resolve every chain <= 8 hops (O(log) rounds — a 10^6
@@ -1310,6 +1343,10 @@ object SparkEntry {
       // same transforms under Structured Streaming; must equal the batch answer
       pageplus.streaming.StreamingExtract.extractOnce(s, dir)
     }),
+    "stream_feed_items" -> ((s, dir) =>
+      // stateless streaming twin of feed_items: poll -> parse -> append;
+      // micro-batching-invariant because the op is per-row
+      pageplus.streaming.StreamingExtract.feedItemsOnce(s, dir)),
     "stream_dedup_exact" -> ((s, dir) => {
       // exact dedup as custom streaming state on the narrow text key; must
       // equal the batch dedup_exact answer
@@ -1918,6 +1955,20 @@ object SparkEntry {
     }.mkString(",\n")
     head + ",\n" + iters
   }
+
+  /** Feed-items oracle — shared by the batch query and its stateless
+    * streaming twin (per-row op, so the drained table equals the batch
+    * answer under any micro-batching). */
+  private val FeedItemsSql: String =
+    """WITH base AS (SELECT doc_id, 1 + doc_id%4 AS n FROM documents),
+      |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM base)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id%2=0 THEN 'rss' ELSE 'atom' END AS fmt,
+      |  CAST(i AS BIGINT) AS item_idx,
+      |  'item ' || doc_id || ' ' || i || CASE WHEN (doc_id+i)%5=0 THEN ' & news' ELSE '' END AS title,
+      |  'https://site' || (doc_id%7) || '.example.com/a/' || doc_id || '/' || i AS link,
+      |  CAST(DATE '2020-01-01' + CAST((doc_id+i)%365 AS INTEGER) AS VARCHAR) AS stamp
+      |FROM i ORDER BY doc_id, item_idx""".stripMargin
 
   /** SCD2 oracle over the planted capture log — shared by the batch query
     * and its streaming twin (both must produce the same dimension table). */
@@ -2864,6 +2915,26 @@ object SparkEntry {
     "html_links" -> LinkRowsSql("""SELECT 'doc://' || doc_id AS url, ord0 AS link_ord, href,
         |       'doc://' || doc_id || href AS resolved, anchor_text, in_main
         |FROM rows""".stripMargin),
+    // html_tables: the oracle regrows every cell from the generator's doc_id
+    // arithmetic (header row, R x C data grid with the entity trap decoded,
+    // conditional second table); Python-validated 5498/5498 at sf0.01.
+    "html_tables" ->
+      """WITH base AS (SELECT doc_id, 2 + doc_id%2 AS c, 2 + doc_id%3 AS r FROM documents),
+        |hdr AS (SELECT doc_id, 0 AS table_idx, 0 AS row_idx, j AS col_idx, TRUE AS is_header, 'h'||j AS cell
+        |        FROM (SELECT doc_id, unnest(range(0, c)) AS j FROM base)),
+        |dat AS (SELECT doc_id, 0 AS table_idx, 1 + i AS row_idx, j AS col_idx, FALSE AS is_header,
+        |               'v' || (doc_id*7 + i*c + j) || CASE WHEN (i+j)%3=0 THEN ' & x' ELSE '' END AS cell
+        |        FROM (SELECT doc_id, c, i, unnest(range(0, c)) AS j
+        |              FROM (SELECT doc_id, c, unnest(range(0, r)) AS i FROM base))),
+        |ext AS (SELECT a.doc_id, 1 AS table_idx, a.i AS row_idx, b.j AS col_idx, FALSE AS is_header,
+        |               'w' || (a.doc_id + 2*a.i + b.j) AS cell
+        |        FROM (SELECT doc_id, unnest(range(0,2)) AS i FROM base WHERE doc_id%4=0) a
+        |        CROSS JOIN (SELECT unnest(range(0,2)) AS j) b),
+        |allc AS (SELECT * FROM hdr UNION ALL SELECT * FROM dat UNION ALL SELECT * FROM ext)
+        |SELECT 'doc://'||doc_id AS url, CAST(table_idx AS BIGINT) AS table_idx,
+        |       CAST(row_idx AS BIGINT) AS row_idx, CAST(col_idx AS BIGINT) AS col_idx,
+        |       is_header, cell
+        |FROM allc ORDER BY url, table_idx, row_idx, col_idx""".stripMargin,
     "link_targets_top" -> LinkRowsSql("""SELECT href, CAST(count(*) AS BIGINT) AS n_docs
         |FROM rows GROUP BY href
         |ORDER BY n_docs DESC, href LIMIT 20""".stripMargin),
@@ -2886,6 +2957,23 @@ object SparkEntry {
     // The streaming twin must converge to the identical dimension table.
     "scd2_history" -> Scd2Sql,
     "stream_scd2_history" -> Scd2Sql,
+    // recrawl_interval: the oracle regrows the richer capture fixture
+    // (doc_id%5+1 captures spaced 3600*(k%41+1) s) and recomputes the
+    // clamped trunc-division estimate; Python-validated 500/500 at sf0.01.
+    "recrawl_interval" ->
+      """WITH s AS (SELECT doc_id AS k, unnest(range(0, doc_id%5 + 1)) AS version FROM documents),
+        |t AS (SELECT k, version, 1704067200 + version*3600*(k%41+1) + (k%97)*60 AS t FROM s),
+        |g AS (SELECT k, count(*) AS captures, min(t) AS first_t, max(t) AS last_t FROM t GROUP BY k),
+        |e AS (SELECT k, captures, captures-1 AS changes,
+        |        CASE WHEN captures=1 THEN 86400
+        |             ELSE least(greatest((last_t-first_t)//(captures-1), 7200), 86400) END AS est_interval_s,
+        |        last_t FROM g)
+        |SELECT k, CAST(captures AS BIGINT) AS captures, CAST(changes AS BIGINT) AS changes,
+        |       CAST(est_interval_s AS BIGINT) AS est_interval_s,
+        |       CAST(last_t + est_interval_s AS BIGINT) AS next_fetch,
+        |       CASE WHEN changes=0 THEN 'unseen' WHEN est_interval_s<=28800 THEN 'hot'
+        |            WHEN est_interval_s<86400 THEN 'warm' ELSE 'cold' END AS tier
+        |FROM e ORDER BY k""".stripMargin,
     "crawl_delta" ->
       """WITH a AS (SELECT doc_id, text FROM documents),
         |b AS (SELECT doc_id, CASE WHEN doc_id%5=1 THEN text || ' updated' ELSE text END AS text
@@ -3127,6 +3215,24 @@ object SparkEntry {
     // sitemap_urls: every document appears exactly once regardless of the
     // index/flat split, so the oracle is pure doc arithmetic; lastmod is
     // date arithmetic rendered ISO (TZ-free), priority integer basis points
+    // feed_items: the oracle regrows every item from the generator's doc_id
+    // arithmetic (parity picks the format, entity trap decoded, ISO stamps
+    // as strings); Python-validated 1250/1250 at sf0.01. The streaming twin
+    // shares it (stateless per-row op: drained table == batch answer).
+    "feed_items" -> FeedItemsSql,
+    "stream_feed_items" -> FeedItemsSql,
+    // optout_gate: CASE table over the six planted robots-meta branches
+    // (directive parsing = trim+lowercase on comma splits; only
+    // noindex/noai flip the training gate); Python-validated 500/500.
+    "optout_gate" ->
+      """SELECT doc_id,
+        |  CASE doc_id%6 WHEN 0 THEN 'noindex' WHEN 1 THEN 'noai, noimageai' WHEN 2 THEN 'index, follow'
+        |       WHEN 3 THEN '' WHEN 4 THEN 'NOINDEX,NOFOLLOW' ELSE 'max-snippet:-1' END AS robots_meta,
+        |  doc_id%6 IN (0,4) AS noindex,
+        |  doc_id%6 = 4 AS nofollow,
+        |  doc_id%6 = 1 AS noai,
+        |  NOT (doc_id%6 IN (0,1,4)) AS keep_for_training
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sitemap_urls" ->
       """SELECT 'https://site'||(doc_id%7)||'.example.com/articles/doc'||doc_id||'.html' AS loc,
         |  CAST(DATE '2020-01-01' + CAST(doc_id%365 AS INTEGER) AS VARCHAR) AS lastmod,
@@ -4061,6 +4167,42 @@ object SparkEntry {
       """SELECT 'site'||(doc_id%7)||'.example.com' AS host,
         |       count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // registered_domain: the oracle recomputes the eTLD+1 CASE-by-CASE from
+    // doc_id arithmetic (geometry-family pattern — the engine runs the
+    // generic longest-suffix matcher, the oracle pins each fixture branch's
+    // expected result); Python-validated 500/500 vs an independent PSL
+    // recompute at sf0.01.
+    "registered_domain" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE doc_id%10
+        |    WHEN 0 THEN 'www.news' || (doc_id%5) || '.co.uk'
+        |    WHEN 1 THEN 'blog' || (doc_id%7) || '.github.io'
+        |    WHEN 2 THEN 'site' || (doc_id%7) || '.example.com'
+        |    WHEN 3 THEN CASE WHEN doc_id%9=0 THEN 'co.uk' ELSE 'media.corp' || (doc_id%3) || '.com.au' END
+        |    WHEN 4 THEN 'a.b.deep' || (doc_id%4) || '.org'
+        |    WHEN 5 THEN 'cdn' || (doc_id%6) || '.net'
+        |    WHEN 6 THEN 'shop' || (doc_id%5) || '.co.jp'
+        |    WHEN 7 THEN '192.168.' || (doc_id%4) || '.10'
+        |    WHEN 8 THEN 'intranet.example.zz'
+        |    ELSE 'localhost' END AS host FROM documents)
+        |SELECT doc_id, host,
+        |  CASE doc_id%10
+        |    WHEN 0 THEN 'co.uk' WHEN 1 THEN 'github.io' WHEN 2 THEN 'com'
+        |    WHEN 3 THEN CASE WHEN doc_id%9=0 THEN 'co.uk' ELSE 'com.au' END
+        |    WHEN 4 THEN 'org' WHEN 5 THEN 'net' WHEN 6 THEN 'co.jp'
+        |    WHEN 7 THEN '' WHEN 8 THEN 'zz' ELSE '' END AS suffix,
+        |  CASE doc_id%10
+        |    WHEN 0 THEN 'news' || (doc_id%5) || '.co.uk'
+        |    WHEN 1 THEN 'blog' || (doc_id%7) || '.github.io'
+        |    WHEN 2 THEN 'example.com'
+        |    WHEN 3 THEN CASE WHEN doc_id%9=0 THEN '' ELSE 'corp' || (doc_id%3) || '.com.au' END
+        |    WHEN 4 THEN 'deep' || (doc_id%4) || '.org'
+        |    WHEN 5 THEN 'cdn' || (doc_id%6) || '.net'
+        |    WHEN 6 THEN 'shop' || (doc_id%5) || '.co.jp'
+        |    WHEN 7 THEN '192.168.' || (doc_id%4) || '.10'
+        |    WHEN 8 THEN 'example.zz'
+        |    ELSE 'localhost' END AS registered_domain
+        |FROM h ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |     g AS (SELECT doc_id, CASE WHEN len(ws) >= 13

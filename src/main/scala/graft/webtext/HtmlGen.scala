@@ -65,6 +65,79 @@ object HtmlGen {
       .replaceFirst("<html>", java.util.regex.Matcher.quoteReplacement(langAttr))
   }
 
+  /** [[page]] plus a robots meta directive spliced after the charset meta
+    * ([[pageWithMeta]] discipline): the opt-out-governance fixture. Branches
+    * by docId%6 — noindex / "noai, noimageai" / explicit allow / ABSENT /
+    * upper-case "NOINDEX,NOFOLLOW" / an unrelated directive the gate must
+    * ignore. Raw content strings are pinned so the oracle is a CASE table. */
+  def pageWithRobots(docId: Long, text: String): String = {
+    val content = (docId % 6) match {
+      case 0 => "noindex"
+      case 1 => "noai, noimageai"
+      case 2 => "index, follow"
+      case 3 => null
+      case 4 => "NOINDEX,NOFOLLOW"
+      case _ => "max-snippet:-1"
+    }
+    val base = page(docId, text)
+    if (content == null) return base
+    val anchor = "<meta charset=\"utf-8\">\n"
+    val at = base.indexOf(anchor) + anchor.length
+    val nameAttr = if (docId % 6 == 4) "ROBOTS" else "robots"
+    base.substring(0, at) +
+      "<meta name=\"" + nameAttr + "\" content=\"" + content + "\">\n" +
+      base.substring(at)
+  }
+
+  /** [[page]] plus deterministic data tables spliced right before the
+    * comments block (same splice discipline as [[pageWithMeta]]: every other
+    * oracle's byte layout is untouched because only the tables query consumes
+    * these pages). Table 0: one `<th>` header row of C = 2+docId%2 cells
+    * `h{j}`, then R = 2+docId%3 data rows with cell (i,j) =
+    * `v{docId*7 + i*C + j}`, plus an entity trap (`&amp; x` in the source,
+    * literal `& x` extracted) on cells where (i+j)%3==0. A second 2x2
+    * header-less table (`w{docId + 2i + j}`) appears when docId%4==0.
+    * All counts/content are doc_id arithmetic -> plain-SQL oracle. */
+  def pageWithTables(docId: Long, text: String): String = {
+    val base = page(docId, text)
+    val sb = new java.lang.StringBuilder(512)
+    val c = (2 + docId % 2).toInt
+    val r = (2 + docId % 3).toInt
+    sb.append("<table class=\"data\">\n<tr>")
+    var j = 0
+    while (j < c) { sb.append("<th>h").append(j).append("</th>"); j += 1 }
+    sb.append("</tr>\n")
+    var i = 0
+    while (i < r) {
+      sb.append("<tr>")
+      j = 0
+      while (j < c) {
+        sb.append("<td>v").append(docId * 7 + i * c + j)
+        if ((i + j) % 3 == 0) sb.append(" &amp; x")
+        sb.append("</td>")
+        j += 1
+      }
+      sb.append("</tr>\n")
+      i += 1
+    }
+    sb.append("</table>\n")
+    if (docId % 4 == 0) {
+      sb.append("<table class=\"extra\">\n")
+      i = 0
+      while (i < 2) {
+        sb.append("<tr>")
+        j = 0
+        while (j < 2) { sb.append("<td>w").append(docId + 2 * i + j).append("</td>"); j += 1 }
+        sb.append("</tr>\n")
+        i += 1
+      }
+      sb.append("</table>\n")
+    }
+    val anchor = "<div class=\"comments\">"
+    val at = base.indexOf(anchor)
+    base.substring(0, at) + sb + base.substring(at)
+  }
+
   def escape(s: String): String = {
     if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) return s
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

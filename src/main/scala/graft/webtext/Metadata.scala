@@ -43,6 +43,49 @@ object Metadata {
     (title, desc, canon, og, lang)
   }
 
+  final case class RobotsGate(doc_id: Long, robots_meta: String, noindex: Boolean,
+                              nofollow: Boolean, noai: Boolean, keep_for_training: Boolean)
+
+  /** Directive set of the first `meta[name=robots]` (name matched
+    * case-insensitively, content split on commas, tokens trimmed +
+    * lowercased — the spec's parsing rules). Empty set when absent. */
+  def robotsDirectives(html: String): Set[String] = {
+    val root = HtmlDom.parse(html)
+    HtmlDom.find(root, e => e.tag == "meta" &&
+        e.attr("name").exists(_.equalsIgnoreCase("robots")))
+      .headOption.flatMap(_.attr("content")) match {
+      case Some(c) => c.split(",").iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+      case None => Set.empty
+    }
+  }
+
+  /** Opt-out governance gate — the data-compliance filter an LLM corpus
+    * pipeline must run BEFORE anything trains: pages carrying `noindex` or
+    * the emerging `noai` robots directive are excluded
+    * (keep_for_training = false), with the raw directive string and the
+    * individual flags reported so removals are auditable per policy.
+    * Unrelated directives (max-snippet etc.) must NOT trip the gate.
+    * Map-side parse, zero shuffle — composes in front of the quality gates
+    * as one more codegen-adjacent projection. */
+  def optOutGate(docs: DataFrame): Dataset[RobotsGate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val html = HtmlGen.pageWithRobots(id, if (text == null) "" else text)
+        val root = HtmlDom.parse(html)
+        val raw = HtmlDom.find(root, e => e.tag == "meta" &&
+            e.attr("name").exists(_.equalsIgnoreCase("robots")))
+          .headOption.flatMap(_.attr("content")).getOrElse("")
+        val dirs = raw.split(",").iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+        val noindex = dirs.contains("noindex")
+        val nofollow = dirs.contains("nofollow")
+        val noai = dirs.contains("noai")
+        RobotsGate(id, raw, noindex, nofollow, noai, !(noindex || noai))
+      })
+  }
+
   /** documents -> per-doc head metadata over the deterministic
     * [[HtmlGen.pageWithMeta]] payload. */
   def headMetadata(docs: DataFrame): Dataset[PageMeta] = {

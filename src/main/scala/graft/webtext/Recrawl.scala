@@ -58,6 +58,50 @@ object Recrawl {
         when(col("valid_to") === -1L, 1L).otherwise(0L).as("is_current"))
   }
 
+  /** Deterministic capture log richer than [[graft.webtext.AsofJoin.plantSnapshots]]
+    * for interval ESTIMATION: doc_id%5+1 captures per url spaced by a
+    * per-url gap of 3600*(doc_id%41+1) seconds (1h..41h), so the estimator
+    * sees the full clamp range (below min, inside, above max) plus the
+    * never-changed (single-capture) class.
+    */
+  def plantCaptures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("k"),
+        explode(sequence(lit(0L), col("doc_id") % 5)).as("version"))
+      .select(col("k"), col("version"),
+        (lit(1704067200L) + col("version") * lit(3600L) * (col("k") % 41 + 1L) +
+          (col("k") % 97) * 60L).as("t"))
+
+  /** Adaptive recrawl scheduling from a capture log (k, version, t) — the
+    * Cho/Garcia-Molina freshness move: the observed mean change interval
+    * (span // changes, trunc division) clamped to [minInterval, maxInterval]
+    * becomes the url's next-fetch spacing; urls never seen changing get
+    * maxInterval and an 'unseen' tier so the frontier can treat "no signal"
+    * differently from "measured slow". Tiers are integer thresholds on the
+    * estimate (hot <= 4*min, warm < max, cold = clamped at max).
+    *
+    * Scale shape: one map-side-combinable hash aggregation over narrow
+    * (k, t) rows — count/min/max partials are 24 bytes per url per task, so
+    * a 10^12-capture log reduces in one shuffle on the url key; everything
+    * after the agg is per-row arithmetic in whole-stage codegen. */
+  def recrawlIntervals(snaps: DataFrame, minInterval: Long = 7200L,
+                       maxInterval: Long = 86400L): DataFrame = {
+    require(minInterval >= 1L && maxInterval >= minInterval)
+    val hotCap = 4L * minInterval
+    snaps.groupBy(col("k"))
+      .agg(count(lit(1)).as("captures"), min("t").as("first_t"), max("t").as("last_t"))
+      .withColumn("changes", col("captures") - 1L)
+      .withColumn("est_interval_s",
+        when(col("changes") === 0L, lit(maxInterval))
+          .otherwise(least(greatest(
+            expr("(last_t - first_t) DIV changes"), lit(minInterval)), lit(maxInterval))))
+      .select(col("k"), col("captures"), col("changes"), col("est_interval_s"),
+        (col("last_t") + col("est_interval_s")).as("next_fetch"),
+        when(col("changes") === 0L, lit("unseen"))
+          .when(col("est_interval_s") <= hotCap, lit("hot"))
+          .when(col("est_interval_s") < maxInterval, lit("warm"))
+          .otherwise(lit("cold")).as("tier"))
+  }
+
   /** (doc_id, status) for every doc present in either snapshot. */
   def delta(a: DataFrame, b: DataFrame): DataFrame = {
     def keyed(df: DataFrame, h: String, l: String) =

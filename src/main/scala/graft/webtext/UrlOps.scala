@@ -1,6 +1,6 @@
 package graft.webtext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization + host-grain aggregation — the first dedup/quality
@@ -203,4 +203,77 @@ object UrlOps {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col(contentCol)).cast("long")).as("total_chars"))
+
+  /** Embedded public-suffix table (a representative slice of the PSL shape:
+    * multi-label registry suffixes FIRST so longest-match wins, then the
+    * single-label tails, including private-registry suffixes like github.io
+    * where the "registered domain" is the user subdomain). The real list is
+    * ~9k rules; the algorithm below is rule-count-independent (a when-chain
+    * stays codegen-friendly into the hundreds; past that the same table
+    * broadcasts and joins on the candidate-suffix explode). */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "co.in", "co.nz", "com.cn",
+    "github.io", "blogspot.com", "herokuapp.com",
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "dev", "app",
+    "uk", "au", "jp", "br", "in", "nz", "cn", "de", "fr", "us")
+
+  /** (host) -> (suffix, registered_domain): eTLD+1 extraction, the grain
+    * host blocklists / per-site quality priors / crawl politeness actually
+    * key on (grouping `a.cdn.site.co.uk` with `www.site.co.uk`). PSL
+    * semantics: longest matching suffix wins; a host that IS a bare public
+    * suffix has no registrable domain (empty, never null — hash-compared
+    * surface); an unknown TLD falls back to the prevailing rule (last label
+    * = suffix, last two labels = registered); IPv4 literals and single-label
+    * hosts register as themselves with an empty suffix.
+    *
+    * Pure builtin Columns (ordered when-chain + anchored regexp_extract) —
+    * map-side, whole-stage codegen, no UDF. */
+  def withRegisteredDomain(df: DataFrame, hostCol: String = "host"): DataFrame = {
+    val h = col(hostCol)
+    def rx(s: String) = s.replace(".", "\\.")
+    val isIp = h.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$")
+    val single = !h.contains(".")
+    val ordered = PublicSuffixes.sortBy(s => (-s.count(_ == '.'), s))
+    val matched = ordered.foldLeft(when(lit(false), lit("")): Column) { (acc, s) =>
+      acc.when(h === s || h.endsWith("." + s), lit(s))
+    }
+    // unknown TLD: prevailing rule — last label is the suffix; unknown
+    // single-label hosts (localhost) have no suffix at all
+    val suffix = when(isIp, lit(""))
+      .otherwise(coalesce(matched,
+        when(single, lit("")).otherwise(regexp_extract(h, "\\.([^.]+)$", 1))))
+    // one label + the (escaped) suffix, anchored at the end; built per list
+    // branch so every regexp pattern is a literal (compiled once); NULL when
+    // the suffix came from the prevailing rule -> last-two-labels fallback
+    val listReg = ordered.foldLeft(when(lit(false), lit("")): Column) { (acc, s) =>
+      acc.when(matched === s, regexp_extract(h, "([^.]+\\." + rx(s) + ")$", 1))
+    }
+    val reg = when(isIp, h)
+      .when(h === suffix, lit("")) // bare public suffix (any label count)
+      .when(single, h)             // unknown single label registers itself
+      .otherwise(coalesce(listReg, regexp_extract(h, "([^.]+\\.[^.]+)$", 1)))
+    df.withColumn("suffix", suffix).withColumn("registered_domain", reg)
+  }
+
+  /** Deterministically plant hosts covering every [[withRegisteredDomain]]
+    * branch (the driver corpus only has site{0..6}.example.com): ccTLD
+    * second-level registries, private-registry suffixes, deep subdomains,
+    * bare suffixes, unknown TLDs, IPv4 literals, single-label hosts. */
+  def plantHosts(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 10
+    docs.select(id.as("doc_id"),
+      when(m === 0, concat(lit("www.news"), (id % 5).cast("string"), lit(".co.uk")))
+        .when(m === 1, concat(lit("blog"), (id % 7).cast("string"), lit(".github.io")))
+        .when(m === 2, concat(lit("site"), (id % 7).cast("string"), lit(".example.com")))
+        .when(m === 3, when(id % 9 === 0, lit("co.uk"))
+          .otherwise(concat(lit("media.corp"), (id % 3).cast("string"), lit(".com.au"))))
+        .when(m === 4, concat(lit("a.b.deep"), (id % 4).cast("string"), lit(".org")))
+        .when(m === 5, concat(lit("cdn"), (id % 6).cast("string"), lit(".net")))
+        .when(m === 6, concat(lit("shop"), (id % 5).cast("string"), lit(".co.jp")))
+        .when(m === 7, concat(lit("192.168."), (id % 4).cast("string"), lit(".10")))
+        .when(m === 8, lit("intranet.example.zz"))
+        .otherwise(lit("localhost")).as("host"))
+  }
 }

@@ -28,6 +28,55 @@ object WebText {
       })
   }
 
+  /** [[htmlPages]] with [[HtmlGen.pageWithTables]] payloads — the fixture
+    * family for structured-table mining (consumed only by the tables query;
+    * all other page oracles keep the base byte layout). */
+  def tablePages(docs: DataFrame): Dataset[PageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, lang) =>
+        val t = if (text == null) "" else text
+        PageRow(pageplus.data.PagesFromDocuments.url(id),
+          new java.sql.Timestamp(id * 3600 * 1000L),
+          HtmlGen.pageWithTables(id, t).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text, lang)
+      })
+  }
+
+  final case class TableCell(url: String, table_idx: Long, row_idx: Long,
+                             col_idx: Long, is_header: Boolean, cell: String)
+
+  /** pages -> one row per `<td>`/`<th>` cell: structured-table mining (the
+    * web-table corpus extraction step — WDC-style relational data from HTML).
+    * table_idx is the table's pre-order position in the page, row_idx the
+    * `<tr>` position within its table (header rows included), col_idx the
+    * cell position within its row; entities arrive decoded. Same fused
+    * map-side shape as every other page extractor: parse once, emit cells,
+    * zero shuffles; cell rows are tiny relative to page bytes, so the
+    * flatMap SHRINKS the data before anything downstream. Nested tables
+    * (absent from the generator) would attribute inner rows to every
+    * enclosing table — acceptable for corpus mining, noted for honesty. */
+  def tableCells(pages: DataFrame, saltPartitions: Int = 0): Dataset[TableCell] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Pipeline.saltByUrl(pages.select("url", "html"), saltPartitions)
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        val root = HtmlDom.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        HtmlDom.find(root, _.tag == "table").zipWithIndex.flatMap { case (tbl, ti) =>
+          HtmlDom.find(tbl, _.tag == "tr").zipWithIndex.flatMap { case (tr, ri) =>
+            tr.children.collect { case e: HtmlDom.HElem if e.tag == "td" || e.tag == "th" => e }
+              .zipWithIndex.map { case (cellEl, ci) =>
+                TableCell(url, ti.toLong, ri.toLong, ci.toLong,
+                  cellEl.tag == "th", HtmlDom.textOf(cellEl))
+              }
+          }
+        }
+      }
+  }
+
   final case class Extracted(url: String, extracted_text: String)
 
   /** pages -> (url, extracted_text): parse + block-score + paragraph join. */

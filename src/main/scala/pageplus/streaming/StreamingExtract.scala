@@ -70,6 +70,19 @@ object StreamingExtract {
     df.sparkSession.table(name)
   }
 
+  /** Streaming twin of the feed_items batch query — the natural production
+    * shape for syndication (poll feeds, parse, append new items to the
+    * frontier): blobs generate map-side from the streamed documents, each
+    * micro-batch flatMaps to item rows. Stateless append, so the drained
+    * table equals the batch answer under ANY micro-batching; `noDataBatch =
+    * false` because there is no state store or watermark to tick. */
+  def feedItemsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = streamTable(spark, sfDir, "documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val items = graft.webtext.Feeds.items(graft.webtext.Feeds.plantFeeds(docs)).toDF()
+    drainToTable(items, "stream_feed_items", "append", noDataBatch = false)
+  }
+
   /** Run the extraction as a streaming query over the documents parquet.
     * Salted like every batch surface: the single-file source is one split,
     * so the per-row parse+extract must be spread (CLAUDE.md rule). */
