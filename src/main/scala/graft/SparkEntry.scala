@@ -965,6 +965,17 @@ object SparkEntry {
       // fixed-point vectors (codebook = bounded id-stride sample, broadcast;
       // assignment map-side, zero shuffles). 256 B float vector -> 16 codes.
       graft.textops.Ann.pqCodes(tp(s, dir, "embeddings"))),
+    "ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ composition (the production 10^12-vector layout): coarse
+      // lists prune the corpus to ~nprobe/nlist, ADC reads 16 code bytes per
+      // surviving vector — multiplicative pruning x compression. hit =
+      // exact integer-L2 brute-force membership (recall audit).
+      val emb = tp(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      graft.textops.Ann.withPqHits(
+        graft.textops.Ann.ivfPqTopK(emb, queries, k = 5), emb, queries, k = 5)
+    }),
     "ann_pq" -> ((s, dir) => {
       // PQ asymmetric-distance ANN: per-query 16×64 integer LUT broadcast;
       // the scan scores vectors by summing table lookups over their codes —
@@ -1211,6 +1222,13 @@ object SparkEntry {
         graft.webtext.Sitemap.plantSitemaps(tp(s, dir, "documents")))
         .orderBy("loc")
     }),
+    // schema.org JSON-LD Article mining: raw script-span scan (DOM drops
+    // script bodies by design) + minimal recursive-descent JSON parse with
+    // raw-string numbers; decoys/malformed blocks skipped, absent-block
+    // pages yield no row. Map-side, zero shuffles.
+    "jsonld_articles" -> ((s, dir) =>
+      graft.webtext.JsonLd.articles(tp(s, dir, "documents")).toDF()
+        .orderBy("doc_id")),
     // syndication-feed parsing: one StAX pass handles RSS 2.0 AND Atom
     // (fixture alternates by parity), items ≪ feed bytes, map-side flatMap
     "feed_items" -> ((s, dir) =>
@@ -3221,6 +3239,18 @@ object SparkEntry {
     // shares it (stateless per-row op: drained table == batch answer).
     "feed_items" -> FeedItemsSql,
     "stream_feed_items" -> FeedItemsSql,
+    // jsonld_articles: CASE arithmetic over the generator (escaped-quote
+    // headline, ISO date, author %13, exact space-count word count); pages
+    // with no Article block (doc_id%11=3) are absent; Python-validated
+    // 454/454 at sf0.01.
+    "jsonld_articles" ->
+      """WITH w AS (SELECT doc_id, length(text) - length(replace(text,' ','')) + 1 AS wc FROM documents)
+        |SELECT doc_id,
+        |  'document ' || doc_id || CASE WHEN doc_id%7=0 THEN ' "brief"' ELSE '' END AS headline,
+        |  CAST(DATE '2020-01-01' + CAST(doc_id%365 AS INTEGER) AS VARCHAR) AS date_published,
+        |  'author ' || (doc_id%13) AS author_name,
+        |  CAST(wc AS BIGINT) AS word_count
+        |FROM w WHERE doc_id%11<>3 ORDER BY doc_id""".stripMargin,
     // optout_gate: CASE table over the six planted robots-meta branches
     // (directive parsing = trim+lowercase on comma splits; only
     // noindex/noai flip the training gate); Python-validated 500/500.
@@ -3638,6 +3668,59 @@ object SparkEntry {
         |        FROM asn a JOIN qd ON qd.sub = a.sub AND qd.code = a.code
         |        WHERE a.vec_id != qd.query_id
         |        GROUP BY qd.query_id, a.vec_id),
+        |ranked AS (SELECT query_id, vec_id AS neighbor_id, CAST(adist AS BIGINT) AS adist,
+        |                  row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+        |           FROM adc),
+        |bf AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT q5.query_id, e.vec_id AS neighbor_id,
+        |                row_number() OVER (PARTITION BY q5.query_id
+        |                  ORDER BY list_sum([(q5.qq[d]-e.q[d])*(q5.qq[d]-e.q[d]) for d in range(1,65)]), e.vec_id) AS r
+        |         FROM q5, e WHERE e.vec_id != q5.query_id)
+        |       WHERE r <= 5)
+        |SELECT r.query_id, r.neighbor_id, CAST(r.rank AS BIGINT) AS rank, r.adist,
+        |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
+        |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
+        |WHERE r.rank <= 5""".stripMargin,
+    // ann_ivfpq: the ann_ivf coarse CTEs (16 stride-seeded lists, 4 probes)
+    // composed with the ann_pq ADC CTEs, candidates restricted to probed
+    // lists; hit = the same exact integer-L2 brute force. Python-validated
+    // 25/25 against a full engine mirror at sf0.01.
+    "ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, [trunc(x*4096)::BIGINT for x in CAST(embedding AS DOUBLE[])] AS q FROM embeddings),
+        |head AS (SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM e QUALIFY pos < 10000),
+        |n AS (SELECT count(*) AS ns FROM head),
+        |cl AS (SELECT CAST(pos // (ns // 16) AS BIGINT) AS list_id, q AS cq
+        |       FROM head, n WHERE pos % (ns // 16) = 0 AND pos // (ns // 16) < 16),
+        |cdists AS (SELECT e.vec_id, c.list_id,
+        |                  list_sum([(e.q[d]-c.cq[d])*(e.q[d]-c.cq[d]) for d in range(1,65)]) AS dist
+        |           FROM e, cl c),
+        |lasn AS (SELECT vec_id, list_id FROM (
+        |           SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS r
+        |           FROM cdists) WHERE r = 1),
+        |cent AS (SELECT CAST(pos // (ns // 64) AS BIGINT) AS code, q AS cq
+        |         FROM head, n WHERE pos % (ns // 64) = 0 AND pos // (ns // 64) < 64),
+        |subs AS (SELECT unnest(range(16)) AS sub),
+        |dists AS (SELECT e.vec_id, s.sub, c.code,
+        |                 list_sum([(e.q[s.sub*4+d]-c.cq[s.sub*4+d])*(e.q[s.sub*4+d]-c.cq[s.sub*4+d]) for d in range(1,5)]) AS dist
+        |          FROM e, subs s, cent c),
+        |asn AS (SELECT vec_id, sub, code FROM (
+        |          SELECT vec_id, sub, code,
+        |                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS r
+        |          FROM dists) WHERE r = 1),
+        |q5 AS (SELECT vec_id AS query_id, q AS qq FROM e ORDER BY vec_id LIMIT 5),
+        |probe AS (SELECT query_id, list_id FROM (
+        |            SELECT q5.query_id, d.list_id,
+        |                   row_number() OVER (PARTITION BY q5.query_id ORDER BY d.dist, d.list_id) AS r
+        |            FROM q5 JOIN cdists d ON d.vec_id = q5.query_id) WHERE r <= 4),
+        |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+        |         FROM probe p JOIN lasn a USING (list_id) WHERE a.vec_id != p.query_id),
+        |qd AS (SELECT q5.query_id, s.sub, c.code,
+        |              list_sum([(q5.qq[s.sub*4+d]-c.cq[s.sub*4+d])*(q5.qq[s.sub*4+d]-c.cq[s.sub*4+d]) for d in range(1,5)]) AS d
+        |       FROM q5, subs s, cent c),
+        |adc AS (SELECT cand.query_id, cand.vec_id, sum(qd.d) AS adist
+        |        FROM cand JOIN asn a ON a.vec_id = cand.vec_id
+        |                  JOIN qd ON qd.query_id = cand.query_id AND qd.sub = a.sub AND qd.code = a.code
+        |        GROUP BY cand.query_id, cand.vec_id),
         |ranked AS (SELECT query_id, vec_id AS neighbor_id, CAST(adist AS BIGINT) AS adist,
         |                  row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
         |           FROM adc),

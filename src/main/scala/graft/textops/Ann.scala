@@ -720,6 +720,67 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("adist"))
   }
 
+  /** IVF-PQ — the FAISS IVFPQ composition and the production ANN layout at
+    * 10^12 vectors: the coarse quantizer routes every vector to one of
+    * `nlist` inverted lists map-side, queries probe their `nprobe` nearest
+    * lists, and the ADC scan scores ONLY vectors in probed lists by summing
+    * m table lookups over their codes. The scan therefore touches
+    * ~nprobe/nlist of the corpus AND reads 16 code bytes per vector instead
+    * of the 256-byte embedding — multiplicative with the IVF pruning.
+    * Codes are over the RAW vectors rather than list residuals (the FAISS
+    * default): residual encoding would put float centroid subtraction on
+    * the oracle-checked path, and integer-exactness is what lets the oracle
+    * recompute this approximate result bit-for-bit. Output shape matches
+    * [[pqTopK]] (adist asc, id asc; self-matches excluded). */
+  def ivfPqTopK(embeddings: DataFrame, queries: Map[Long, Array[Float]], k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = seededCentroids(embeddings, nlist)
+    val book = pqCodebook(embeddings, m, ksub)
+    val bcBook = spark.sparkContext.broadcast(book)
+    val luts: Map[Long, Array[Array[Long]]] = queries.map { case (qid, qv) =>
+      val q = quantize(qv)
+      qid -> Array.tabulate(m) { s =>
+        val dsub = book(s)(0).length
+        val qs = q.slice(s * dsub, (s + 1) * dsub)
+        Array.tabulate(ksub)(c => sqDistQ(qs, book(s)(c)))
+      }
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    // one map-side pass: list assignment + PQ codes; the embedding column
+    // does not survive past this projection
+    val assigned = embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantize(v)
+        (id, nearestListQ(q, bcCent.value), pqAssign(q, bcBook.value).map(_._1))
+      }
+      .toDF("vec_id", "list", "codes")
+    val queryLists = queries.toSeq.sortBy(_._1).flatMap { case (qid, v) =>
+      probeListsQ(quantize(v), centroids, nprobe).map(c => (qid, c))
+    }.toDF("query_id", "list")
+    assigned.join(broadcast(queryLists), "list")
+      .select(col("query_id"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .flatMap { case (qid, id, codes) =>
+        if (qid == id) None
+        else {
+          val lut = bcLuts.value(qid)
+          var s = 0
+          var acc = 0L
+          while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
+          Some((qid, id, acc))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("adist"))
+  }
+
   /** Recall audit for the PQ path: `hit` = membership in the EXACT integer-L2
     * brute-force top-k (PQ approximates L2, so L2 — not cosine — is the right
     * ground truth). The BF pass scans raw embeddings once; it is the eval,

@@ -65,6 +65,36 @@ object HtmlGen {
       .replaceFirst("<html>", java.util.regex.Matcher.quoteReplacement(langAttr))
   }
 
+  /** [[page]] plus schema.org JSON-LD blocks spliced after the charset meta
+    * ([[pageWithMeta]] discipline). docId%11==3 plants NO block (absent-row
+    * class); docId%5==0 prepends a non-Article decoy (BreadcrumbList) the
+    * selector must skip; docId%9==0 prepends a MALFORMED block (truncated
+    * JSON) the parser must degrade past; headline carries escaped quotes
+    * when docId%7==0. wordCount = split(" ",-1) length (house word count). */
+  def pageWithJsonLd(docId: Long, text: String): String = {
+    val base = page(docId, text)
+    if (docId % 11 == 3) return base
+    val sb = new java.lang.StringBuilder(384)
+    if (docId % 9 == 0)
+      sb.append("<script type=\"application/ld+json\">{\"@type\":\"Article\",\"headline\":</script>\n")
+    if (docId % 5 == 0)
+      sb.append("<script type=\"application/ld+json\">{\"@context\":\"https://schema.org\",\"@type\":\"BreadcrumbList\"}</script>\n")
+    val headline = "document " + docId + (if (docId % 7 == 0) " \\\"brief\\\"" else "")
+    val author =
+      if (docId % 3 == 0) "\"author " + (docId % 13) + "\""
+      else "{\"@type\":\"Person\",\"name\":\"author " + (docId % 13) + "\"}"
+    val words = (if (text == null) "" else text).split(" ", -1).length
+    val iso = java.time.LocalDate.of(2020, 1, 1).plusDays(docId % 365).toString
+    sb.append("<script type=\"application/ld+json\">")
+      .append("{\"@context\":\"https://schema.org\",\"@type\":\"Article\",\"headline\":\"")
+      .append(headline).append("\",\"datePublished\":\"").append(iso)
+      .append("\",\"author\":").append(author)
+      .append(",\"wordCount\":").append(words).append("}</script>\n")
+    val anchor = "<meta charset=\"utf-8\">\n"
+    val at = base.indexOf(anchor) + anchor.length
+    base.substring(0, at) + sb + base.substring(at)
+  }
+
   /** [[page]] plus a robots meta directive spliced after the charset meta
     * ([[pageWithMeta]] discipline): the opt-out-governance fixture. Branches
     * by docId%6 — noindex / "noai, noimageai" / explicit allow / ABSENT /

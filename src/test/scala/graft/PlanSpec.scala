@@ -314,7 +314,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ann lsh/ivf: query side broadcast, no cartesian product") {
-    for (name <- Seq("ann_lsh", "ann_ivf")) {
+    for (name <- Seq("ann_lsh", "ann_ivf", "ann_ivfpq")) {
       val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
       assert(plan.contains("BroadcastHashJoin"), s"$name: expected broadcast candidate join:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$name: cartesian product leaked:\n$plan")

@@ -168,6 +168,96 @@ class OptOutGateSpec extends AnyFunSuite {
   }
 }
 
+class JsonLdSpec extends AnyFunSuite {
+  import SparkSuite._
+  import graft.webtext.JsonLd
+  import graft.webtext.JsonLd._
+
+  test("JSON parser: escapes, unicode, nesting, raw numbers, rejects garbage") {
+    assert(parse("""{"a":"x\"y\\z\n","n":-12,"f":1.5e3,"b":true,"z":null,"arr":[1,{"k":"v"}]}""")
+      .contains(JObj(Vector(
+        "a" -> JStr("x\"y\\z\n"), "n" -> JNum("-12"), "f" -> JNum("1.5e3"),
+        "b" -> JBool(true), "z" -> JNull,
+        "arr" -> JArr(Vector(JNum("1"), JObj(Vector("k" -> JStr("v")))))))))
+    assert(parse("""{"u":"éA"}""").contains(JObj(Vector("u" -> JStr("éA")))))
+    assert(parse("""{"a":}""").isEmpty)
+    assert(parse("""{"a":1} trailing""").isEmpty)
+    assert(parse("""{"a":1""").isEmpty)
+    assert(parse("").isEmpty)
+  }
+
+  test("extractBlocks finds only ld+json scripts; articleOf skips decoys and malformed") {
+    val html = """<html><head>
+      |<script>var x = 1;</script>
+      |<script type="application/ld+json">{"@type":"Article","headline":</script>
+      |<script type="application/ld+json">{"@type":"BreadcrumbList"}</script>
+      |<script type="application/ld+json">{"@type":"Article","headline":"h","datePublished":"2020-02-03","author":"me","wordCount":7}</script>
+      |</head><body></body></html>""".stripMargin
+    assert(JsonLd.extractBlocks(html).length == 3)
+    assert(JsonLd.articleOf(9L, html).contains(ArticleMeta(9L, "h", "2020-02-03", "me", 7L)))
+    // author as Person object
+    val h2 = """<script type="application/ld+json">{"@type":"Article","author":{"@type":"Person","name":"pn"}}</script>"""
+    assert(JsonLd.articleOf(1L, h2).contains(ArticleMeta(1L, "", "", "pn", -1L)))
+  }
+
+  test("jsonld_articles matches a driver-side recompute on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val got = SparkEntry.queries("jsonld_articles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val expected = docs.filter(_._1 % 11 != 3).map { case (k, text) =>
+      (k, s"document $k" + (if (k % 7 == 0) " \"brief\"" else ""),
+        java.time.LocalDate.of(2020, 1, 1).plusDays(k % 365).toString,
+        s"author ${k % 13}",
+        (if (text == null) "" else text).split(" ", -1).length.toLong)
+    }
+    assert(got.toSeq == expected.toSeq)
+  }
+}
+
+class IvfPqSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("ann_ivfpq matches an independent driver-side mirror on sf0.001") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // trunc toward zero — the engine's fixed-point rule
+    def quant(v: Array[Float]): Array[Long] = v.map(x => (x.toDouble * 4096).toLong)
+    val q = emb.map { case (id, v) => id -> quant(v) }.toMap
+    val ids = emb.map(_._1)
+    val head = ids.take(10000)
+    val ns = head.length
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val cls = Array.tabulate(16)(i => q(head(i * (ns / 16))))
+    val cent = Array.tabulate(64)(i => q(head(i * (ns / 64))))
+    def sub(a: Array[Long], s: Int) = a.slice(s * 4, s * 4 + 4)
+    def codesOf(v: Array[Long]) = Array.tabulate(16)(s =>
+      (0 until 64).minBy(c => (sqd(sub(v, s), sub(cent(c), s)), c)))
+    val lasn = ids.map(id => id -> (0 until 16).minBy(c => (sqd(q(id), cls(c)), c))).toMap
+    val codes = ids.map(id => id -> codesOf(q(id))).toMap
+    val expected = ids.take(5).flatMap { qid =>
+      val lut = Array.tabulate(16, 64)((s, c) => sqd(sub(q(qid), s), sub(cent(c), s)))
+      val probed = (0 until 16).sortBy(c => (sqd(q(qid), cls(c)), c)).take(4).toSet
+      val scored = ids.filter(id => id != qid && probed(lasn(id)))
+        .map(id => (id, (0 until 16).map(s => lut(s)(codes(id)(s))).sum))
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      val bf = ids.filter(_ != qid).map(id => (id, sqd(q(qid), q(id))))
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      scored.zipWithIndex.map { case ((id, d), r) =>
+        (qid, id, (r + 1).toLong, d, if (bf(id)) 1L else 0L)
+      }
+    }
+    val got = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == expected.toSeq)
+  }
+}
+
 class HtmlTablesSpec extends AnyFunSuite {
   import SparkSuite._
   import graft.webtext.{HtmlGen, WebText}

@@ -274,7 +274,11 @@ class TzInvarianceSpec extends AnyFunSuite {
       // r5: funnel order keys are ntzEpochSeconds-derived composites
       "funnel_counts",
       // r5: interval bounds and point epochs are ntzEpochSeconds-derived
-      "range_join", "range_join_rule", "stream_range_join")
+      "range_join", "range_join_rule", "stream_range_join",
+      // r5c: recrawl scheduling is pure epoch-long arithmetic; feed stamps
+      // and JSON-LD datePublished render via TZ-free LocalDate — invariance
+      // pins that none of them grows a session-zone dependency
+      "recrawl_interval", "feed_items", "jsonld_articles")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
