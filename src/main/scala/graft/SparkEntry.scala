@@ -1600,6 +1600,15 @@ object SparkEntry {
           when(col("exact") > 0, expr("(est - exact) * 10000L div exact")).otherwise(lit(-1L)))
         .orderBy("term")
     }),
+    "heavy_hitters" -> ((s, dir) =>
+      // exact corpus heavy hitters (boilerplate-bigram discovery) via the
+      // two-pass lossy-counting pattern: pass 1 map-side candidates (zero
+      // term-grain shuffle), pass 2 exact counts of the broadcast candidate
+      // superset only — result partition-invariant, so the oracle is a
+      // plain GROUP BY + HAVING over the same bigram stream
+      graft.textops.HeavyHitters.heavyHitters(
+          graft.textops.HeavyHitters.bigramTerms(tp(s, dir, "documents")))
+        .orderBy(desc("cnt"), col("term"))),
     "stream_hll_distinct" -> ((s, dir) => {
       // the HLL sketch as streaming aggregation state: same grain as batch
       // hll_distinct, must produce the IDENTICAL sketch estimate (merge is
@@ -4691,6 +4700,21 @@ object SparkEntry {
         |       CAST(CASE WHEN coalesce(tc.n, 0) > 0
         |            THEN (est.est - tc.n) * 10000 // tc.n ELSE -1 END AS BIGINT) AS over_bp
         |FROM keys JOIN est USING (term) LEFT JOIN tc USING (term)""".stripMargin,
+    // heavy_hitters: the two-pass engine result is EXACT and
+    // partition-invariant (lossy-count candidates are a proven superset,
+    // the final filter is the exact integer rational cnt*200 >= N), so the
+    // oracle is a plain GROUP BY + HAVING over the same planted bigram
+    // stream — no sketch recompute (contrast cms_freq/hll_distinct).
+    "heavy_hitters" ->
+      """WITH p AS (SELECT 'boiler plate nav menu spam footer links here ' || text AS text FROM documents),
+        |w AS (SELECT string_split(text, ' ') AS ws FROM p),
+        |b AS (SELECT ws[i] || ' ' || ws[i+1] AS term
+        |      FROM w, UNNEST(generate_series(1, len(ws)-1)) t(i)),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY term),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tc)
+        |SELECT term, cnt, CAST(cnt * 10000 // (SELECT n FROM n) AS BIGINT) AS share_bp
+        |FROM tc WHERE cnt * 200 >= (SELECT n FROM n)
+        |ORDER BY cnt DESC, term""".stripMargin,
     // length_quantiles: same log2-bin histogram + cumulative threshold in SQL
     "length_quantiles" ->
       """WITH b AS (SELECT len(bin(n_chars)) - 1 AS bin FROM documents),
