@@ -278,7 +278,10 @@ class TzInvarianceSpec extends AnyFunSuite {
       // r5c: recrawl scheduling is pure epoch-long arithmetic; feed stamps
       // and JSON-LD datePublished render via TZ-free LocalDate — invariance
       // pins that none of them grows a session-zone dependency
-      "recrawl_interval", "feed_items", "jsonld_articles")
+      "recrawl_interval", "feed_items", "jsonld_articles",
+      // r5: the physical as-of operator consumes the same
+      // ntzEpochSeconds-derived event epochs as snapshot_asof
+      "asof_join_exec")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
