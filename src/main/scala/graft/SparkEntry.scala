@@ -1117,6 +1117,16 @@ object SparkEntry {
       val a = tp(s, dir, "documents")
       graft.webtext.Recrawl.delta(a, graft.webtext.Recrawl.snapshotB(a))
     }),
+    "kmv_overlap" -> ((s, dir) => {
+      // the MONITORING twin of crawl_delta: snapshot overlap (union /
+      // intersection / Jaccard) estimated from two 2 KB KMV sketches instead
+      // of the corpus-grain join; sketch + estimates are integer-exact so
+      // the oracle recomputes them bit-for-bit, exact counts ride along
+      val docs = tp(s, dir, "documents")
+      graft.webtext.SnapshotOverlap.overlap(
+        graft.webtext.SnapshotOverlap.stateKeysA(docs),
+        graft.webtext.SnapshotOverlap.stateKeysB(docs))
+    }),
     // SCD2 capture history: validity intervals [valid_from, valid_to) per
     // (url, version) via one lead() window over the capture log — the batch
     // materialization of the as-of lookup
@@ -1665,6 +1675,13 @@ object SparkEntry {
       // sums -> broadcast offsets), NOT a single-partition window
       graft.textops.SequencePack.pack(tp(s, dir, "documents")).orderBy("doc_id")
     }),
+    "pack_greedy" -> ((s, dir) =>
+      // NO-SPLIT greedy bin packing (docs never cross sequence boundaries —
+      // the cross-contamination-free loader shape): bins scoped to doc_id
+      // blocks so every block packs independently — one block-grain shuffle
+      // + a linear scan, partition-count-invariant by construction
+      graft.textops.SequencePack.packGreedy(tp(s, dir, "documents"))
+        .orderBy("doc_id")),
     "curriculum_rank" -> ((s, dir) =>
       // short-first curriculum: exact global rank by (n_words, doc_id) via
       // range partition + broadcast offsets — never a single-task Window
@@ -3029,6 +3046,60 @@ object SparkEntry {
         |            WHEN a.text = b.text THEN 'unchanged'
         |            ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+    // kmv_overlap: full sketch recompute — splitmix64 as the proven
+    // HUGEINT chain (shared verbatim with hll_distinct), bottom-k as
+    // ORDER BY h LIMIT k, every estimate trunc-integer; Python-validated
+    // at both sfs (tools/kmv_oracle_check.py)
+    "kmv_overlap" ->
+      """WITH av AS (SELECT DISTINCT CAST(doc_id*2 AS HUGEINT) AS v FROM documents),
+        |bv AS (SELECT DISTINCT v FROM (
+        |         SELECT CAST(doc_id*2 + CASE WHEN doc_id%5=1 THEN 1 ELSE 0 END AS HUGEINT) AS v
+        |         FROM documents WHERE doc_id%7<>3
+        |         UNION ALL
+        |         SELECT CAST((doc_id+1000000)*2 AS HUGEINT) FROM documents WHERE doc_id%11=0)),
+        |a1 AS (SELECT (v + 11400714819323198485) % 18446744073709551616 AS z FROM av),
+        |a2 AS (SELECT xor(z, z >> 30) AS x FROM a1),
+        |a3 AS (SELECT ((x % 4294967296) * 484763065
+        |        + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM a2),
+        |a4 AS (SELECT xor(z, z >> 27) AS x FROM a3),
+        |a5 AS (SELECT ((x % 4294967296) * 321982955
+        |        + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM a4),
+        |ha AS (SELECT DISTINCT xor(z, z >> 31) AS h FROM a5),
+        |b1 AS (SELECT (v + 11400714819323198485) % 18446744073709551616 AS z FROM bv),
+        |b2 AS (SELECT xor(z, z >> 30) AS x FROM b1),
+        |b3 AS (SELECT ((x % 4294967296) * 484763065
+        |        + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM b2),
+        |b4 AS (SELECT xor(z, z >> 27) AS x FROM b3),
+        |b5 AS (SELECT ((x % 4294967296) * 321982955
+        |        + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM b4),
+        |hb AS (SELECT DISTINCT xor(z, z >> 31) AS h FROM b5),
+        |sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |mk AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+        |       ORDER BY h LIMIT 256),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS uk FROM mk),
+        |mat AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM mk
+        |        WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+        |exu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union
+        |        FROM (SELECT v FROM av UNION SELECT v FROM bv)),
+        |exi AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM av
+        |        WHERE v IN (SELECT v FROM bv)),
+        |est AS (SELECT m, matches,
+        |               CASE WHEN m < 256 THEN m
+        |                    ELSE CAST((255 * CAST(18446744073709551616 AS HUGEINT)) // uk AS BIGINT)
+        |               END AS est_union
+        |        FROM mm, mat)
+        |SELECT CAST(256 AS BIGINT) AS k, m, matches,
+        |       matches * 10000 // m AS jaccard_bp,
+        |       est_union,
+        |       matches * est_union // m AS est_inter,
+        |       exact_union, exact_inter,
+        |       abs(est_union - exact_union) * 10000 // exact_union AS union_err_bp
+        |FROM est, exu, exi""".stripMargin,
     // host_rank: the engine's integer fixed-point PageRank unrolled as 3 CTE
     // iterations over the same edge recipe (generated — see hostRankCtes).
     "host_rank" ->
@@ -4834,6 +4905,28 @@ object SparkEntry {
         |FROM hq JOIN r3 ON hq.host = r3.host ORDER BY hq.host""".stripMargin,
     // sequence_pack: the oracle's window cumsum IS the single-partition
     // formulation the engine must avoid — same numbers, opposite plan
+    // pack_greedy: the greedy-with-reset recurrence the engine computes in
+    // one linear scan, recomputed as a per-block recursive CTE (depth <=
+    // blockDocs=256 rows; all blocks advance in one working table);
+    // Python-validated at both sfs (tools/packgreedy_oracle_check.py)
+    "pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id // 256 AS block,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY doc_id // 256 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, block, n, rn, CAST(0 AS BIGINT) AS bin,
+        |         CAST(0 AS BIGINT) AS off, n AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.block, t.n, t.rn,
+        |         CASE WHEN r.fill + t.n > 96 THEN r.bin + 1 ELSE r.bin END,
+        |         CASE WHEN r.fill + t.n > 96 THEN CAST(0 AS BIGINT) ELSE r.fill END,
+        |         CASE WHEN r.fill + t.n > 96 THEN t.n ELSE r.fill + t.n END
+        |  FROM r JOIN t ON t.block = r.block AND t.rn = r.rn + 1)
+        |SELECT doc_id, n AS n_tokens, block, block * 256 + bin AS bin_id, off AS bin_off
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sequence_pack" ->
       """WITH w AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt FROM documents),
         |c AS (SELECT doc_id, nt, sum(nt + 1) OVER (ORDER BY doc_id) AS oe FROM w)

@@ -238,4 +238,51 @@ object SequencePack {
       (id, w, start, start / shardBytes)
     }.toDF("doc_id", "n_bytes", "offset_start", "shard")
   }
+
+  /** Greedy NO-SPLIT bin packing — the document-boundary-respecting loader
+    * shape ([[pack]] is concat-and-chunk: docs cross sequence boundaries and
+    * the attention mask must cut them; this variant never splits a doc, the
+    * T5/"packing without cross-contamination" contract). Docs are taken in
+    * doc_id order; a doc that would overflow the `budget` opens a new bin;
+    * a doc larger than the budget sits alone in an oversized bin (no-split
+    * wins over the cap — data never vanishes).
+    *
+    * Greedy-with-reset state cannot be a prefix-sum (each bin boundary
+    * depends on every earlier length), so an exact GLOBAL greedy pack is
+    * inherently serial. The distributed contract instead fixes bin scope to
+    * doc_id BLOCKS of `blockDocs` docs: bins never cross a block, so every
+    * block packs independently — one hash shuffle on `block` +
+    * sortWithinPartitions, then a single linear scan per partition with
+    * O(1) carried state. The result depends only on (budget, blockDocs,
+    * doc_ids, lengths) — NOT on partition count (test-pinned) — and the
+    * waste vs a global greedy pack is at most one underfull bin per block.
+    * Global bin ids are addressable without any cross-block pass:
+    * bin_id = block*blockDocs + bin-within-block (< blockDocs bins/block,
+    * each bin holds >= 1 doc).
+    * Output: (doc_id, n_tokens, block, bin_id, bin_off). */
+  def packGreedy(docs: DataFrame, budget: Long = 96L, blockDocs: Long = 256L): DataFrame = {
+    require(budget >= 1 && blockDocs >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), expr(s"doc_id div ${blockDocs}L").as("block"),
+        size(split(col("text"), " ", -1)).cast("long").as("n"))
+      .repartition(col("block"))
+      .sortWithinPartitions("block", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // multiple blocks per partition; state resets at each block edge
+        var curBlock = Long.MinValue
+        var bin = -1L
+        var fill = 0L
+        it.map { case (id, block, n) =>
+          if (block != curBlock) { curBlock = block; bin = -1L; fill = 0L }
+          if (bin < 0L || fill + n > budget) { bin += 1L; fill = 0L }
+          val off = fill
+          fill += n
+          (id, n, block, block * blockDocs + bin, off)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "block", "bin_id", "bin_off")
+  }
 }

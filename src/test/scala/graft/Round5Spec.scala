@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.{HllSketchAgg, KmvSketchAgg}
+import graft.textops.SequencePack
+import graft.webtext.SnapshotOverlap
+
+class Round5Spec extends AnyFunSuite {
+  import SparkSuite._
+
+  // ---- KMV sketch ----
+
+  private def bruteKmv(vals: Seq[Long], k: Int): Seq[Long] =
+    vals.distinct.map(HllSketchAgg.splitmix64).distinct
+      .sortBy(h => h ^ Long.MinValue).take(k)
+
+  test("kmv sketch equals brute-force bottom-k and is partition-invariant") {
+    import spark.implicits._
+    val vals = (0L until 3000L).map(i => i * 31 % 1700) // dups + spread
+    val expected = bruteKmv(vals, 256)
+    for (parts <- Seq(1, 3, 8)) {
+      val got = spark.createDataset(vals).repartition(parts).toDF("v")
+        .agg(KmvSketchAgg.kmvSketch(col("v")).as("s"))
+        .collect()(0).getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("kmv sketch below k keeps everything (exact regime)") {
+    import spark.implicits._
+    val vals = (0L until 100L)
+    val got = spark.createDataset(vals).toDF("v")
+      .agg(KmvSketchAgg.kmvSketch(col("v")).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == bruteKmv(vals, 256) && got.size == 100)
+  }
+
+  test("overlap estimates: exact when m < k, within KMV error when sketched") {
+    import spark.implicits._
+    // small sets: m < k -> est_union must EQUAL exact_union
+    val a = (0L until 120L).toDF("v")
+    val b = (60L until 180L).toDF("v")
+    val r = SnapshotOverlap.overlap(a, b).collect()(0)
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getLong(byName("exact_union")) == 180L)
+    assert(r.getLong(byName("exact_inter")) == 60L)
+    assert(r.getLong(byName("est_union")) == 180L, "m<k regime must be exact")
+    assert(r.getLong(byName("m")) == 180L)
+    // large sets: 1.04/sqrt(256) ~ 6.5% -> assert within 20%
+    val a2 = (0L until 6000L).toDF("v")
+    val b2 = (3000L until 9000L).toDF("v")
+    val r2 = SnapshotOverlap.overlap(a2, b2).collect()(0)
+    val estU = r2.getLong(byName("est_union"))
+    val estI = r2.getLong(byName("est_inter"))
+    assert(math.abs(estU - 9000L) <= 1800L, s"est_union=$estU")
+    assert(math.abs(estI - 3000L) <= 900L, s"est_inter=$estI")
+  }
+
+  test("kmv_overlap query matches a full Scala recompute of the fixture") {
+    val row = SparkEntry.queries("kmv_overlap")(spark, sf).collect()(0)
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val a = ids.map(_ * 2L).toSet
+    val b = ids.filter(_ % 7 != 3).map(i => i * 2 + (if (i % 5 == 1) 1L else 0L)).toSet ++
+      ids.filter(_ % 11 == 0).map(i => (i + 1000000L) * 2)
+    val sa = bruteKmv(a.toSeq, 256)
+    val sb = bruteKmv(b.toSeq, 256)
+    val mk = (sa ++ sb).distinct.sortBy(h => h ^ Long.MinValue).take(256)
+    val m = mk.size.toLong
+    val matches = mk.count(h => sa.contains(h) && sb.contains(h)).toLong
+    val estU =
+      if (m < 256) m
+      else (BigInt(255) * (BigInt(1) << 64) / (BigInt(mk.last) & ((BigInt(1) << 64) - 1))).toLong
+    val expect = Seq(256L, m, matches, matches * 10000L / m, estU,
+      matches * estU / m, (a ++ b).size.toLong, a.intersect(b).size.toLong,
+      math.abs(estU - (a ++ b).size) * 10000L / (a ++ b).size)
+    val got = (0 until 9).map(row.getLong)
+    assert(got == expect)
+  }
+
+  // ---- greedy no-split packing ----
+
+  test("packGreedy: no doc split, budget respected except oversize-alone, block-scoped bins") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = SequencePack.packGreedy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // bin ids embed their block; offsets are contiguous within a bin
+    rows.groupBy(_._4).foreach { case (bin, ds) =>
+      val blocks = ds.map(_._3).distinct
+      assert(blocks.length == 1 && bin / 256 == blocks.head, s"bin $bin crosses blocks")
+      val sorted = ds.sortBy(_._1)
+      var off = 0L
+      sorted.foreach { case (_, n, _, _, o) => assert(o == off); off += n }
+      val total = ds.map(_._2).sum
+      assert(total <= 96L || ds.length == 1, s"bin $bin over budget with ${ds.length} docs")
+    }
+    // greedy: a bin closes only because the NEXT doc would not fit (or block edge)
+    rows.sliding(2).foreach {
+      case Array((_, _, blk1, bin1, _), (id2, n2, blk2, bin2, _)) =>
+        if (blk1 == blk2 && bin2 == bin1 + 1) {
+          val fill1 = rows.filter(_._4 == bin1).map(_._2).sum
+          assert(fill1 + n2 > 96L, s"doc $id2 opened bin $bin2 but would have fit")
+        }
+      case _ =>
+    }
+  }
+
+  test("packGreedy is partition-count invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = SequencePack.packGreedy(docs).collect().map(_.toSeq).sortBy(_.toString)
+    for (parts <- Seq(1, 7)) {
+      val got = SequencePack.packGreedy(docs.repartition(parts)).collect()
+        .map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == base.toSeq, s"parts=$parts")
+    }
+  }
+}
