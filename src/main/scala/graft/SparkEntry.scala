@@ -1634,6 +1634,19 @@ object SparkEntry {
       graft.textops.HeavyHitters.heavyHitters(
           graft.textops.HeavyHitters.bigramTerms(tp(s, dir, "documents")))
         .orderBy(desc("cnt"), col("term"))),
+    "audience_overlap" -> ((s, dir) =>
+      // pairwise (user, day) co-activity between event types from per-type
+      // KMV sketches: ONE corpus pass builds t sketches, the t x t matrix is
+      // broadcast arithmetic — vs t^2 corpus self-joins exactly; exact
+      // counts ride along from a (type, v)-distinct side table
+      graft.events.AudienceOverlap.overlapMatrix(
+        graft.events.AudienceOverlap.userDayKeys(tp(s, dir, "events")))),
+    "stream_kmv_distinct" -> ((s, dir) =>
+      // the KMV sketch as streaming aggregation state: set-union merge makes
+      // the sketch batch-split-invariant, the distinct estimate is projected
+      // after the stateful agg — must equal the batch sketch bit-for-bit
+      pageplus.streaming.StreamingExtract.kmvDistinctOnce(s, dir)
+        .orderBy("event_type")),
     "stream_hll_distinct" -> ((s, dir) => {
       // the HLL sketch as streaming aggregation state: same grain as batch
       // hll_distinct, must produce the IDENTICAL sketch estimate (merge is
@@ -4719,6 +4732,93 @@ object SparkEntry {
         |       CAST(exact AS BIGINT) AS exact_distinct,
         |       CAST(abs(CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) - exact) * 10000 // exact AS BIGINT) AS err_bp
         |FROM est JOIN ex USING (event_type)""".stripMargin,
+    // audience_overlap: full per-type sketch recompute (shared splitmix
+    // HUGEINT chain + per-type ORDER BY h row_number <= k), pairwise merged
+    // bottom-k + trunc-integer estimates; Python-validated at both sfs
+    // (tools/audience_oracle_check.py)
+    "audience_overlap" ->
+      """WITH 
+        |vals AS (SELECT DISTINCT event_type,
+        |                CAST(user_id * 1024 + (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS HUGEINT) AS v
+        |         FROM events),
+        |h1 AS (SELECT event_type, v, (v + 11400714819323198485) % 18446744073709551616 AS z FROM vals),
+        |h2 AS (SELECT event_type, v, xor(z, z >> 30) AS x FROM h1),
+        |h3 AS (SELECT event_type, v, ((x % 4294967296) * 484763065
+        |        + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM h2),
+        |h4 AS (SELECT event_type, v, xor(z, z >> 27) AS x FROM h3),
+        |h5 AS (SELECT event_type, v, ((x % 4294967296) * 321982955
+        |        + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM h4),
+        |h AS (SELECT event_type, v, xor(z, z >> 31) AS h FROM h5),
+        |sk AS (SELECT event_type, h FROM
+        |        (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h)
+        |       WHERE rn <= 256),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |          FROM (SELECT DISTINCT event_type FROM vals) a,
+        |               (SELECT DISTINCT event_type FROM vals) b
+        |          WHERE a.event_type < b.event_type),
+        |mraw AS (SELECT DISTINCT p.type_a, p.type_b, u.h
+        |         FROM pairs p JOIN sk u ON u.event_type IN (p.type_a, p.type_b)),
+        |mk AS (SELECT type_a, type_b, h FROM
+        |        (SELECT type_a, type_b, h,
+        |                row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        |         FROM mraw)
+        |       WHERE rn <= 256),
+        |mku AS (SELECT type_a, type_b, h FROM mk),
+        |mm AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS m, max(h) AS uk
+        |       FROM mku GROUP BY type_a, type_b),
+        |mat AS (SELECT m.type_a, m.type_b, CAST(count(*) AS BIGINT) AS matches
+        |        FROM mku m
+        |        JOIN sk a ON a.event_type = m.type_a AND a.h = m.h
+        |        JOIN sk b ON b.event_type = m.type_b AND b.h = m.h
+        |        GROUP BY m.type_a, m.type_b),
+        |exi AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |               CAST(count(*) AS BIGINT) AS exact_inter
+        |        FROM vals x JOIN vals y ON x.v = y.v AND x.event_type < y.event_type
+        |        GROUP BY 1, 2),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM vals GROUP BY 1),
+        |est AS (SELECT mm.type_a, mm.type_b, mm.m, mat.matches,
+        |               CASE WHEN mm.m < 256 THEN mm.m
+        |                    ELSE CAST((255 * CAST(18446744073709551616 AS HUGEINT)) // mm.uk AS BIGINT)
+        |               END AS est_union,
+        |               na.nd + nb.nd - exi.exact_inter AS exact_union, exi.exact_inter
+        |        FROM mm JOIN mat USING (type_a, type_b) JOIN exi USING (type_a, type_b)
+        |        JOIN nd na ON na.event_type = mm.type_a
+        |        JOIN nd nb ON nb.event_type = mm.type_b)
+        |SELECT type_a, type_b, m, matches,
+        |       matches * 10000 // m AS jaccard_bp,
+        |       est_union,
+        |       matches * est_union // m AS est_inter,
+        |       exact_union, exact_inter,
+        |       abs(est_union - exact_union) * 10000 // exact_union AS union_err_bp
+        |FROM est ORDER BY type_a, type_b""".stripMargin,
+    // stream_kmv_distinct: the same per-type sketch, single-sketch distinct
+    // estimate — the streaming agg must reproduce the batch sketch exactly
+    "stream_kmv_distinct" ->
+      """WITH 
+        |vals AS (SELECT DISTINCT event_type,
+        |                CAST(user_id * 1024 + (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS HUGEINT) AS v
+        |         FROM events),
+        |h1 AS (SELECT event_type, v, (v + 11400714819323198485) % 18446744073709551616 AS z FROM vals),
+        |h2 AS (SELECT event_type, v, xor(z, z >> 30) AS x FROM h1),
+        |h3 AS (SELECT event_type, v, ((x % 4294967296) * 484763065
+        |        + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM h2),
+        |h4 AS (SELECT event_type, v, xor(z, z >> 27) AS x FROM h3),
+        |h5 AS (SELECT event_type, v, ((x % 4294967296) * 321982955
+        |        + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |       % 18446744073709551616 AS z FROM h4),
+        |h AS (SELECT event_type, v, xor(z, z >> 31) AS h FROM h5),
+        |sk AS (SELECT event_type, h FROM
+        |        (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h)
+        |       WHERE rn <= 256),
+        |mm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m, max(h) AS uk FROM sk GROUP BY 1)
+        |SELECT event_type,
+        |       CASE WHEN m < 256 THEN m
+        |            ELSE CAST((255 * CAST(18446744073709551616 AS HUGEINT)) // uk AS BIGINT)
+        |       END AS kmv_distinct
+        |FROM mm ORDER BY event_type""".stripMargin,
     "stream_hll_distinct" ->
       """WITH vals AS (
         |  SELECT event_type,

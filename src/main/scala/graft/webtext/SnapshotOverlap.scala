@@ -47,7 +47,19 @@ object SnapshotOverlap {
               .agg(count(lit(1)).as("exact_inter")).hint("broadcast"))
       .agg(count(lit(1)).as("exact_union"), first("exact_inter").as("exact_inter"))
     // all three inputs are 1-row aggregates: broadcast cross joins, no shuffle
-    sa.join(sb.hint("broadcast")).join(exact.hint("broadcast"))
+    estimates(sa.join(sb.hint("broadcast")).join(exact.hint("broadcast")), k)
+      .select(lit(k.toLong).as("k"), col("m"), col("matches"), col("jaccard_bp"),
+        col("est_union"), col("est_inter"), col("exact_union"), col("exact_inter"),
+        col("union_err_bp"))
+  }
+
+  /** The shared sketch-pair arithmetic: given rows carrying two KMV sketch
+    * arrays `sa`/`sb` (any grain — one snapshot pair, a pairwise matrix of
+    * event types or shards) plus ground-truth `exact_union`/`exact_inter`
+    * columns, append m, matches, jaccard_bp, est_union, est_inter,
+    * union_err_bp. Pure codegen column arithmetic — no UDF, no shuffle. */
+  private[graft] def estimates(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .withColumn("mfull",
         expr("""array_sort(array_union(sa, sb),
                |  (x, y) -> CASE
@@ -66,9 +78,14 @@ object SnapshotOverlap {
       .withColumn("est_inter", expr("matches * est_union div m"))
       .withColumn("union_err_bp",
         expr("abs(est_union - exact_union) * 10000L div exact_union"))
-      .select(lit(k.toLong).as("k"), col("m"), col("matches"), col("jaccard_bp"),
-        col("est_union"), col("est_inter"), col("exact_union"), col("exact_inter"),
-        col("union_err_bp"))
+
+  /** Distinct-count estimate from ONE KMV sketch column (named `sketchCol`):
+    * |S| when |S| < k (the sketch saw everything — exact), else
+    * (k-1)*2^64 div u_k — same trunc-integer arithmetic as the pair path. */
+  def distinctEstimate(sketchCol: String, k: Int): org.apache.spark.sql.Column = {
+    val uk = s"element_at($sketchCol, size($sketchCol))"
+    when(size(col(sketchCol)) < k, size(col(sketchCol)).cast("long"))
+      .otherwise(expr(s"(CAST(${k - 1} AS DECIMAL(38,0)) * $Two64) div ${unsignedDec(uk)}"))
   }
 
   /** Page-STATE keys (url x content version) for the two snapshots of the

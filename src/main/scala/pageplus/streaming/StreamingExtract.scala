@@ -400,4 +400,23 @@ object StreamingExtract {
       .agg(graft.expr.HllSketchAgg.hllDistinct(col("v")).as("approx_distinct"))
     drainToTable(agg, "stream_hll", "complete", noDataBatch = false)
   }
+
+  /** The KMV sketch as streaming aggregation state (the SET-overlap sketch
+    * next to [[hllDistinctOnce]]'s counter): per-type bottom-k of (user,day)
+    * keys accumulated across micro-batches — merge is a set union so the
+    * result is batch-split-invariant bit-for-bit — then the trunc-integer
+    * distinct estimate projected AFTER the stateful agg (plain codegen
+    * arithmetic over the sketch array, legal in complete mode). */
+  def kmvDistinctOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = streamTable(spark, sfDir, "events.parquet")
+      .select(col("event_type"), col("user_id"),
+        graft.TimeCols.ntzEpochSeconds(col("ts")).as("es"))
+      .select(col("event_type"), expr("user_id * 1024L + (es div 86400L)").as("v"))
+      .groupBy("event_type")
+      .agg(graft.expr.KmvSketchAgg.kmvSketch(col("v")).as("s"))
+      .select(col("event_type"),
+        graft.webtext.SnapshotOverlap.distinctEstimate("s", 256).as("kmv_distinct"))
+    drainToTable(agg, "stream_kmv", "complete", noDataBatch = false)
+  }
 }

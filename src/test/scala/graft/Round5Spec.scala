@@ -80,6 +80,38 @@ class Round5Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("audience_overlap matrix: all pairs present, estimates bounded, within KMV error") {
+    val rows = SparkEntry.queries("audience_overlap")(spark, sf).collect()
+    assert(rows.length == 10, "5 event types -> 10 unordered pairs")
+    val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+    rows.foreach { r =>
+      val m = r.getLong(byName("m")); val matches = r.getLong(byName("matches"))
+      val estU = r.getLong(byName("est_union")); val exU = r.getLong(byName("exact_union"))
+      val estI = r.getLong(byName("est_inter")); val exI = r.getLong(byName("exact_inter"))
+      assert(matches >= 0 && matches <= m)
+      // 1.04/sqrt(256) ~ 6.5%; generous 25% bound on both estimates
+      assert(math.abs(estU - exU) * 4 <= exU, s"est_union=$estU exact=$exU")
+      assert(math.abs(estI - exI) * 4 <= exI, s"est_inter=$estI exact=$exI")
+    }
+  }
+
+  test("streaming KMV sketch equals the batch sketch estimate bit-for-bit") {
+    import graft.webtext.SnapshotOverlap
+    val batch = graft.events.AudienceOverlap.userDayKeys(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .groupBy("event_type")
+      .agg(KmvSketchAgg.kmvSketch(col("v")).as("s"))
+      .select(col("event_type"), SnapshotOverlap.distinctEstimate("s", 256).as("kmv_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = SparkEntry.queries("stream_kmv_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && batch.size == 5)
+    // sf0.001 sits in the sub-k exact regime (~150 distinct/type); the
+    // sketched regime is exercised at sf0.01 (driver + oracle validator)
+    // and by the 6000-key synthetic overlap test above
+    assert(batch.values.forall(_ > 100L), s"implausible distinct counts: $batch")
+  }
+
   // ---- greedy no-split packing ----
 
   test("packGreedy: no doc split, budget respected except oversize-alone, block-scoped bins") {
