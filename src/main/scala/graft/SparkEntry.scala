@@ -1569,6 +1569,15 @@ object SparkEntry {
         graft.webtext.ExtractionEval.plantDegraded(tp(s, dir, "documents")))
         .orderBy("doc_id")
     }),
+    "extraction_drift" -> ((s, dir) =>
+      // extractor version-drift gate (the report a release pipeline
+      // thresholds on before a new extractor config reprocesses the corpus):
+      // per-doc byte-identity + char delta + word-multiset added/dropped
+      // masses between incumbent and candidate extractions — needs no gold,
+      // unlike extraction_prf; word text never crosses a shuffle
+      graft.webtext.ExtractionEval.driftReport(
+        graft.webtext.ExtractionEval.plantDegraded(tp(s, dir, "documents")))
+        .orderBy("doc_id")),
     "soft404_detect" -> ((s, dir) => {
       // soft-404 content classifier fused with the HTML parse: 404-title
       // markers + tiny-main-content apology fallback, one map stage
@@ -4634,6 +4643,37 @@ object SparkEntry {
     // extraction_prf: the oracle recomputes the word-multiset overlap
     // generically (unnest both sides, per-word least()), then the same
     // trunc-division basis-point chain; empty extraction -> precision 0
+    // extraction_drift: same degraded-extractor CTE family as
+    // extraction_prf; DuckDB quirks handled explicitly (out-of-range list
+    // slice -> NULL, array_to_string([]) -> NULL) so short docs match
+    // Spark's empty-array semantics; Python-validated at both sfs
+    "extraction_drift" ->
+      """WITH d AS (SELECT doc_id, text AS gold,
+        |                  coalesce(array_to_string(
+        |                    list_concat(
+        |                      CASE WHEN doc_id % 4 = 0
+        |                           THEN coalesce(string_split(text,' ')[25:], [])
+        |                           ELSE string_split(text,' ') END,
+        |                      CASE WHEN doc_id % 3 = 0
+        |                           THEN string_split('subscribe to our newsletter for daily updates',' ')
+        |                           ELSE [] END), ' '), '') AS extracted
+        |           FROM documents),
+        |g AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cg
+        |      FROM (SELECT doc_id, unnest(string_split(gold,' ')) AS w FROM d)
+        |      WHERE len(w) > 0 GROUP BY doc_id, w),
+        |e AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS ce
+        |      FROM (SELECT doc_id, unnest(string_split(extracted,' ')) AS w FROM d)
+        |      WHERE len(w) > 0 GROUP BY doc_id, w),
+        |j AS (SELECT coalesce(g.doc_id, e.doc_id) AS doc_id,
+        |             coalesce(cg, 0) AS cg, coalesce(ce, 0) AS ce
+        |      FROM g FULL OUTER JOIN e ON g.doc_id = e.doc_id AND g.w = e.w),
+        |m AS (SELECT doc_id, sum(greatest(ce - cg, 0))::BIGINT AS added_words,
+        |             sum(greatest(cg - ce, 0))::BIGINT AS dropped_words
+        |      FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, CASE WHEN gold = extracted THEN 1 ELSE 0 END::BIGINT AS identical,
+        |       (len(extracted) - len(gold))::BIGINT AS char_delta,
+        |       added_words, dropped_words
+        |FROM d JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id""".stripMargin,
     "extraction_prf" ->
       """WITH g AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |ext AS (SELECT doc_id,

@@ -65,4 +65,40 @@ object ExtractionEval {
           expr("(2L * precision_bp * recall_bp) div (precision_bp + recall_bp)"))
           .otherwise(0L))
   }
+
+  /** Version-drift gate — the diff report a release pipeline thresholds on
+    * BEFORE letting a new extractor config reprocess 10^12 pages: per-doc
+    * byte-identity flag, char delta, and word-multiset added/dropped masses
+    * between the incumbent extraction (`gold`) and the candidate
+    * (`extracted`). [[prf]] scores the candidate against gold truth; this
+    * reports WHAT changed and how much, which is what the gate reads when no
+    * gold exists (most of the corpus) — a changed-doc share or added-mass
+    * spike blocks the rollout.
+    *
+    * Same scale shape as [[prf]]: word text never crosses a shuffle — both
+    * sides explode to (doc_id, xxhash64(word)) counts with map-side
+    * partials, one co-partitioned full-outer join, one doc-grain rollup;
+    * the byte-identity flag is a map-side string compare fused into the
+    * scan projection. */
+  def driftReport(docs: DataFrame): DataFrame = {
+    def counts(c: String, out: String) =
+      docs.select(col("doc_id"), explode(split(col(c), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), xxhash64(col("w")).as("wk"))
+        .agg(count(lit(1)).as(out))
+    val flags = docs.select(col("doc_id"),
+      when(col("gold") === col("extracted"), 1L).otherwise(0L).as("identical"),
+      (length(col("extracted")).cast("long") - length(col("gold")).cast("long"))
+        .as("char_delta"))
+    val d = counts("gold", "cg").join(counts("extracted", "ce"),
+        Seq("doc_id", "wk"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("cg"), lit(0L)).as("cg"), coalesce(col("ce"), lit(0L)).as("ce"))
+      .groupBy("doc_id").agg(
+        sum(greatest(col("ce") - col("cg"), lit(0L))).as("added_words"),
+        sum(greatest(col("cg") - col("ce"), lit(0L))).as("dropped_words"))
+    flags.join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("identical"), col("char_delta"),
+        col("added_words"), col("dropped_words"))
+  }
 }

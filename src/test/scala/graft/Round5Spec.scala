@@ -112,6 +112,27 @@ class Round5Spec extends AnyFunSuite {
     assert(batch.values.forall(_ > 100L), s"implausible distinct counts: $batch")
   }
 
+  test("extraction_drift: identity, added/dropped masses, and char deltas per planted class") {
+    val nWords = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).length.toLong)
+      .toMap
+    val rows = SparkEntry.queries("extraction_drift")(spark, sf).collect()
+    assert(rows.length == nWords.size)
+    rows.foreach { r =>
+      val id = r.getLong(0); val same = r.getLong(1); val cd = r.getLong(2)
+      val added = r.getLong(3); val dropped = r.getLong(4)
+      val isDrop = id % 4 == 0; val isPromo = id % 3 == 0
+      assert(same == (if (!isDrop && !isPromo) 1L else 0L), s"doc $id identical")
+      if (!isDrop) assert(dropped == 0L, s"doc $id dropped=$dropped")
+      else assert(dropped == math.min(24L, nWords(id)), s"doc $id dropped=$dropped")
+      if (!isPromo) assert(added == 0L, s"doc $id added=$added")
+      else if (!isDrop) assert(added == 7L, s"doc $id added=$added")
+      if (!isDrop && isPromo) assert(cd > 0)
+      if (isDrop && !isPromo) assert(cd < 0)
+      if (!isDrop && !isPromo) assert(cd == 0)
+    }
+  }
+
   // ---- greedy no-split packing ----
 
   test("packGreedy: no doc split, budget respected except oversize-alone, block-scoped bins") {
