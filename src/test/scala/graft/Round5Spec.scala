@@ -133,6 +133,21 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters plan: broadcast candidate filter, no term-grain shuffle of non-candidates") {
+    val df = SparkEntry.queries("heavy_hitters")(spark, sf)
+    df.collect() // materialize under AQE so the final plan is the real one
+    // the adaptive plan string appends an "== Initial Plan ==" section that
+    // duplicates every exchange — pin the FINAL section only
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"candidate filter must broadcast:\n$plan")
+    // term-grain hash exchanges: the tiny pass-1 candidate distinct and the
+    // exact-count agg of candidate-matching rows ONLY — never the raw stream
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 hash exchanges (candidate distinct + survivor agg):\n$plan")
+  }
+
   // ---- greedy no-split packing ----
 
   test("packGreedy: no doc split, budget respected except oversize-alone, block-scoped bins") {
