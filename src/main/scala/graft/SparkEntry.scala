@@ -909,6 +909,14 @@ object SparkEntry {
       graft.textops.Dedup.neardupClusters(
         graft.textops.Dedup.planted(tp(s, dir, "documents")))
     }),
+    "cluster_canonical" -> ((s, dir) =>
+      // canonical-document election per near-dup cluster: best stop-ratio
+      // score wins (ties to lowest doc_id) — the keep-best-version curation
+      // decision, NOT first-crawled-wins; one cluster-grain max(struct) agg,
+      // no window, no text past the scan
+      graft.textops.Dedup.clusterCanonical(
+          graft.textops.Dedup.planted(tp(s, dir, "documents")))
+        .orderBy("cluster_id")),
     "embedding_neardup" -> ((s, dir) => {
       graft.textops.Ann.nearDupPairs(
         graft.textops.Ann.plantedEmbeddings(tp(s, dir, "embeddings")), threshold = 0.999)
@@ -2767,6 +2775,43 @@ object SparkEntry {
         |  UNION
         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u)
         |SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""".stripMargin,
+    // cluster_canonical: the neardup_clusters recursive-CTE family plus the
+    // text_quality score and a window argmax election; Python-validated at
+    // both sfs incl. the discrimination stat (419/476 clusters elect a
+    // non-min-id representative) — tools/canonical_oracle_check.py
+    "cluster_canonical" ->
+      """WITH RECURSIVE
+        |planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+        |d AS (SELECT doc_id, string_split(text,' ') AS w FROM planted),
+        |sh AS (SELECT doc_id,
+        |              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                   ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
+        |       FROM d),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM sh x, sh y
+        |  WHERE x.doc_id < y.doc_id
+        |    AND 5*len(list_intersect(x.s, y.s)) >= 4*(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(u, r) AS (
+        |  SELECT doc_id, doc_id FROM planted
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u),
+        |c AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+        |q AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) * 1000000
+        |                  // len(string_split(text,' ')) AS BIGINT) AS score
+        |      FROM planted),
+        |j AS (SELECT c.cluster_id, c.doc_id, q.score FROM c JOIN q USING (doc_id)),
+        |r AS (SELECT cluster_id, doc_id, score,
+        |             row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn
+        |      FROM j),
+        |n AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1)
+        |SELECT r.cluster_id, n.n_members, r.doc_id AS rep_doc_id, r.score AS rep_score
+        |FROM r JOIN n USING (cluster_id) WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "embedding_neardup" ->
       """WITH all_v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

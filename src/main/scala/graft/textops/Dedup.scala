@@ -288,6 +288,34 @@ object Dedup {
     out
   }
 
+  /** Canonical-document election per near-dup cluster — the curation
+    * decision that FOLLOWS clustering: which member survives. "First crawled
+    * wins" (min doc_id, what cluster_id alone encodes) keeps whatever the
+    * frontier happened to reach first; electing the best-scoring member
+    * keeps the best VERSION of the content (FineWeb/CCNet keep-longest /
+    * keep-highest-quality move). Score = integer stop-ratio fixed point
+    * (the `text_quality` signal) with ties to the LOWEST doc_id, so the
+    * election is total-ordered and deterministic.
+    *
+    * Scale shape: clusters come from [[neardupClusters]] (edge-incident
+    * propagation), the score is a map-side projection on the text scan, and
+    * the election is ONE cluster-grain partial-aggregated `max(struct(score,
+    * -doc_id))` — no window, no per-cluster sort, no text past the scan.
+    * Output: (cluster_id, n_members, rep_doc_id, rep_score). */
+  def clusterCanonical(docs: DataFrame): DataFrame = {
+    val clusters = neardupClusters(docs)
+    val scored = docs.select(col("doc_id"),
+      expr("""(size(filter(split(text, ' ', -1), w -> w = 'the' OR w = 'a')) * 1000000L)
+             | div size(split(text, ' ', -1))""".stripMargin.replace("\n", ""))
+        .as("score"))
+    clusters.join(scored, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.negid")).as("rep_doc_id"), col("best.score").as("rep_score"))
+  }
+
   /** Min-label propagation over SYMMETRIC edges (src, dst): each edge-incident
     * node's label converges to the component minimum in O(diameter) rounds.
     * Sees ONLY the edge set — a corpus-wide label table is structurally

@@ -148,6 +148,29 @@ class Round5Spec extends AnyFunSuite {
       s"expected exactly 2 hash exchanges (candidate distinct + survivor agg):\n$plan")
   }
 
+  test("cluster_canonical elects the max-score member (ties to lowest id), not first-crawled") {
+    import graft.textops.Dedup
+    val planted = Dedup.planted(spark.read.parquet(s"$sf/documents.parquet"))
+    val clusters = Dedup.neardupClusters(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = planted.collect().map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      r.getLong(0) -> ws.count(w => w == "the" || w == "a").toLong * 1000000L / ws.length
+    }.toMap
+    val got = SparkEntry.queries("cluster_canonical")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val members = clusters.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    assert(got.keySet == members.keySet)
+    got.foreach { case (cid, (n, rep, repScore)) =>
+      val ms = members(cid)
+      assert(n == ms.size && ms.contains(rep), s"cluster $cid")
+      val best = ms.map(i => (scores(i), -i)).max
+      assert((repScore, -rep) == best, s"cluster $cid elected $rep/$repScore, expected $best")
+    }
+    assert(got.exists { case (cid, (n, rep, _)) => n > 1 && rep != cid },
+      "fixture must exercise a non-min-id election")
+  }
+
   // ---- greedy no-split packing ----
 
   test("packGreedy: no doc split, budget respected except oversize-alone, block-scoped bins") {
