@@ -1520,6 +1520,11 @@ object SparkEntry {
       graft.webtext.AsofJoin.asof(graft.webtext.AsofJoin.plantSnapshots(docs), ev)
         .orderBy("event_id")
     }),
+    "stream_snapshot_asof" -> ((s, dir) =>
+      // stream-static as-of: stateless per-batch broadcast temporal join
+      // against the per-key snapshot timeline — micro-batch-invariant, must
+      // match the batch as-of (and its oracle) bit-for-bit
+      pageplus.streaming.StreamingExtract.asofOnce(s, dir).orderBy("event_id")),
     "asof_join_exec" -> ((s, dir) => {
       // the SAME as-of semantics through the whole-operator Catalyst
       // extension (custom LogicalPlan + SparkStrategy + physical SparkPlan,
@@ -4569,6 +4574,29 @@ object SparkEntry {
     // operator — the oracle is deliberately the identical window recompute
     // (the fixture has no equal-(k,t) snapshot ties, so the exec's
     // highest-version tie rule and the window's running-last agree)
+    // stream_snapshot_asof: identical semantics and oracle as the batch
+    // as-of family (the streaming path is stateless, so equality is exact)
+    "stream_snapshot_asof" ->
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |s AS (SELECT doc_id AS k, 1704067200 + v*864000 + (doc_id % 97)*3600 AS t,
+        |             v AS version, 0 AS is_event, CAST(NULL AS BIGINT) AS event_id
+        |      FROM documents, UNNEST(generate_series(0, doc_id % 3)) tt(v)),
+        |e AS (SELECT event_id % (SELECT nd FROM n) AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |             CAST(NULL AS BIGINT) AS version, 1 AS is_event, event_id
+        |      FROM events),
+        |u AS (SELECT * FROM s UNION ALL BY NAME SELECT * FROM e),
+        |m AS (SELECT k, t, is_event, event_id,
+        |             last_value(version IGNORE NULLS) OVER
+        |               (PARTITION BY k ORDER BY t, is_event
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv,
+        |             last_value(CASE WHEN is_event = 0 THEN t END IGNORE NULLS) OVER
+        |               (PARTITION BY k ORDER BY t, is_event
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+        |      FROM u)
+        |SELECT event_id, k AS doc_key,
+        |       coalesce(mv, -1) AS version,
+        |       CASE WHEN mv IS NULL THEN -1 ELSE t - mt END AS age_s
+        |FROM m WHERE is_event = 1""".stripMargin,
     "asof_join_exec" ->
       """WITH n AS (SELECT count(*) AS nd FROM documents),
         |s AS (SELECT doc_id AS k, 1704067200 + v*864000 + (doc_id % 97)*3600 AS t,

@@ -40,6 +40,33 @@ object AsofJoin {
       .select(col("k"), col("version"),
         (lit(1704067200L) + col("version") * 864000L + (col("k") % 97) * 3600L).as("t"))
 
+  /** Per-key sorted snapshot timeline `(k, tl: array<struct<t, version>>)` —
+    * the broadcastable STATIC side of the stream-static as-of
+    * ([[streamAsof]]): one key-grain agg over the (small) snapshot table,
+    * sort_array gives (t, version)-ascending order so "latest at-or-before"
+    * is the last element of a prefix. */
+  def snapshotTimelines(snaps: DataFrame): DataFrame =
+    snaps.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("t"), col("version")))).as("tl"))
+
+  /** Stream-static as-of: each streaming event picks the latest snapshot
+    * with `t <= event.t` from the broadcast per-key timeline — STATELESS
+    * (no watermark, no state store), so verdicts are micro-batch-invariant
+    * and identical to the batch [[asof]] on the same data. The scale
+    * contract is the temporal-join norm: the snapshot DIMENSION (one
+    * timeline row per key) is orders of magnitude smaller than the event
+    * stream; the per-event pick is codegen array arithmetic
+    * (`filter` + `element_at(-1)`), no per-key search structure to keep. */
+  def streamAsof(events: DataFrame, timelines: DataFrame): DataFrame =
+    events.join(broadcast(timelines), Seq("k"), "left")
+      .withColumn("pre", expr("filter(tl, x -> x.t <= t)"))
+      // try_element_at: ANSI mode (Spark 4 default) makes element_at throw
+      // on an empty prefix (event before the key's first snapshot)
+      .withColumn("mv", expr("try_element_at(pre, -1)"))
+      .select(col("event_id"), col("k").as("doc_key"),
+        coalesce(col("mv.version"), lit(-1L)).as("version"),
+        when(col("mv").isNull, lit(-1L)).otherwise(col("t") - col("mv.t")).as("age_s"))
+
   /** As-of join `events` (k, t, event_id) against `snaps` (k, t, version).
     * Output: (event_id, doc_key, version, age_s), version/age_s -1 when no
     * snapshot precedes the event. */

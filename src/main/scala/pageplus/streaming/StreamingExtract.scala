@@ -419,4 +419,23 @@ object StreamingExtract {
         graft.webtext.SnapshotOverlap.distinctEstimate("s", 256).as("kmv_distinct"))
     drainToTable(agg, "stream_kmv", "complete", noDataBatch = false)
   }
+
+  /** Stream-static as-of join — the temporal-attribution twin of the batch
+    * [[graft.webtext.AsofJoin.asof]]: each streaming event picks the latest
+    * snapshot `t <= event.t` from the BROADCAST per-key timeline. STATELESS
+    * (append mode, no watermark, no state store), so results are
+    * micro-batch-split-invariant and bit-identical to batch on the same
+    * data; the snapshot dimension is the small side by contract. */
+  def asofOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val timelines = graft.webtext.AsofJoin.snapshotTimelines(
+      graft.webtext.AsofJoin.plantSnapshots(docs))
+    val ev = streamTable(spark, sfDir, "events.parquet")
+      .select((col("event_id") % n).as("k"),
+        graft.TimeCols.ntzEpochSeconds(col("ts")).as("t"), col("event_id"))
+    drainToTable(graft.webtext.AsofJoin.streamAsof(ev, timelines),
+      "stream_asof", "append")
+  }
 }

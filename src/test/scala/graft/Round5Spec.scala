@@ -171,6 +171,20 @@ class Round5Spec extends AnyFunSuite {
       "fixture must exercise a non-min-id election")
   }
 
+  test("stream-static as-of equals the batch as-of bit-for-bit") {
+    import graft.webtext.AsofJoin
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    val ev = spark.read.parquet(s"$sf/events.parquet").select(
+      (col("event_id") % n).as("k"),
+      TimeCols.ntzEpochSeconds(col("ts")).as("t"), col("event_id"))
+    val batch = AsofJoin.asof(AsofJoin.plantSnapshots(docs), ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = SparkEntry.queries("stream_snapshot_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   // ---- greedy no-split packing ----
 
   test("packGreedy: no doc split, budget respected except oversize-alone, block-scoped bins") {

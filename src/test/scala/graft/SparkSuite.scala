@@ -279,9 +279,9 @@ class TzInvarianceSpec extends AnyFunSuite {
       // and JSON-LD datePublished render via TZ-free LocalDate — invariance
       // pins that none of them grows a session-zone dependency
       "recrawl_interval", "feed_items", "jsonld_articles",
-      // r5: the physical as-of operator consumes the same
-      // ntzEpochSeconds-derived event epochs as snapshot_asof
-      "asof_join_exec")
+      // r5: the physical as-of operator and the stream-static twin consume
+      // the same ntzEpochSeconds-derived event epochs as snapshot_asof
+      "asof_join_exec", "stream_snapshot_asof")
     val utc = names.map(n => n -> run(n)).toMap
     for (tz <- Seq("America/New_York", "Asia/Kolkata")) {
       spark.conf.set("spark.sql.session.timeZone", tz)
