@@ -63,6 +63,18 @@ object SparkEntry {
     "fulltext_extract" -> ((s, dir) => {
       Pipeline.fulltext(PagesFromDocuments.clean(s, dir).toDF(), saltPartitions = s.sparkContext.defaultParallelism).toDF()
     }),
+    "xml_dir_ingest" -> ((s, dir) => {
+      // the reference's LITERAL input mode: a directory of individual
+      // PAGE-XML files (io/utils.py dir walk) read via a binaryFile scan —
+      // landing-format ingestion whose extraction must be byte-identical to
+      // the parquet-table path (same oracle as fulltext_extract)
+      val xmlDir = s"${sys.props("java.io.tmpdir")}/graft_xmldir_${dir.hashCode.toHexString}"
+      pageplus.spark.XmlDirIngest.writeXmlDir(
+        PagesFromDocuments.clean(s, dir).toDF(), xmlDir)
+      Pipeline.fulltext(pageplus.spark.XmlDirIngest.readXmlDir(s, xmlDir),
+          saltPartitions = s.sparkContext.defaultParallelism)
+        .toDF().orderBy("url")
+    }),
     "fulltext_ro_lastwins" -> ((s, dir) => {
       // reading_order=True literal semantics: only the LAST reading-order region
       // survives (models/page.py:144-147)
@@ -2114,6 +2126,14 @@ object SparkEntry {
     "fulltext_skew_dehyphenate" -> DehypheOracleSql,
     "fulltext_skew_ro" -> RoLastWinsOracleSql,
     "fulltext_extract" ->
+      """SELECT 'doc://' || doc_id AS url,
+        |       array_to_string([array_to_string(words[i:i+7], ' ')
+        |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    // xml_dir_ingest: byte-identical to the parquet path by contract, so the
+    // oracle is fulltext_extract's verbatim — a diff here means the
+    // file-landing path lost or altered bytes
+    "xml_dir_ingest" ->
       """SELECT 'doc://' || doc_id AS url,
         |       array_to_string([array_to_string(words[i:i+7], ' ')
         |                        for i in range(1, len(words)+1, 8)], chr(10)) AS extracted_text

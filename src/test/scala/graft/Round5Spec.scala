@@ -185,6 +185,25 @@ class Round5Spec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("xml_dir_ingest: file-landing path is byte-identical to the table path, non-PAGE rows survive") {
+    import pageplus.data.PagesFromDocuments
+    import pageplus.spark.{Pipeline, XmlDirIngest}
+    val pages = PagesFromDocuments.clean(spark, sf).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft_xmldir_spec_").toString
+    XmlDirIngest.writeXmlDir(pages, dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notpage.xml"),
+      "<foo>not a PAGE document</foo>".getBytes("UTF-8"))
+    val fromFiles = Pipeline.fulltext(XmlDirIngest.readXmlDir(spark, dir)).collect()
+      .map(e => e.url -> e.extracted_text).toMap
+    val fromTable = Pipeline.fulltext(pages).collect()
+      .map(e => e.url -> e.extracted_text).toMap
+    // every table-path url present with byte-identical text, plus the planted
+    // non-PAGE file as a row (data never vanishes), extracting to empty
+    assert(fromFiles.size == fromTable.size + 1)
+    fromTable.foreach { case (u, t) => assert(fromFiles(u) == t, u) }
+    assert(fromFiles("doc://notpage") == "")
+  }
+
   // ---- greedy no-split packing ----
 
   test("packGreedy: no doc split, budget respected except oversize-alone, block-scoped bins") {
