@@ -518,6 +518,18 @@ object SparkEntry {
       // multilingual temperature sampling (tau=2 -> exact integer sqrt):
       // one lang-grain corpus agg, then 1-row totals broadcast
       graft.textops.LangMixture.temperatureMixture(tp(s, dir, "documents"))),
+    "codeswitch_stats" -> ((s, dir) =>
+      // paragraph-grain language segmentation (code-switching audit): each
+      // doc's paragraphs live in its own row, so dominant-language election
+      // + adjacent-switch counting are ONE map stage, zero shuffle
+      graft.textops.Multilingual.codeswitchStats(
+        graft.textops.Multilingual.plantCodeSwitch(tp(s, dir, "documents")))
+        .toDF().orderBy("doc_id")),
+    "domain_pareto" -> ((s, dir) =>
+      // corpus-concentration report: token mass by registered domain with
+      // rank + cumulative share; corpus agg to domain grain, report-sized
+      // window after
+      graft.webtext.UrlOps.domainPareto(tp(s, dir, "documents")).orderBy("rnk")),
     "token_count_regex" -> ((s, dir) => {
       tp(s, dir, "documents").select(
         col("doc_id"),
@@ -1633,6 +1645,14 @@ object SparkEntry {
           expr("abs(approx_distinct - exact_distinct) * 10000L div exact_distinct"))
         .orderBy("event_type")
     }),
+    "hll_cumulative" -> ((s, dir) =>
+      // running distinct-to-date per event type via HLL register MERGE
+      // (register-wise max as a windowed step-function difference): the
+      // mergeability property that lets per-partition / per-day sketches
+      // roll up without rescanning history; exact cumulative distinct rides
+      // along as ground truth
+      graft.textops.SketchMerge.cumulativeDailyDistinct(tp(s, dir, "events"))
+        .orderBy("event_type", "day")),
     "cms_freq" -> ((s, dir) => {
       // count-min heavy-hitter frequencies: one corpus pass builds a global
       // 4x1024 sketch (32 KB through partial agg), point queries answer via
@@ -2569,6 +2589,84 @@ object SparkEntry {
         |       CAST((w * 1000000 // (SELECT swt FROM sw)) * 10000
         |            // (n_tokens * 1000000 // (SELECT tt FROM tot)) AS BIGINT) AS boost_bp
         |FROM sq""".stripMargin,
+    // codeswitch_stats: paragraph 0's language is the lang_id CTE verbatim
+    // (green since r3); planted bank paragraphs have PINNED languages
+    // (Multilingual.BankLang, margins Python-validated >= 9 points), so the
+    // oracle only replays the (doc_id + 7*i) % 6 walk. Validated by
+    // tools/new_ops_oracle_check.py (500/500 vs an independent Python replica
+    // of langIdDetail).
+    "codeswitch_stats" ->
+      """WITH cj AS (SELECT doc_id,
+        |              CAST(length(text) AS BIGINT) AS cps,
+        |              CAST(len(list_filter(string_split(text,''), c -> unicode(c) BETWEEN 19968 AND 40959)) AS BIGINT) AS cjk
+        |            FROM documents),
+        |t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, [substring(lt, i, 3) for i in range(1, length(lt)-1)] AS tris FROM t),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) + len(list_filter(tris, g -> g IN ('the','ing','ion','and','ent'))) AS BIGINT) AS n_en,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) + len(list_filter(tris, g -> g IN ('sch','ich','ein','cht','und'))) AS BIGINT) AS n_de,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('le','la','et','les','des','un','une','est','pour','que'))) + len(list_filter(tris, g -> g IN ('ent','les','ion','que','eur'))) AS BIGINT) AS n_fr,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('el','los','las','y','es','una','por','para','con','del'))) + len(list_filter(tris, g -> g IN ('ent','los','cio','ado','que'))) AS BIGINT) AS n_es
+        |  FROM s),
+        |p0 AS (SELECT sc.doc_id,
+        |  CASE WHEN cj.cps > 0 AND 5*cj.cjk > cj.cps THEN 'zh'
+        |       WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+        |       WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+        |       WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS lang
+        |  FROM sc JOIN cj ON sc.doc_id = cj.doc_id),
+        |l0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS i, lang FROM p0),
+        |pl0 AS (SELECT doc_id, unnest(range(1, 3 + CAST(doc_id % 3 AS INT))) AS i FROM documents),
+        |pl AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         CASE (doc_id + 7*i) % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'en' WHEN 2 THEN 'de'
+        |              WHEN 3 THEN 'fr' WHEN 4 THEN 'es' ELSE 'zh' END AS lang
+        |       FROM pl0),
+        |langs AS (SELECT * FROM l0 UNION ALL SELECT * FROM pl),
+        |counts AS (SELECT doc_id, lang, count(*) AS c FROM langs GROUP BY doc_id, lang),
+        |dom AS (SELECT doc_id, lang, c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn
+        |        FROM counts),
+        |sw AS (SELECT a.doc_id, sum(CASE WHEN a.lang != b.lang THEN 1 ELSE 0 END) AS s
+        |       FROM langs a JOIN langs b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |       GROUP BY a.doc_id),
+        |np AS (SELECT doc_id, count(*) AS n_paras, count(DISTINCT lang) AS n_langs
+        |       FROM langs GROUP BY doc_id)
+        |SELECT np.doc_id, CAST(np.n_paras AS BIGINT) AS n_paras,
+        |       CAST(np.n_langs AS BIGINT) AS n_langs,
+        |       dom.lang AS dominant_lang, CAST(dom.c AS BIGINT) AS dominant_cnt,
+        |       CAST(coalesce(sw.s, 0) AS BIGINT) AS n_switches
+        |FROM np JOIN dom ON np.doc_id = dom.doc_id AND dom.rn = 1
+        |LEFT JOIN sw ON np.doc_id = sw.doc_id
+        |ORDER BY np.doc_id""".stripMargin,
+    // domain_pareto: replays the plantHosts walk collapsed straight to the
+    // registered domain (the PSL reduction is constant per branch), then the
+    // same rank / cumulative-share window. Integer bp, trunc division.
+    // Validated by tools/new_ops_oracle_check.py (23/23 rows at sf0.01).
+    "domain_pareto" ->
+      """WITH h AS (SELECT doc_id, text,
+        |  CASE doc_id%10
+        |    WHEN 0 THEN 'news' || (doc_id%5) || '.co.uk'
+        |    WHEN 1 THEN 'blog' || (doc_id%7) || '.github.io'
+        |    WHEN 2 THEN 'example.com'
+        |    WHEN 3 THEN CASE WHEN doc_id%9=0 THEN '' ELSE 'corp' || (doc_id%3) || '.com.au' END
+        |    WHEN 4 THEN 'deep' || (doc_id%4) || '.org'
+        |    WHEN 5 THEN 'cdn' || (doc_id%6) || '.net'
+        |    WHEN 6 THEN 'shop' || (doc_id%5) || '.co.jp'
+        |    WHEN 7 THEN '192.168.' || (doc_id%4) || '.10'
+        |    WHEN 8 THEN 'example.zz'
+        |    ELSE 'localhost' END AS domain
+        |  FROM documents),
+        |d AS (SELECT domain, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |      FROM h GROUP BY domain),
+        |r AS (SELECT domain, n_tokens,
+        |        CAST(row_number() OVER (ORDER BY n_tokens DESC, domain) AS BIGINT) AS rnk,
+        |        CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, domain
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM d),
+        |t AS (SELECT sum(n_tokens) AS tt FROM d)
+        |SELECT domain, n_tokens, rnk, cum_tokens,
+        |       CAST(cum_tokens * 10000 // tt AS BIGINT) AS cum_share_bp
+        |FROM r, t ORDER BY rnk""".stripMargin,
     "lang_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
@@ -4865,6 +4963,56 @@ object SparkEntry {
         |       CAST(exact AS BIGINT) AS exact_distinct,
         |       CAST(abs(CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) - exact) * 10000 // exact AS BIGINT) AS err_bp
         |FROM est JOIN ex USING (event_type)""".stripMargin,
+    // hll_cumulative: the hll_distinct sketch recompute extended with a day
+    // axis — per-(type, day, idx) register maxima, register-wise max over all
+    // days <= d (the MERGE), then the same exact-integer raw estimator, plus
+    // the first-seen-day exact cumulative distinct as ground truth. Validated
+    // by tools/new_ops_oracle_check.py (150/150 rows vs a Python re-merge).
+    "hll_cumulative" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(user_id * 1024 + (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS HUGEINT) AS v
+        |  FROM events),
+        |h1 AS (SELECT event_type, day, (v + 11400714819323198485) % 18446744073709551616 AS z FROM vals),
+        |h2 AS (SELECT event_type, day, xor(z, z >> 30) AS x FROM h1),
+        |h3 AS (SELECT event_type, day,
+        |         ((x % 4294967296) * 484763065
+        |          + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h2),
+        |h4 AS (SELECT event_type, day, xor(z, z >> 27) AS x FROM h3),
+        |h5 AS (SELECT event_type, day,
+        |         ((x % 4294967296) * 321982955
+        |          + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h4),
+        |hh AS (SELECT event_type, day, xor(z, z >> 31) AS h FROM h5),
+        |b AS (SELECT event_type, day, CAST(h // 288230376151711744 AS BIGINT) AS idx,
+        |             h % 288230376151711744 AS rest FROM hh),
+        |r AS (SELECT event_type, day, idx,
+        |             max(CASE WHEN rest = 0 THEN 59 ELSE 58 - len(bin(rest)) + 1 END) AS rho
+        |      FROM b GROUP BY event_type, day, idx),
+        |grid AS (SELECT DISTINCT event_type, day FROM vals),
+        |gi AS (SELECT g.event_type, g.day, x.i AS idx
+        |       FROM grid g, UNNEST(generate_series(0, 63)) x(i)),
+        |regs AS (SELECT gi.event_type, gi.day, gi.idx, coalesce(max(r.rho), 0) AS rho
+        |         FROM gi LEFT JOIN r ON r.event_type = gi.event_type AND r.idx = gi.idx
+        |                            AND r.day <= gi.day
+        |         GROUP BY gi.event_type, gi.day, gi.idx),
+        |est AS (SELECT event_type, day, sum(CAST(1 AS HUGEINT) << (59 - rho)) AS z2
+        |        FROM regs GROUP BY event_type, day),
+        |estv AS (SELECT event_type, day,
+        |           CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) AS e
+        |         FROM est),
+        |firsts AS (SELECT event_type, v, min(day) AS fday FROM vals GROUP BY event_type, v),
+        |exact AS (SELECT g.event_type, g.day, count(*) AS ex FROM grid g
+        |          JOIN firsts f ON f.event_type = g.event_type AND f.fday <= g.day
+        |          GROUP BY g.event_type, g.day)
+        |SELECT estv.event_type, CAST(estv.day AS BIGINT) AS day, e AS cum_distinct_est,
+        |       CAST(ex AS BIGINT) AS cum_distinct_exact,
+        |       CAST(abs(e - ex) * 10000 // ex AS BIGINT) AS err_bp
+        |FROM estv JOIN exact USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
     // audience_overlap: full per-type sketch recompute (shared splitmix
     // HUGEINT chain + per-type ORDER BY h row_number <= k), pairwise merged
     // bottom-k + trunc-integer estimates; Python-validated at both sfs

@@ -1,0 +1,105 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.TimeCols
+import graft.expr.HllSketchAgg
+
+/** Cumulative daily distinct via HLL register MERGE — the property that
+  * makes sketches the scale answer: a day's 64-register sketch unions with
+  * yesterday's by register-wise max, so a running "distinct users to date"
+  * needs per-(type, register) state, never a rescan of history. This is the
+  * batch twin of re-merging per-partition sketches on a 1000-executor
+  * cluster: the register table IS the serialized sketch, exposed relationally
+  * so the merge is a plain windowed max (reference scope: PagePlus has no
+  * sketch ops — beyond-reference engine surface, same splitmix64/alpha
+  * constants as [[graft.expr.HllSketchAgg]]).
+  *
+  * Scale shape: hashing is map-side; the only corpus-sized shuffle is the
+  * partial-aggregated groupBy down to (type, day, 64) register grain (and
+  * the exact-count ride-along's (type, v) grain, the eval ground truth).
+  * Everything after runs on sketch-grain tables: the register step function
+  * is differenced per (type, idx) so each day's estimate is a windowed SUM of
+  * increase deltas — O(types × days × 64) state, no quadratic day re-merge.
+  */
+object SketchMerge {
+
+  private val RestBits = 58 // 64 - p, p = 6 → m = 64 registers
+  private val M = 64
+
+  /** (event_type, day, cum_distinct_est, cum_distinct_exact, err_bp) for each
+    * day the type had events: the HLL estimate over ALL events with day' <=
+    * day, computed by register merge, with the exact cumulative distinct as
+    * ride-along ground truth. Integer-exact end to end. */
+  def cumulativeDailyDistinct(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val vals = events
+      .select(col("event_type"), col("user_id"),
+        TimeCols.ntzEpochSeconds(col("ts")).as("es"))
+      .select(col("event_type"), expr("es div 86400L").as("day"),
+        expr("user_id * 1024L + (es div 86400L)").as("v"))
+
+    // register stream (JVM splitmix64 — mod-2^64 wrap, identical to the
+    // HllSketchAgg update path and the oracle's HUGEINT chain)
+    val regs = vals.as[(String, Long, Long)]
+      .map { case (t, day, v) =>
+        val h = HllSketchAgg.splitmix64(v)
+        val idx = (h >>> RestBits).toInt
+        val rest = h & ((1L << RestBits) - 1)
+        val rho =
+          if (rest == 0L) RestBits + 1
+          else RestBits - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+        (t, day, idx, rho)
+      }
+      .toDF("event_type", "day", "idx", "rho")
+      .groupBy("event_type", "day", "idx").agg(max("rho").as("rho"))
+
+    // a register only ever increases: keep the first day each (type, idx)
+    // reached each rho level, then difference the resulting step function
+    val firstDay = regs.groupBy("event_type", "idx", "rho")
+      .agg(min("day").as("day"))
+    val wReg = Window.partitionBy("event_type", "idx").orderBy("day", "rho")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val increases = firstDay
+      .withColumn("prev_rho", coalesce(max("rho").over(wReg), lit(0)))
+      .filter(col("rho") > col("prev_rho"))
+      .select(col("event_type"), col("day"),
+        expr(s"CAST(shiftleft(1L, ${RestBits + 1} - rho)" +
+          s" - shiftleft(1L, ${RestBits + 1} - prev_rho) AS DECIMAL(38,0))").as("dz2"))
+
+    // z2(day) = m * 2^(restBits+1) + cumulative sum of increase deltas;
+    // estimate = alpha * m^2 * 2^(restBits+1) div (alphaDen * z2), evaluated
+    // in BigInt exactly like HllSketchAgg.eval (rows here are sketch-grain)
+    val grid = vals.select("event_type", "day").distinct()
+    val perDay = increases.groupBy("event_type", "day")
+      .agg(sum("dz2").as("dz2"))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val approx = grid.join(perDay, Seq("event_type", "day"), "left")
+      .withColumn("dz2", coalesce(col("dz2"), lit(0).cast("decimal(38,0)")))
+      .withColumn("cum_dz2", sum("dz2").over(wDay))
+      .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+      .map { case (t, day, _, cum) =>
+        val z2 = (BigInt(M) << (RestBits + 1)) + BigInt(cum.toBigInteger)
+        val num = BigInt(HllSketchAgg.AlphaNum) * M * M * (BigInt(1) << (RestBits + 1))
+        (t, day, (num / (BigInt(HllSketchAgg.AlphaDen) * z2)).toLong)
+      }
+      .toDF("event_type", "day", "cum_distinct_est")
+
+    // exact ride-along: first day each distinct v appears, cumulative count
+    val exact = vals.groupBy("event_type", "v").agg(min("day").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("nnew"))
+    val exactCum = grid.join(exact, Seq("event_type", "day"), "left")
+      .withColumn("nnew", coalesce(col("nnew"), lit(0L)))
+      .withColumn("cum_distinct_exact", sum("nnew").over(wDay))
+      .select("event_type", "day", "cum_distinct_exact")
+
+    approx.join(exactCum, Seq("event_type", "day"))
+      .withColumn("err_bp",
+        expr("abs(cum_distinct_est - cum_distinct_exact) * 10000L div cum_distinct_exact"))
+  }
+}

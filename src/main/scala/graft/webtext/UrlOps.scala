@@ -260,10 +260,14 @@ object UrlOps {
     * branch (the driver corpus only has site{0..6}.example.com): ccTLD
     * second-level registries, private-registry suffixes, deep subdomains,
     * bare suffixes, unknown TLDs, IPv4 literals, single-label hosts. */
-  def plantHosts(docs: DataFrame): DataFrame = {
+  def plantHosts(docs: DataFrame): DataFrame = plantHosts(docs, Nil)
+
+  /** [[plantHosts]] carrying extra input columns through the planting, so
+    * downstream consumers that need (host, text) avoid a doc-grain re-join. */
+  def plantHosts(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val id = col("doc_id")
     val m = id % 10
-    docs.select(id.as("doc_id"),
+    docs.select((id.as("doc_id") +: keep.map(col) :+
       when(m === 0, concat(lit("www.news"), (id % 5).cast("string"), lit(".co.uk")))
         .when(m === 1, concat(lit("blog"), (id % 7).cast("string"), lit(".github.io")))
         .when(m === 2, concat(lit("site"), (id % 7).cast("string"), lit(".example.com")))
@@ -274,6 +278,34 @@ object UrlOps {
         .when(m === 6, concat(lit("shop"), (id % 5).cast("string"), lit(".co.jp")))
         .when(m === 7, concat(lit("192.168."), (id % 4).cast("string"), lit(".10")))
         .when(m === 8, lit("intranet.example.zz"))
-        .otherwise(lit("localhost")).as("host"))
+        .otherwise(lit("localhost")).as("host")): _*)
+  }
+
+  /** Pareto coverage of the token mass by registered domain — the corpus
+    * concentration report a crawl-budget / mixture decision starts from:
+    * domains ranked by token count with cumulative share, so "the top k
+    * domains carry p% of the corpus" reads straight off the table.
+    *
+    * Scale shape: ONE corpus aggregation down to registered-domain grain
+    * (map-side partial sums; ~10^7 domains at 10^12 docs), then the rank /
+    * cumulative-share window runs on that domain-grain table — report-sized
+    * state, never corpus-grain (the single-task-window ban in CLAUDE.md is
+    * about corpus grain; a bounded domain roll-up is where a global ordered
+    * window is the right plan). Integer bp shares, trunc division. */
+  def domainPareto(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withRegisteredDomain(plantHosts(docs, Seq("text")))
+    val byDom = base
+      .groupBy(col("registered_domain").as("domain"))
+      .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").desc, col("domain"))
+    val ranked = byDom.select(col("domain"), col("n_tokens"),
+      row_number().over(w).cast("long").as("rnk"),
+      sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum_tokens"))
+    val total = byDom.agg(sum("n_tokens").as("tt"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_tokens"), col("rnk"), col("cum_tokens"),
+        expr("cum_tokens * 10000L div tt").as("cum_share_bp"))
   }
 }

@@ -264,6 +264,9 @@ class TzInvarianceSpec extends AnyFunSuite {
       // and the two HLL paths that derive epochs from events.ts
       "snapshot_asof", "sitemap_urls", "crawl_delta",
       "hll_distinct", "stream_hll_distinct",
+      // r5: cumulative daily distinct derives (day, v) from events.ts via
+      // ntzEpochSeconds — the day axis must not move under a DST zone
+      "hll_cumulative",
       // r5: the CDX index renders WARC-Date through the same explicit-UTC
       // formatter; invariance pins its epoch arithmetic too
       "cdx_index",
