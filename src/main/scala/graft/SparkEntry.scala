@@ -1653,6 +1653,12 @@ object SparkEntry {
       // along as ground truth
       graft.textops.SketchMerge.cumulativeDailyDistinct(tp(s, dir, "events"))
         .orderBy("event_type", "day")),
+    "hll_sliding" -> ((s, dir) =>
+      // trailing-7-day distinct per event type: the register merge FORGETS —
+      // a value-range window max per (type, idx) over the day axis, sketch
+      // grain throughout; exact windowed distinct rides along as audit
+      graft.textops.SketchMerge.slidingDailyDistinct(tp(s, dir, "events"))
+        .orderBy("event_type", "day")),
     "cms_freq" -> ((s, dir) => {
       // count-min heavy-hitter frequencies: one corpus pass builds a global
       // 4x1024 sketch (32 KB through partial agg), point queries answer via
@@ -5010,6 +5016,56 @@ object SparkEntry {
         |          GROUP BY g.event_type, g.day)
         |SELECT estv.event_type, CAST(estv.day AS BIGINT) AS day, e AS cum_distinct_est,
         |       CAST(ex AS BIGINT) AS cum_distinct_exact,
+        |       CAST(abs(e - ex) * 10000 // ex AS BIGINT) AS err_bp
+        |FROM estv JOIN exact USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
+    // hll_sliding: the hll_cumulative recompute with the register merge
+    // windowed to the trailing 7 days (r.day BETWEEN gi.day-6 AND gi.day) and
+    // the exact side counting distinct v with ANY occurrence in the window.
+    // Validated by tools/hll_sliding_check.py (150/150 rows at both sfs).
+    "hll_sliding" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(user_id * 1024 + (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS HUGEINT) AS v
+        |  FROM events),
+        |h1 AS (SELECT event_type, day, (v + 11400714819323198485) % 18446744073709551616 AS z FROM vals),
+        |h2 AS (SELECT event_type, day, xor(z, z >> 30) AS x FROM h1),
+        |h3 AS (SELECT event_type, day,
+        |         ((x % 4294967296) * 484763065
+        |          + (((x % 4294967296) * 3210233709 + (x // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h2),
+        |h4 AS (SELECT event_type, day, xor(z, z >> 27) AS x FROM h3),
+        |h5 AS (SELECT event_type, day,
+        |         ((x % 4294967296) * 321982955
+        |          + (((x % 4294967296) * 2496678331 + (x // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z
+        |       FROM h4),
+        |hh AS (SELECT event_type, day, xor(z, z >> 31) AS h FROM h5),
+        |b AS (SELECT event_type, day, CAST(h // 288230376151711744 AS BIGINT) AS idx,
+        |             h % 288230376151711744 AS rest FROM hh),
+        |r AS (SELECT event_type, day, idx,
+        |             max(CASE WHEN rest = 0 THEN 59 ELSE 58 - len(bin(rest)) + 1 END) AS rho
+        |      FROM b GROUP BY event_type, day, idx),
+        |grid AS (SELECT DISTINCT event_type, day FROM vals),
+        |gi AS (SELECT g.event_type, g.day, x.i AS idx
+        |       FROM grid g, UNNEST(generate_series(0, 63)) x(i)),
+        |regs AS (SELECT gi.event_type, gi.day, gi.idx, coalesce(max(r.rho), 0) AS rho
+        |         FROM gi LEFT JOIN r ON r.event_type = gi.event_type AND r.idx = gi.idx
+        |                            AND r.day BETWEEN gi.day - 6 AND gi.day
+        |         GROUP BY gi.event_type, gi.day, gi.idx),
+        |est AS (SELECT event_type, day, sum(CAST(1 AS HUGEINT) << (59 - rho)) AS z2
+        |        FROM regs GROUP BY event_type, day),
+        |estv AS (SELECT event_type, day,
+        |           CAST((709343 * CAST(4096 AS HUGEINT) * 576460752303423488) // (1000000 * z2) AS BIGINT) AS e
+        |         FROM est),
+        |vd AS (SELECT DISTINCT event_type, v, day FROM vals),
+        |exact AS (SELECT g.event_type, g.day, count(DISTINCT f.v) AS ex FROM grid g
+        |          JOIN vd f ON f.event_type = g.event_type
+        |                   AND f.day BETWEEN g.day - 6 AND g.day
+        |          GROUP BY g.event_type, g.day)
+        |SELECT estv.event_type, CAST(estv.day AS BIGINT) AS day, e AS win_distinct_est,
+        |       CAST(ex AS BIGINT) AS win_distinct_exact,
         |       CAST(abs(e - ex) * 10000 // ex AS BIGINT) AS err_bp
         |FROM estv JOIN exact USING (event_type, day)
         |ORDER BY event_type, day""".stripMargin,

@@ -29,23 +29,23 @@ object SketchMerge {
   private val RestBits = 58 // 64 - p, p = 6 → m = 64 registers
   private val M = 64
 
-  /** (event_type, day, cum_distinct_est, cum_distinct_exact, err_bp) for each
-    * day the type had events: the HLL estimate over ALL events with day' <=
-    * day, computed by register merge, with the exact cumulative distinct as
-    * ride-along ground truth. Integer-exact end to end. */
-  def cumulativeDailyDistinct(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  /** (event_type, day, v) value stream — the (user, day) co-activity grain
+    * shared with `hll_distinct`, day derived TZ-free. */
+  private def dayVals(events: DataFrame): DataFrame = events
+    .select(col("event_type"), col("user_id"),
+      TimeCols.ntzEpochSeconds(col("ts")).as("es"))
+    .select(col("event_type"), expr("es div 86400L").as("day"),
+      expr("user_id * 1024L + (es div 86400L)").as("v"))
+
+  /** Per-(type, day, register) maxima — each day's serialized sketch as
+    * relational rows (JVM splitmix64: mod-2^64 wrap, identical to the
+    * HllSketchAgg update path and the oracle's HUGEINT chain). The only
+    * corpus-sized shuffle in every consumer: a partial-aggregated groupBy
+    * down to (type, day, 64) grain. */
+  private def registerMaxima(vals: DataFrame): DataFrame = {
+    val spark = vals.sparkSession
     import spark.implicits._
-
-    val vals = events
-      .select(col("event_type"), col("user_id"),
-        TimeCols.ntzEpochSeconds(col("ts")).as("es"))
-      .select(col("event_type"), expr("es div 86400L").as("day"),
-        expr("user_id * 1024L + (es div 86400L)").as("v"))
-
-    // register stream (JVM splitmix64 — mod-2^64 wrap, identical to the
-    // HllSketchAgg update path and the oracle's HUGEINT chain)
-    val regs = vals.as[(String, Long, Long)]
+    vals.as[(String, Long, Long)]
       .map { case (t, day, v) =>
         val h = HllSketchAgg.splitmix64(v)
         val idx = (h >>> RestBits).toInt
@@ -57,6 +57,29 @@ object SketchMerge {
       }
       .toDF("event_type", "day", "idx", "rho")
       .groupBy("event_type", "day", "idx").agg(max("rho").as("rho"))
+  }
+
+  /** BigInt raw estimator over a (event_type, day, z2) sketch-grain table —
+    * exactly HllSketchAgg.eval's integer arithmetic. */
+  private def estimate(z2Tab: DataFrame, outCol: String): DataFrame = {
+    val spark = z2Tab.sparkSession
+    import spark.implicits._
+    z2Tab.as[(String, Long, java.math.BigDecimal)]
+      .map { case (t, day, z2d) =>
+        val z2 = BigInt(z2d.toBigInteger)
+        val num = BigInt(HllSketchAgg.AlphaNum) * M * M * (BigInt(1) << (RestBits + 1))
+        (t, day, (num / (BigInt(HllSketchAgg.AlphaDen) * z2)).toLong)
+      }
+      .toDF("event_type", "day", outCol)
+  }
+
+  /** (event_type, day, cum_distinct_est, cum_distinct_exact, err_bp) for each
+    * day the type had events: the HLL estimate over ALL events with day' <=
+    * day, computed by register merge, with the exact cumulative distinct as
+    * ride-along ground truth. Integer-exact end to end. */
+  def cumulativeDailyDistinct(events: DataFrame): DataFrame = {
+    val vals = dayVals(events)
+    val regs = registerMaxima(vals)
 
     // a register only ever increases: keep the first day each (type, idx)
     // reached each rho level, then difference the resulting step function
@@ -79,16 +102,13 @@ object SketchMerge {
       .agg(sum("dz2").as("dz2"))
     val wDay = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val approx = grid.join(perDay, Seq("event_type", "day"), "left")
-      .withColumn("dz2", coalesce(col("dz2"), lit(0).cast("decimal(38,0)")))
-      .withColumn("cum_dz2", sum("dz2").over(wDay))
-      .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
-      .map { case (t, day, _, cum) =>
-        val z2 = (BigInt(M) << (RestBits + 1)) + BigInt(cum.toBigInteger)
-        val num = BigInt(HllSketchAgg.AlphaNum) * M * M * (BigInt(1) << (RestBits + 1))
-        (t, day, (num / (BigInt(HllSketchAgg.AlphaDen) * z2)).toLong)
-      }
-      .toDF("event_type", "day", "cum_distinct_est")
+    val approx = estimate(
+      grid.join(perDay, Seq("event_type", "day"), "left")
+        .withColumn("dz2", coalesce(col("dz2"), lit(0).cast("decimal(38,0)")))
+        .select(col("event_type"), col("day"),
+          (sum("dz2").over(wDay) +
+            lit((BigInt(M) << (RestBits + 1)).toString).cast("decimal(38,0)")).as("z2")),
+      "cum_distinct_est")
 
     // exact ride-along: first day each distinct v appears, cumulative count
     val exact = vals.groupBy("event_type", "v").agg(min("day").as("day"))
@@ -101,5 +121,57 @@ object SketchMerge {
     approx.join(exactCum, Seq("event_type", "day"))
       .withColumn("err_bp",
         expr("abs(cum_distinct_est - cum_distinct_exact) * 10000L div cum_distinct_exact"))
+  }
+
+  /** (event_type, day, win_distinct_est, win_distinct_exact, err_bp): the HLL
+    * estimate over the TRAILING `windowDays`-day window ending at each active
+    * day — the rolling-retention / trending-distinct twin of
+    * [[cumulativeDailyDistinct]]. The merge here forgets: a register is the
+    * max over updates inside the window only, so it is a value-RANGE window
+    * max per (type, idx) over the day axis (gaps handled by rangeBetween's
+    * value semantics — an absent day contributes nothing, exactly as an
+    * empty sketch would).
+    *
+    * Scale shape: same single corpus-sized partial agg to (type, day, idx)
+    * grain; the range window, grid completion and estimator all run at
+    * O(types × days × 64) sketch grain. The exact ride-along is audit-only
+    * (windowed exact distinct cannot be differenced — it is not monotone):
+    * a broadcast of the tiny active-day grid fans each distinct (type, v,
+    * day) row to ≤ windowDays grid days — documented eval cost, not the
+    * production path. */
+  def slidingDailyDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val vals = dayVals(events)
+    val regs = registerMaxima(vals)
+    val grid = vals.select("event_type", "day").distinct()
+
+    // full (type, active day, 64) register grid; registers with no update in
+    // the trailing window stay 0 (the empty-sketch value)
+    val idxs = grid.sparkSession.range(M).select(col("id").cast("int").as("idx"))
+    val wWin = Window.partitionBy("event_type", "idx").orderBy("day")
+      .rangeBetween(1L - windowDays, 0L)
+    val winRegs = grid.crossJoin(broadcast(idxs))
+      .join(regs, Seq("event_type", "day", "idx"), "left")
+      .withColumn("rho", coalesce(col("rho"), lit(0)))
+      .withColumn("win_rho", max("rho").over(wWin))
+    val z2 = winRegs.groupBy("event_type", "day")
+      .agg(sum(expr(s"CAST(shiftleft(1L, ${RestBits + 1} - win_rho) AS DECIMAL(38,0))"))
+        .as("z2"))
+      .select("event_type", "day", "z2")
+    val approx = estimate(z2, "win_distinct_est")
+
+    // exact audit: distinct (type, v, day) fanned to the ≤ windowDays grid
+    // days it falls inside (grid is tiny → broadcast; no corpus-grain range
+    // explosion)
+    val exact = vals.distinct().as("x")
+      .join(broadcast(grid.as("g")),
+        col("x.event_type") === col("g.event_type") &&
+          col("x.day") <= col("g.day") &&
+          col("x.day") > col("g.day") - windowDays)
+      .groupBy(col("g.event_type").as("event_type"), col("g.day").as("day"))
+      .agg(count_distinct(col("x.v")).as("win_distinct_exact"))
+
+    approx.join(exact, Seq("event_type", "day"))
+      .withColumn("err_bp",
+        expr("abs(win_distinct_est - win_distinct_exact) * 10000L div win_distinct_exact"))
   }
 }

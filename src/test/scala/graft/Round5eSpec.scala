@@ -91,6 +91,20 @@ class SketchMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding-window merge is bounded by the cumulative merge, equal while history fits") {
+    val slid = SparkEntry.queries("hll_sliding")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(slid.keySet == cum.map(r => (r._1, r._2)).toSet)
+    val firstDay = cum.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    cum.foreach { case (t, day, cEst, cEx) =>
+      val (wEst, wEx) = slid((t, day))
+      // a trailing window's registers are a subset of the cumulative ones
+      assert(wEst <= cEst && wEx <= cEx, s"($t, $day)")
+      // ...and identical while the whole history fits inside the window
+      if (day - firstDay(t) < 7) assert(wEst == cEst && wEx == cEx, s"($t, $day)")
+    }
+  }
+
   test("the last day's merged sketch equals the whole-corpus hll_distinct sketch") {
     // register-wise max over per-day sketches == one sketch over all values:
     // the mergeability property the op exists to demonstrate, cross-checked

@@ -266,7 +266,7 @@ class TzInvarianceSpec extends AnyFunSuite {
       "hll_distinct", "stream_hll_distinct",
       // r5: cumulative daily distinct derives (day, v) from events.ts via
       // ntzEpochSeconds — the day axis must not move under a DST zone
-      "hll_cumulative",
+      "hll_cumulative", "hll_sliding",
       // r5: the CDX index renders WARC-Date through the same explicit-UTC
       // formatter; invariance pins its epoch arithmetic too
       "cdx_index",
