@@ -1787,6 +1787,18 @@ object SparkEntry {
       // RAG passage chunking: 64-word windows, stride 48 — pure map-side
       // explode, zero shuffle
       graft.textops.Chunker.chunk(tp(s, dir, "documents"))),
+    "cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking: rolling-window-hash boundaries (avg ~8
+      // tokens), ONE map stage — the shift-resistant dedup grain
+      graft.textops.Cdc.chunks(tp(s, dir, "documents"))
+        .toDF().orderBy("doc_id", "chunk_idx")),
+    "cdc_shift_dedup" -> ((s, dir) =>
+      // shift-resistance report over planted one-token-prefix twins: CDC
+      // chunks re-sync after the first boundary (high shared bp), the
+      // same-mean fixed stride shares ~nothing; narrow (id, hash) shuffles
+      graft.textops.Cdc.shiftReport(
+        graft.textops.Cdc.plantShifted(tp(s, dir, "documents")))
+        .orderBy("doc_id")),
     "bpe_train" -> ((s, dir) => {
       // tokenizer training: one corpus pass -> word-frequency vocab, then 8
       // vocabulary-grain merge rounds with deterministic tie-breaking
@@ -5395,6 +5407,69 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, n_bytes, CAST(o AS BIGINT) AS offset_start,
         |       CAST(o // 32768 AS BIGINT) AS shard FROM c""".stripMargin,
+    // cdc_chunks / cdc_shift_dedup: per-token FNV-1a (char-wise list_reduce,
+    // the doc_fingerprint precedent), window key = 3/5/7/11-weighted HUGEINT
+    // combine, boundary when key % 8 = 0, chunk hash = FNV of the rebuilt
+    // chunk string. Python-validated at both sfs (tools/cdc_check.py).
+    "cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+        |th AS (SELECT doc_id, ws, [list_reduce(list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in string_split(t,'')]), (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) for t in ws] AS hs FROM tk),
+        |bd AS (SELECT doc_id, ws, len(ws) AS n,
+        |         [i for i in range(4, len(ws))
+        |          if (hs[i-3]*3 + hs[i-2]*5 + hs[i-1]*7 + hs[i]*11) % 8 = 0] AS bs
+        |       FROM th),
+        |ck AS (SELECT doc_id, n, ws,
+        |         list_prepend(1, [b + 1 for b in bs]) AS ss,
+        |         list_append(bs, n) AS es
+        |       FROM bd),
+        |cr AS (SELECT doc_id, i - 1 AS cidx, ss[i] AS s, es[i] AS e,
+        |         array_to_string(ws[ss[i]:es[i]], ' ') AS cs
+        |       FROM ck, UNNEST(generate_series(1, len(ss))) t(i)),
+        |chash AS (SELECT doc_id, cidx, s, e, list_reduce(list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in string_split(cs,'')]), (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h FROM cr)
+        |SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx, CAST(s - 1 AS BIGINT) AS start_tok,
+        |       CAST(e - s + 1 AS BIGINT) AS n_tokens,
+        |       CAST(CASE WHEN h >= (1::HUGEINT << 63) THEN h - (1::HUGEINT << 64) ELSE h END AS BIGINT) AS chunk_hash
+        |FROM chash ORDER BY doc_id, chunk_idx""".stripMargin,
+    "cdc_shift_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'banner' || (doc_id % 5) || ' ' || text FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+        |th AS (SELECT doc_id, ws, [list_reduce(list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in string_split(t,'')]), (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) for t in ws] AS hs FROM tk),
+        |bd AS (SELECT doc_id, ws, len(ws) AS n,
+        |         [i for i in range(4, len(ws))
+        |          if (hs[i-3]*3 + hs[i-2]*5 + hs[i-1]*7 + hs[i]*11) % 8 = 0] AS bs
+        |       FROM th),
+        |ck AS (SELECT doc_id, n, ws,
+        |         list_prepend(1, [b + 1 for b in bs]) AS ss,
+        |         list_append(bs, n) AS es
+        |       FROM bd),
+        |cr AS (SELECT doc_id, i - 1 AS cidx, ss[i] AS s, es[i] AS e,
+        |         array_to_string(ws[ss[i]:es[i]], ' ') AS cs
+        |       FROM ck, UNNEST(generate_series(1, len(ss))) t(i)),
+        |chash AS (SELECT doc_id, cidx, s, e, list_reduce(list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in string_split(cs,'')]), (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h FROM cr),
+        |fx AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in string_split(array_to_string(ws[(i*8+1):least((i+1)*8, len(ws))], ' '),'')]), (h,b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
+        |       FROM tk, UNNEST(generate_series(0, (len(ws) - 1) // 8)) t(i)),
+        |cs AS (SELECT DISTINCT doc_id % 1000000 AS base_id,
+        |              CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END AS it, h FROM chash),
+        |ca AS (SELECT base_id, h, max(it) AS mt, min(it) AS ms FROM cs GROUP BY base_id, h),
+        |cdc AS (SELECT base_id, CAST(sum(mt) AS BIGINT) AS n_cdc,
+        |               CAST(sum(CASE WHEN mt=1 AND ms=0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_cdc
+        |        FROM ca GROUP BY base_id),
+        |fs AS (SELECT DISTINCT doc_id % 1000000 AS base_id,
+        |              CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END AS it, h FROM fx),
+        |fa AS (SELECT base_id, h, max(it) AS mt, min(it) AS ms FROM fs GROUP BY base_id, h),
+        |fxd AS (SELECT base_id, CAST(sum(mt) AS BIGINT) AS n_fixed,
+        |               CAST(sum(CASE WHEN mt=1 AND ms=0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fixed
+        |        FROM fa GROUP BY base_id)
+        |SELECT cdc.base_id AS doc_id, n_cdc, shared_cdc,
+        |       CAST(shared_cdc * 10000 // n_cdc AS BIGINT) AS cdc_share_bp,
+        |       n_fixed, shared_fixed,
+        |       CAST(shared_fixed * 10000 // n_fixed AS BIGINT) AS fixed_share_bp
+        |FROM cdc JOIN fxd ON cdc.base_id = fxd.base_id
+        |ORDER BY doc_id""".stripMargin,
     // chunk_passages: inclusive 1-based list slice recomputes every window
     "chunk_passages" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
