@@ -562,6 +562,19 @@ object SparkEntry {
       // surprise per doc (broadcast LM, two map-side passes)
       graft.textops.Curate.lmQuality(tp(s, dir, "documents"))
     }),
+    "blocklist_filter" -> ((s, dir) =>
+      // C4 badword gate: exact-token blocklist membership in one codegen'd
+      // filter() lambda — map-side, zero shuffle; any hit drops the doc,
+      // occurrence count kept for ablations
+      graft.textops.Curate.blocklistFilter(tp(s, dir, "documents"))
+        .orderBy("doc_id")),
+    "ccnet_buckets" -> ((s, dir) => {
+      // CCNet §4.4 head/middle/tail split: per-LANGUAGE score terciles via a
+      // (lang, score) histogram + cumulative window over that tiny table,
+      // cutoffs broadcast back onto the doc stream — no doc-grain sort, the
+      // corpus is LM-scored once (exchange reuse)
+      graft.textops.Curate.ccnetBuckets(tp(s, dir, "documents")).orderBy("doc_id")
+    }),
     "entropy_quality" -> ((s, dir) =>
       // low-entropy junk gate: character-entropy in the integer bit-length
       // surrogate (map-side explode, char-grain partial agg, doc rollup)
@@ -591,6 +604,18 @@ object SparkEntry {
       // min/max, unlike any single-column sort
       graft.layout.ZOrder.layoutAudit(tp(s, dir, "documents"))
         .orderBy("file_id")),
+    "bucketed_join" -> ((s, dir) =>
+      // co-located join via bucketed storage: both doc-grain sides written
+      // bucketBy(8, doc_id)+sortBy, joined back with ZERO shuffle exchanges
+      // (LayoutSpec plan pin) — the repeated-join layout for a corpus table
+      graft.layout.TableLayout.bucketedJoin(s, tp(s, dir, "documents"))
+        .orderBy("doc_id")),
+    "partition_prune" -> ((s, dir) =>
+      // scan-time partition pruning: corpus written partitionBy(lang), the
+      // lang predicate prunes to the matching directories before any row is
+      // read (PartitionFilters pin in LayoutSpec)
+      graft.layout.TableLayout.partitionPrunedScan(s, tp(s, dir, "documents"), "en")
+        .orderBy("doc_id")),
     "range_join" -> ((s, dir) => {
       // bucketized interval-containment join: quantize the time axis,
       // explode intervals to their bucket span, equi-join points on the
@@ -1326,6 +1351,15 @@ object SparkEntry {
       // 20-grams shared with ANY other document; gram text never shuffles
       // (8-byte xxhash64 keys), interval union via the sorted-gap identity
       graft.textops.DupSpans.dupSpans(
+        graft.textops.DupSpans.plantDisclaimer(tp(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+    "dup_span_removal" -> ((s, dir) => {
+      // the EXCISION stage of exact-substring dedup (Lee et al. ExactSubstr
+      // policy: every occurrence of a cross-doc duplicate 20-gram is cut,
+      // merged intervals excised, survivors re-joined) — dup_spans measures,
+      // this rewrites; rebuild is one aggregate() lambda per doc, no UDF
+      graft.textops.DupSpans.dupSpanRemoval(
         graft.textops.DupSpans.plantDisclaimer(tp(s, dir, "documents")))
         .orderBy("doc_id")
     }),
@@ -3644,6 +3678,45 @@ object SparkEntry {
         |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_words,
         |       CAST(CASE WHEN b.total_words > 0 THEN (coalesce(cov.covered,0) * 10000) // b.total_words ELSE 0 END AS BIGINT) AS dup_frac_bp
         |FROM b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id""".stripMargin),
+    // dup_span_removal: full recompute by gram TEXT; interval merge via the
+    // same sorted-island window identity the engine uses, then the clean
+    // text is rebuilt from the gap slices (string_agg ORDER BY gap start).
+    // Validated against an independent pure-Python excision recompute
+    // (tools pattern; 198 docs touched / 6937 words removed at sf0.01).
+    "dup_span_removal" ->
+      ("""WITH d AS (SELECT doc_id,
+        |             CASE WHEN doc_id%3=0 THEN text || ' """.stripMargin +
+        graft.textops.DupSpans.Disclaimer +
+        """' ELSE text END AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t,' ') AS ws FROM d),
+        |b AS (SELECT doc_id, len(ws) AS total_words, ws FROM w),
+        |g0 AS (SELECT doc_id, total_words,
+        |         CASE WHEN total_words >= 20
+        |              THEN [{'pos': i - 1, 'gram': array_to_string(ws[i:i+19],' ')} for i in range(1, total_words - 18)]
+        |              ELSE [] END AS gs FROM b),
+        |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+        |df AS (SELECT gram FROM (SELECT gram, doc_id FROM g GROUP BY gram, doc_id) GROUP BY gram HAVING count(*) >= 2),
+        |ds AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gram)),
+        |m0 AS (SELECT doc_id, pos,
+        |         CASE WHEN pos > coalesce(max(pos+20) OVER (PARTITION BY doc_id ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk FROM ds),
+        |m1 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m0),
+        |iv AS (SELECT doc_id, isl, min(pos) AS s, max(pos)+20 AS e FROM m1 GROUP BY doc_id, isl),
+        |rem AS (SELECT doc_id, sum(e-s) AS removed FROM iv GROUP BY doc_id),
+        |lastg AS (SELECT iv.doc_id, max(iv.e) AS gs, any_value(b.total_words) AS ge
+        |          FROM iv JOIN b ON iv.doc_id=b.doc_id GROUP BY iv.doc_id),
+        |gaps AS (SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs, s AS ge FROM iv
+        |         UNION ALL SELECT doc_id, gs, ge FROM lastg),
+        |pieces AS (SELECT gaps.doc_id, gaps.gs, array_to_string(b.ws[gaps.gs+1:gaps.ge], ' ') AS piece
+        |           FROM gaps JOIN b ON gaps.doc_id=b.doc_id WHERE gaps.ge > gaps.gs),
+        |clean AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY gs) AS clean_text FROM pieces GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       CAST(b.total_words AS BIGINT) AS total_words,
+        |       CAST(coalesce(rem.removed,0) AS BIGINT) AS removed_words,
+        |       CAST(b.total_words - coalesce(rem.removed,0) AS BIGINT) AS kept_words,
+        |       CASE WHEN rem.removed IS NULL THEN array_to_string(b.ws, ' ')
+        |            ELSE coalesce(clean.clean_text, '') END AS clean_text
+        |FROM b LEFT JOIN rem USING (doc_id) LEFT JOIN clean USING (doc_id) ORDER BY b.doc_id""".stripMargin),
     // html_metadata: every field is generator arithmetic (title/og from
     // doc_id, description = first 6 words, canonical from doc_id%7, lang
     // passed through) — the extraction must recover them from the parsed DOM
@@ -4142,6 +4215,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris, CAST(sum(s) AS BIGINT) AS surprise_total,
         |       CAST(sum(s)//count(*) AS BIGINT) AS surprise_avg
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // blocklist_filter: same token-membership lambda in DuckDB; the fixture
+    // list ('dup' = the 5%-of-docs rare word, 'crash' = a zero-hit entry)
+    // keeps the gate non-degenerate. Python-validated 0/500 before wiring.
+    "blocklist_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(ws, w -> list_contains(['dup','crash'], w))) AS BIGINT) AS n_blocked,
+        |  CAST(CASE WHEN len(list_filter(ws, w -> list_contains(['dup','crash'], w)))=0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // ccnet_buckets: the lm_quality CTE chain + per-lang cumulative-count
+    // tercile cut at (lang, score) grain; tie rule = whole cell tips into
+    // the earliest third whose boundary its cumulative prefix fits
+    // (cum*3 <= total / cum*3 <= 2*total). Python-validated 0/500
+    // (165 head / 166 middle / 169 tail at sf0.01) before wiring.
+    "ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |tri AS (SELECT doc_id, unnest([substring(lt, i, 3) for i in range(1, length(lt)-1)]) AS tri
+        |        FROM t WHERE length(lt) >= 3),
+        |lm AS (SELECT tri, CAST(count(*) AS BIGINT) AS tc FROM tri WHERE doc_id%10<3 GROUP BY tri),
+        |bg AS (SELECT substring(tri,1,2) AS bi, sum(tc) AS bt FROM lm GROUP BY bi),
+        |sc AS (SELECT d.doc_id,
+        |              CASE WHEN lm.tc IS NULL THEN 4096000
+        |                   ELSE least((bg.bt*4096)//lm.tc, 4096000) END AS s
+        |       FROM tri d LEFT JOIN lm ON d.tri = lm.tri
+        |                  LEFT JOIN bg ON substring(d.tri,1,2) = bg.bi),
+        |lq AS (SELECT doc_id, sum(s)//count(*) AS score FROM sc GROUP BY doc_id),
+        |sl AS (SELECT d.doc_id, d.lang, lq.score FROM documents d JOIN lq USING (doc_id)),
+        |hist AS (SELECT lang, score, count(*) AS cnt FROM sl GROUP BY lang, score),
+        |cut AS (SELECT lang, score,
+        |         CASE WHEN sum(cnt) OVER (PARTITION BY lang ORDER BY score)*3 <= sum(cnt) OVER (PARTITION BY lang) THEN 'head'
+        |              WHEN sum(cnt) OVER (PARTITION BY lang ORDER BY score)*3 <= sum(cnt) OVER (PARTITION BY lang)*2 THEN 'middle'
+        |              ELSE 'tail' END AS bucket FROM hist)
+        |SELECT sl.doc_id, sl.lang, CAST(sl.score AS BIGINT) AS score, cut.bucket
+        |FROM sl JOIN cut ON sl.lang=cut.lang AND sl.score=cut.score ORDER BY sl.doc_id""".stripMargin,
     // entropy_quality: the same bit-length log surrogate as dsir_weights,
     // over per-doc character counts. Python-validated 0/500 before wiring.
     "entropy_quality" ->
@@ -4215,6 +4322,20 @@ object SparkEntry {
         |       CAST(pf - mn AS BIGINT) AS s,
         |       CAST(CASE WHEN pf - mn >= thr + 2 THEN 1 ELSE 0 END AS BIGINT) AS burst
         |FROM m ORDER BY event_type, bucket""".stripMargin,
+    // bucketed_join: layout is invisible to the RESULT (that's the point —
+    // bucketing changes bytes moved, not rows produced); oracle = the plain
+    // doc-grain join arithmetic
+    "bucketed_join" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // partition_prune: pruning changes files LISTED, not rows produced;
+    // oracle = the same lang predicate applied row-wise
+    "partition_prune" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     // zorder_layout: Morton interleave + 16-file audit; the 8×8-tile
     // locality invariant is asserted by the checker at both sfs
     // (tools/round5c_check.py)

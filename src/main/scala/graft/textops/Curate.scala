@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs before
@@ -402,6 +403,67 @@ object Curate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tris"), sum("s").as("surprise_total"))
       .withColumn("surprise_avg", expr("surprise_total div n_tris"))
+  }
+
+  /** C4's blocklist document gate (Raffel et al. §2.2: drop any page that
+    * carries a word from the static badword list). Word-BOUNDARY semantics —
+    * exact token membership, not substring match, so "scrap" never fires on
+    * "scrape". The list is a compile-time literal array inside one codegen'd
+    * `filter()` lambda: map-side, zero shuffle, no broadcast variable even —
+    * at 10^12 docs this gate costs exactly one pass over the token stream.
+    * `n_blocked` (occurrence count) is reported so ablations can distinguish
+    * one stray hit from saturation; `keep` is the C4 any-hit-drops rule.
+    */
+  def blocklistFilter(docs: DataFrame,
+                      blocklist: Seq[String] = Seq("dup", "crash")): DataFrame = {
+    val arr = blocklist.map(w => s"'${w}'").mkString("array(", ", ", ")")
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_blocked",
+        expr(s"size(filter(ws, w -> array_contains($arr, w)))").cast("long"))
+      .withColumn("keep", (col("n_blocked") === 0L).cast("long"))
+      .select("doc_id", "n_words", "n_blocked", "keep")
+  }
+
+  /** CCNet's head/middle/tail corpus split: per LANGUAGE, bucket every
+    * document by where its LM score lands in that language's score
+    * distribution (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data" §4.4 — the tercile split
+    * downstream consumers sample from). Scale shape: the distribution is
+    * summarized as a (lang, score) HISTOGRAM — integer scores collapse
+    * 10^12 docs into a per-lang table of distinct score values — the
+    * cumulative window runs over that tiny table, and the resulting
+    * cutoff map broadcasts back onto the doc stream. No doc-grain sort,
+    * no per-lang repartition of the corpus.
+    *
+    * Tie rule (deterministic, oracle-recomputable): all docs sharing a
+    * (lang, score) cell share a bucket; a cell is `head` iff the whole
+    * cumulative prefix through it fits in the first third
+    * (`cum*3 <= total`), `middle` iff it fits in the first two thirds,
+    * else `tail`.
+    *
+    * The scored stream feeds BOTH the histogram and the final join from
+    * the same doc-grain aggregation exchange, so the corpus is scored
+    * once (exchange reuse — the tfidf df-from-tf pattern).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmQuality(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("surprise_avg").as("score"))
+    val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLang = Window.partitionBy("lang")
+    val cut = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wLang))
+      .withColumn("bucket",
+        when(col("cum") * 3 <= col("total"), lit("head"))
+          .when(col("cum") * 3 <= col("total") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select("lang", "score", "bucket")
+    scored.join(broadcast(cut), Seq("lang", "score"))
+      .select("doc_id", "lang", "score", "bucket")
   }
 
   /** Character-entropy quality gate (the CCNet/RefinedWeb low-entropy

@@ -47,13 +47,15 @@ object DupSpans {
       when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + Disclaimer)))
         .otherwise(col("text")).as("text"))
 
-  /** Per-doc duplicate-span statistics: `(doc_id, total_words, n_grams,
-    * n_dup_grams, covered_words, dup_frac_bp)`. */
-  def dupSpans(docs: DataFrame, n: Int = 20): DataFrame = {
-    require(n >= 2, "n-gram order must be >= 2")
-    val base = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("total_words", size(col("ws")).cast("long"))
+  /** `(doc_id, ws, total_words)` word-array lift shared by both span ops. */
+  private def wordBase(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .withColumn("total_words", size(col("ws")).cast("long"))
+
+  /** Start positions of word n-grams shared with >= 1 OTHER document:
+    * `(doc_id, pos)` — steps 1-3 of the class doc, shared by the
+    * statistics ([[dupSpans]]) and excision ([[dupSpanRemoval]]) consumers. */
+  private def dupStartPositions(base: DataFrame, n: Int): DataFrame = {
     val pos = base.select(col("doc_id"),
         explode(expr(
           s"""CASE WHEN size(ws) >= $n
@@ -63,7 +65,15 @@ object DupSpans {
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
     val dupKeys = pos.select("h", "doc_id").distinct()
       .groupBy("h").count().where(col("count") >= 2).select("h")
-    val dupStarts = pos.join(dupKeys, Seq("h"), "left_semi")
+    pos.join(dupKeys, Seq("h"), "left_semi").select("doc_id", "pos")
+  }
+
+  /** Per-doc duplicate-span statistics: `(doc_id, total_words, n_grams,
+    * n_dup_grams, covered_words, dup_frac_bp)`. */
+  def dupSpans(docs: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 2, "n-gram order must be >= 2")
+    val base = wordBase(docs)
+    val dupStarts = dupStartPositions(base, n)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val cov = dupStarts
       .withColumn("gap", coalesce(lead("pos", 1).over(w) - col("pos"), lit(n)))
@@ -78,5 +88,54 @@ object DupSpans {
       .withColumn("dup_frac_bp",
         expr("CASE WHEN total_words > 0 THEN (covered_words * 10000) div total_words ELSE 0L END"))
       .select("doc_id", "total_words", "n_grams", "n_dup_grams", "covered_words", "dup_frac_bp")
+  }
+
+  /** The EXCISION stage of exact-substring dedup (Lee et al. §4 "ExactSubstr"
+    * policy: remove EVERY occurrence of a cross-document duplicate substring,
+    * in every document that carries one — the symmetric policy the paper
+    * trains on). [[dupSpans]] measures; this rewrites the corpus:
+    * `(doc_id, total_words, removed_words, kept_words, clean_text)` where
+    * `clean_text` is the original word stream with all merged duplicate
+    * intervals cut out and the survivors re-joined on single spaces.
+    *
+    * Interval merge stays relational (the sorted-island window trick:
+    * a start opens a new island iff it clears the running max end), and the
+    * per-doc rebuild is ONE `aggregate()` lambda over the doc's own merged
+    * interval list — O(words) per doc, no per-interval join back, no UDF.
+    * The only data wider than 12-byte (doc,pos) pairs that crosses a shuffle
+    * is the final doc-grain join of interval LISTS (couple of ints per
+    * interval) against the word arrays — at 10^12 docs that join is
+    * hash-partitioned on doc_id and both sides are pre-bucketable on it.
+    */
+  def dupSpanRemoval(docs: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 2, "n-gram order must be >= 2")
+    val base = wordBase(docs)
+    val dupStarts = dupStartPositions(base, n)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    // island id = running count of starts that clear every earlier end
+    val islands = dupStarts
+      .withColumn("brk",
+        (col("pos") > coalesce(max(col("pos") + n).over(wPrev), lit(-1))).cast("int"))
+      .withColumn("isl", sum("brk").over(w))
+    val iv = islands.groupBy("doc_id", "isl")
+      .agg(min("pos").as("s"), (max(col("pos")) + n).as("e"))
+    val perDoc = iv.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s")).cast("long").as("removed_words"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("removed_words", coalesce(col("removed_words"), lit(0L)))
+      .withColumn("kept_words", col("total_words") - col("removed_words"))
+      .withColumn("clean_text", expr(
+        """CASE WHEN ivs IS NULL THEN array_join(ws, ' ')
+          |ELSE aggregate(ivs,
+          |       struct(0 AS prev, CAST(array() AS array<array<string>>) AS parts),
+          |       (acc, iv) -> struct(iv.e AS prev,
+          |                           concat(acc.parts, array(slice(ws, acc.prev + 1, iv.s - acc.prev))) AS parts),
+          |       acc -> array_join(
+          |                flatten(concat(acc.parts,
+          |                               array(slice(ws, acc.prev + 1, size(ws) - acc.prev)))), ' '))
+          |END""".stripMargin))
+      .select("doc_id", "total_words", "removed_words", "kept_words", "clean_text")
   }
 }

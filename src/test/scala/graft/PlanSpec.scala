@@ -679,4 +679,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one documents scan:\n$fin")
     assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bucketed_join: matching-bucket SMJ reads both sides with zero shuffle exchanges") {
+    val q = SparkEntry.queries("bucketed_join")(spark, sf)
+    q.queryExecution.toRdd.count() // materialize (also runs the bucketed writes)
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("SortMergeJoin"), s"expected the merge-hinted SMJ:\n$fin")
+    // the ONLY exchange allowed is none at all on the join path: bucket
+    // metadata satisfies the join's distribution requirement on both sides
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"bucketed join must not re-shuffle either side:\n$fin")
+    assert(fin.contains("SelectedBucketsCount"),
+      s"expected bucketed scans on both sides:\n$fin")
+  }
+
+  test("partition_prune: the lang predicate prunes partitions at the scan, not rows") {
+    val q = SparkEntry.queries("partition_prune")(spark, sf)
+    q.queryExecution.toRdd.count() // materialize (also runs the partitioned write)
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("PartitionFilters") && fin.contains("lang"),
+      s"expected the lang predicate in PartitionFilters:\n$fin")
+    // the predicate must NOT degrade to a row-level post-scan Filter on lang
+    val scanSection = fin.substring(fin.indexOf("PartitionFilters"))
+    assert(scanSection.contains("= en") || scanSection.contains("equals"),
+      s"expected lang = en inside the partition filter:\n$fin")
+  }
 }

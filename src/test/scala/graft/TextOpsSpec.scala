@@ -1139,6 +1139,146 @@ class DupSpansSpec extends AnyFunSuite {
     // the fixture planted real cross-doc mass
     assert(got.values.count(_._2 > 0) > got.size / 4)
   }
+
+  private def runRemoval(texts: Seq[String], n: Int) = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    DupSpans.dupSpanRemoval(df, n).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+  }
+
+  test("removal: merged overlapping starts excise one contiguous span, survivors rejoin") {
+    val shared = (1 to 6).map(i => s"w$i").mkString(" ")
+    val a = s"alpha beta $shared gamma" // starts 2,3,4 merge to [2,8)
+    val b = s"$shared delta epsilon"    // starts 0,1,2 merge to [0,6)
+    val c = "nothing here matches anything else at all"
+    val got = runRemoval(Seq(a, b, c), 4)
+    assert(got(0L) == ((9L, 6L, 3L, "alpha beta gamma")))
+    assert(got(1L) == ((8L, 6L, 2L, "delta epsilon")))
+    assert(got(2L) == ((7L, 0L, 7L, c)))
+  }
+
+  test("removal: two disjoint islands leave the gap text intact") {
+    val a = "A B s1 s2 s3 s4 C D t1 t2 t3 t4 E"
+    val b = "s1 s2 s3 s4 x x x x x t1 t2 t3 t4"
+    val got = runRemoval(Seq(a, b), 4)
+    assert(got(0L) == ((13L, 8L, 5L, "A B C D E")))
+    assert(got(1L) == ((13L, 8L, 5L, "x x x x x")))
+  }
+
+  test("removal: identical full docs are excised to empty strings on both sides") {
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = runRemoval(Seq(t, t), 4)
+    assert(got(0L) == ((10L, 10L, 0L, "")))
+    assert(got(1L) == got(0L))
+  }
+
+  test("removal agrees with dupSpans coverage and a driver-side excision recompute on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val planted = DupSpans.plantDisclaimer(docs)
+    val spans = DupSpans.dupSpans(planted, 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap // covered_words
+    val got = DupSpans.dupSpanRemoval(planted, 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.nonEmpty && got.exists(_._2._2 > 0))
+    for ((id, (tw, removed, kept, _)) <- got) {
+      assert(removed == spans(id), s"doc $id: removal mass != span coverage")
+      assert(kept + removed == tw, s"doc $id: kept+removed != total")
+    }
+    // independent excision recompute
+    val n = 20
+    val local = planted.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    val wss = local.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 to ws.length - n).foreach { i =>
+        gramDocs.getOrElseUpdate(ws.slice(i, i + n).mkString(" "), scala.collection.mutable.Set.empty) += id }
+      id -> ws
+    }.toMap
+    for ((id, ws) <- wss) {
+      val starts = (0 to ws.length - n).filter(i => gramDocs(ws.slice(i, i + n).mkString(" ")).size >= 2)
+      val ivs = starts.foldLeft(List.empty[Array[Int]]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head(1) => acc.head(1) = math.max(acc.head(1), p + n); acc
+        case (acc, p) => Array(p, p + n) :: acc
+      }.reverse
+      val kept = new StringBuilder
+      var prev = 0
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (Array(s, e) <- ivs) { parts ++= ws.slice(prev, s); prev = e }
+      parts ++= ws.slice(prev, ws.length)
+      assert(got(id)._4 == parts.mkString(" "), s"doc $id clean text")
+    }
+  }
+}
+
+class BlocklistSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("exact-token semantics: substrings never fire, any hit drops, counts are occurrences") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "clean words only here"),
+      (1L, "this doc mentions dup once"),
+      (2L, "dup appears twice dup here"),
+      (3L, "duplicate is NOT the blocked token"), // substring must not fire
+      (4L, "crash")
+    ).toDF("doc_id", "text")
+    val got = graft.textops.Curate.blocklistFilter(df, Seq("dup", "crash")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((4L, 0L, 1L)))
+    assert(got(1L) == ((5L, 1L, 0L)))
+    assert(got(2L) == ((5L, 2L, 0L)))
+    assert(got(3L) == ((6L, 0L, 1L)))
+    assert(got(4L) == ((1L, 1L, 0L)))
+  }
+
+  test("gate is one map stage — no Exchange in the plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.textops.Curate.blocklistFilter(docs)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"blocklist gate must not shuffle:\n$plan")
+  }
+}
+
+class CcnetBucketsSpec extends AnyFunSuite {
+  import SparkSuite._
+  import org.apache.spark.sql.functions._
+
+  test("buckets equal a driver-side recompute from lmQuality scores under the cum*3 tie rule") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scores = graft.textops.Curate.lmQuality(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("surprise_avg")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = scores.groupBy(_._2)
+    val expected = byLang.flatMap { case (lang, rows) =>
+      val hist = rows.groupBy(_._3).view.mapValues(_.length).toSeq.sortBy(_._1)
+      val total = rows.length.toLong
+      var cum = 0L
+      val bucketOf = hist.map { case (s, c) =>
+        cum += c
+        s -> (if (cum * 3 <= total) "head" else if (cum * 3 <= 2 * total) "middle" else "tail")
+      }.toMap
+      rows.map { case (id, _, s) => id -> ((lang, s, bucketOf(s))) }.toSeq
+    }
+    val got = graft.textops.Curate.ccnetBuckets(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.size == scores.length)
+    for ((id, exp) <- expected) assert(got(id) == exp, s"doc $id")
+    // every language with >= 3 docs uses >= 2 buckets (the cut is real)
+    for ((lang, rows) <- byLang if rows.length >= 3;
+         distinctScores = rows.map(_._3).distinct if distinctScores.length >= 3)
+      assert(rows.map(r => got(r._1)._3).distinct.length >= 2, s"lang $lang degenerate")
+  }
+
+  test("corpus is LM-scored once: the histogram branch reuses the scored exchange") {
+    val q = SparkEntry.queries("ccnet_buckets")(spark, sf)
+    q.queryExecution.toRdd.count() // materialize so AQE finalizes stage reuse
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"),
+      s"expected the cutoff branch to reuse the scored-doc exchange:\n$fin")
+  }
 }
 
 class DedupNormalizedSpec extends AnyFunSuite {
