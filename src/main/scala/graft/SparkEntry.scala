@@ -916,6 +916,15 @@ object SparkEntry {
       graft.textops.Dedup.minhashPairs(
         graft.textops.Dedup.planted(tp(s, dir, "documents")))
     }),
+    "oph_minhash" -> ((s, dir) => {
+      // one-permutation-hashing twin of minhash_neardup: same planted corpus,
+      // same rational threshold, same exact-pairs oracle — candidates come
+      // from ONE mixed hash per shingle (64x cheaper signatures map-side)
+      // densified per Shrivastava & Li; completeness on this fixture is
+      // verified in tools/oph_oracle_check.py (600/600 exact pairs caught)
+      graft.textops.Dedup.ophPairs(
+        graft.textops.Dedup.planted(tp(s, dir, "documents")))
+    }),
     "simhash_neardup" -> ((s, dir) => {
       // maxHamming = 3 is the guaranteed-recall regime: Manku 3-of-6-block
       // keys (TextHash.simHashKeys) make any pair within hamming distance 3
@@ -1152,6 +1161,23 @@ object SparkEntry {
       graft.webtext.WebText.tableCells(
           graft.webtext.WebText.tablePages(tp(s, dir, "documents")).toDF()).toDF()
         .orderBy("url", "table_idx", "row_idx", "col_idx")),
+    "hreflang_clusters" -> ((s, dir) => {
+      // translation-family mining: hreflang alternate links -> family rows
+      // (cluster = min href, x-default routing hints and malformed links
+      // excluded); family key computed inside the per-page flatMap, shuffles
+      // touch only family-grain rows
+      graft.webtext.Hreflang.clusters(
+        graft.webtext.WebText.hreflangPages(tp(s, dir, "documents")).toDF())
+    }),
+    "bitext_mine" -> ((s, dir) => {
+      // parallel-corpus mining: sentence-segment both sides of a translation
+      // family, align on (doc_id, sent_idx), gate on the integer Gale-Church
+      // length-ratio prior 13/10 (truncated pseudo-translations must fail)
+      val docs = tp(s, dir, "documents")
+      graft.textops.Bitext.alignByIndex(
+        graft.textops.Bitext.segmentWords(docs),
+        graft.textops.Bitext.pseudoTranslated(docs))
+    }),
     "link_targets_top" -> ((s, dir) => {
       // cross-corpus target popularity (the frontier/blocklist rollup over
       // the exploded link table): partial-agg on href, then top-k — plans as
@@ -2769,6 +2795,26 @@ object SparkEntry {
         |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
         |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
         |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
+    // Same exact all-pairs ground truth as minhash_neardup: the OPH candidate
+    // generator is complete on this fixture (600/600 exact pairs share a band
+    // key — verified numerically in tools/oph_oracle_check.py), so after the
+    // exact-Jaccard verify the output equals the all-pairs answer.
+    "oph_minhash" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+        |d AS (SELECT doc_id, string_split(text,' ') AS w FROM planted),
+        |sh AS (SELECT doc_id,
+        |              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                   ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
+        |       FROM d),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+        |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
+        |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
+        |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
     // Exact char-3-gram Jaccard over the planted corpus. The Spark side
     // reranks MinHash-LSH candidates; at >= 0.8 similarity the 64-perm /
     // 16-band LSH recall is complete on this corpus, so the all-pairs oracle
@@ -3236,6 +3282,45 @@ object SparkEntry {
         |       CAST(row_idx AS BIGINT) AS row_idx, CAST(col_idx AS BIGINT) AS col_idx,
         |       is_header, cell
         |FROM allc ORDER BY url, table_idx, row_idx, col_idx""".stripMargin,
+    // hreflang_clusters: regenerate the translation families from doc_id
+    // arithmetic (HtmlGen.pageWithHreflang plants 1+doc_id%4 language
+    // variants; x-default and the malformed pt link never reach the output,
+    // so the oracle simply doesn't generate them). Validated against an
+    // independent Python recompute in tools/multilingual_oracle_check.py.
+    "hreflang_clusters" ->
+      """WITH fam AS (
+        |  SELECT doc_id, (['en','de','fr','es'])[1:(1 + doc_id % 4)] AS langs FROM documents),
+        |alt AS (
+        |  SELECT doc_id, unnest(langs) AS l, len(langs)::BIGINT AS n_langs FROM fam),
+        |rows_ AS (
+        |  SELECT doc_id, l AS hreflang,
+        |         'https://site'||(doc_id%7)||'.example.com/'||l||'/doc'||doc_id||'.html' AS href,
+        |         n_langs
+        |  FROM alt)
+        |SELECT min(href) OVER (PARTITION BY doc_id) AS cluster, hreflang, href, n_langs
+        |FROM rows_""".stripMargin,
+    // bitext_mine: replay the 12-word segmentation, the per-sentence
+    // reversal/truncation fixture, and the integer 13/10 ratio gate.
+    // coalesce() guards DuckDB's empty-list array_to_string -> NULL quirk
+    // (CLAUDE.md); validated in tools/multilingual_oracle_check.py.
+    "bitext_mine" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |seg AS (
+        |  SELECT doc_id, (s//12)::BIGINT AS sent_idx,
+        |         coalesce(array_to_string(w[(s+1)::INT:(s+12)::INT], ' '), '') AS sent
+        |  FROM w CROSS JOIN unnest(range(0, len(w), 12)) AS t(s)),
+        |tgt AS (
+        |  SELECT doc_id, sent_idx,
+        |         CASE WHEN sent_idx % 3 = 2
+        |              THEN coalesce(array_to_string(list_reverse(string_split(sent,' '))[1:4], ' '), '')
+        |              ELSE coalesce(array_to_string(list_reverse(string_split(sent,' ')), ' '), '') END AS sent
+        |  FROM seg)
+        |SELECT s.doc_id, s.sent_idx, s.sent AS src_sent, t.sent AS tgt_sent,
+        |       CAST(length(s.sent) AS BIGINT) AS src_chars,
+        |       CAST(length(t.sent) AS BIGINT) AS tgt_chars,
+        |       CAST(CASE WHEN greatest(length(s.sent), length(t.sent)) * 10
+        |                      <= least(length(s.sent), length(t.sent)) * 13 THEN 1 ELSE 0 END AS BIGINT) AS pair_ok
+        |FROM seg s JOIN tgt t USING (doc_id, sent_idx)""".stripMargin,
     "link_targets_top" -> LinkRowsSql("""SELECT href, CAST(count(*) AS BIGINT) AS n_docs
         |FROM rows GROUP BY href
         |ORDER BY n_docs DESC, href LIMIT 20""".stripMargin),

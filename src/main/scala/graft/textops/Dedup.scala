@@ -159,6 +159,43 @@ object Dedup {
     expandPairs(repPairs, members, withinCard)
   }
 
+  /** OPH band-key LSH candidate pairs (a < b), distinct — identical join
+    * shape to [[bandCandidates]] but signatures come from ONE mixed hash per
+    * shingle ([[TextHash.ophSignature]]) instead of 64 permutations: the
+    * map-side signature cost drops 64x, which at 100 TB is the dominant
+    * MinHash CPU term (banding/join cost is unchanged: 16 keys/doc either
+    * way). Run on REPRESENTATIVES for the same mega-group reason. */
+  private[graft] def ophBandCandidates(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val sig = TextHash.ophSignature(TextHash.wordShingles(t))
+        TextHash.ophBandKeys(sig).map(b => (id, b))
+      })
+      .toDF("doc_id", "band")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** One-permutation-hashing near-duplicate pairs: [[minhashPairs]] with the
+    * candidate generator swapped for [[ophBandCandidates]]. Same contract —
+    * (a, b, inter, un) with a < b, exact integer Jaccard, rational threshold
+    * `inter*thrDen >= un*thrNum` — so the two generators are directly A/B-able
+    * against the same exact-pairs oracle (BENCH.md records the signature-cost
+    * comparison). Candidate completeness on the planted fixture is verified
+    * numerically in tools/oph_oracle_check.py: all 600 exact pairs are
+    * candidates, ~400 false candidates are removed by the verify join. */
+  def ophPairs(docs: DataFrame, thrNum: Long = 4L, thrDen: Long = 5L): DataFrame = {
+    val (reps, members) = textGroups(docs)
+    val repPairs = verifyJaccard(reps, ophBandCandidates(reps), thrNum, thrDen)
+    val withinCard = multiGroupCard(reps, members)(t => TextHash.wordShingles(t).size.toLong)
+      .select(col("rep"), col("card").as("inter"), col("card").as("un"))
+    expandPairs(repPairs, members, withinCard)
+  }
+
   /** Shingle cardinality per representative of multi-member groups only
     * (single-member groups never produce within pairs). */
   private def multiGroupCard(reps: DataFrame, members: DataFrame)

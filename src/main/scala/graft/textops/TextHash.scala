@@ -83,6 +83,65 @@ object TextHash {
       h
     }
 
+  // ---- One-permutation MinHash (OPH) -----------------------------------------
+
+  val OphBins = 32
+  val OphBands = 16
+  val OphRows: Int = OphBins / OphBands // 2
+
+  /** One-permutation MinHash signature (Li, Owen, Zhang, "One Permutation
+    * Hashing", NIPS'12): ONE splitmix-mixed hash per shingle, bin =
+    * floorMod(h, [[OphBins]]), per-bin signed min — 64x fewer hash
+    * evaluations per shingle than [[minHashSignature]] for a sketch of
+    * comparable banding power, which is the dominant CPU cost of MinHash at
+    * 100 TB (signatures are computed map-side over every shingle of every
+    * document). Empty bins are filled by densification (Shrivastava & Li,
+    * "Densifying One Permutation Hashing via Rotation", ICML'14): borrow the
+    * value of the nearest non-empty bin to the RIGHT (cyclic), offset-mixed
+    * by the gap so two documents collide on a borrowed slot only when they
+    * agree on BOTH the donor value and the gap. All arithmetic wraps in
+    * Long and all comparisons are signed, so the Python/SQL recompute is
+    * bit-identical (tools/oph_oracle_check.py). */
+  def ophSignature(shingles: Set[Long]): Array[Long] = {
+    val sig = new Array[Long](OphBins)
+    val filled = new Array[Boolean](OphBins)
+    shingles.foreach { s =>
+      val h = splitmix64(s)
+      val b = java.lang.Math.floorMod(h, OphBins.toLong).toInt
+      if (!filled(b) || h < sig(b)) { sig(b) = h; filled(b) = true }
+    }
+    val out = new Array[Long](OphBins)
+    var b = 0
+    while (b < OphBins) {
+      if (filled(b)) out(b) = sig(b)
+      else {
+        var d = 1
+        while (d < OphBins && !filled((b + d) % OphBins)) d += 1
+        // d == OphBins impossible for a non-empty shingle set (wordShingles
+        // never returns empty); guard stays total for safety
+        out(b) =
+          if (d == OphBins) 0L
+          else sig((b + d) % OphBins) + 0x9e3779b97f4a7c15L * d
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** LSH band keys over an OPH signature: [[OphBands]] bands of [[OphRows]]
+    * consecutive bins, FNV-combined (same construction as [[bandKeys]]). */
+  def ophBandKeys(sig: Array[Long]): Array[Long] =
+    Array.tabulate(OphBands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < OphRows) {
+        h ^= sig(b * OphRows + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      h
+    }
+
   def estimateJaccard(a: Array[Long], b: Array[Long]): Double = {
     var eq = 0
     var i = 0

@@ -95,6 +95,44 @@ object HtmlGen {
     base.substring(0, at) + sb + base.substring(at)
   }
 
+  /** Language pool for the hreflang fixture family, in generator order (en
+    * first = the page's own language; lexicographic min of the chosen prefix
+    * is what the cluster key reduces to). */
+  val HreflangLangs: Array[String] = Array("en", "de", "fr", "es")
+
+  /** [[page]] plus `<link rel="alternate" hreflang=...>` tags spliced after
+    * the charset meta ([[pageWithMeta]] discipline): the translation-family
+    * fixture for parallel-corpus mining. The page declares `1 + docId % 4`
+    * language variants ([[HreflangLangs]] prefix), each pointing at
+    * `https://site{docId%7}.example.com/{lang}/doc{docId}.html`. Traps the
+    * extractor must handle: docId%5==0 adds an `x-default` row (points at the
+    * en variant — a ROUTING hint, not a language, so it must not appear in
+    * the cluster rows or the language count); docId%9==0 adds a malformed
+    * alternate with NO href the parser must skip. All values are doc_id
+    * arithmetic -> plain-SQL oracle. */
+  def pageWithHreflang(docId: Long, text: String): String = {
+    val base = page(docId, text)
+    val site = s"https://site${docId % 7}.example.com"
+    val nv = (1 + docId % 4).toInt
+    val sb = new java.lang.StringBuilder(256)
+    var i = 0
+    while (i < nv) {
+      val l = HreflangLangs(i)
+      sb.append("<link rel=\"alternate\" hreflang=\"").append(l)
+        .append("\" href=\"").append(site).append('/').append(l)
+        .append("/doc").append(docId).append(".html\">\n")
+      i += 1
+    }
+    if (docId % 5 == 0)
+      sb.append("<link rel=\"alternate\" hreflang=\"x-default\" href=\"")
+        .append(site).append("/en/doc").append(docId).append(".html\">\n")
+    if (docId % 9 == 0)
+      sb.append("<link rel=\"alternate\" hreflang=\"pt\">\n")
+    val anchor = "<meta charset=\"utf-8\">\n"
+    val at = base.indexOf(anchor) + anchor.length
+    base.substring(0, at) + sb + base.substring(at)
+  }
+
   /** [[page]] plus a robots meta directive spliced after the charset meta
     * ([[pageWithMeta]] discipline): the opt-out-governance fixture. Branches
     * by docId%6 — noindex / "noai, noimageai" / explicit allow / ABSENT /

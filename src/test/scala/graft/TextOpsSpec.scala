@@ -88,6 +88,56 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(found.size >= (nDocs * 0.98).toInt, s"recall ${found.size}/$nDocs")
   }
 
+  test("oph signature: bins are floorMod of the mixed hash, empties densify from the right donor") {
+    import textops.TextHash
+    val sh = Set(1L, 2L, 3L, 42L, -17L)
+    val sig = TextHash.ophSignature(sh)
+    assert(sig.length == TextHash.OphBins)
+    assert(sig sameElements TextHash.ophSignature(sh), "deterministic")
+    // recompute expected: per-bin signed min of splitmix64, then rotation borrow
+    val filled = Array.fill[Option[Long]](TextHash.OphBins)(None)
+    sh.foreach { s =>
+      val h = TextHash.splitmix64(s)
+      val b = java.lang.Math.floorMod(h, TextHash.OphBins.toLong).toInt
+      if (filled(b).forall(h < _)) filled(b) = Some(h)
+    }
+    (0 until TextHash.OphBins).foreach { b =>
+      filled(b) match {
+        case Some(v) => assert(sig(b) == v, s"bin $b real value")
+        case None =>
+          val d = (1 until TextHash.OphBins)
+            .find(j => filled((b + j) % TextHash.OphBins).isDefined).get
+          val donor = filled((b + d) % TextHash.OphBins).get
+          assert(sig(b) == donor + 0x9e3779b97f4a7c15L * d, s"bin $b borrow")
+      }
+    }
+    // identical sets -> identical band keys; disjoint-ish sets differ somewhere
+    assert(TextHash.ophBandKeys(sig) sameElements TextHash.ophBandKeys(TextHash.ophSignature(sh)))
+    val other = TextHash.ophSignature(Set(900L, 901L, 902L, 903L))
+    assert(!(other sameElements sig))
+  }
+
+  test("oph_minhash equals minhash_neardup (and the exact answer) on the planted corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val planted = textops.Dedup.planted(docs)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oph = pairSet(textops.Dedup.ophPairs(planted))
+    val mh = pairSet(textops.Dedup.minhashPairs(planted))
+    assert(oph == mh, s"generators disagree: oph-only=${(oph -- mh).take(3)} mh-only=${(mh -- oph).take(3)}")
+  }
+
+  test("oph mega-group: representative-grain candidates stay near-linear") {
+    import spark.implicits._
+    val dupText = (1 to 30).map("m" + _).mkString(" ")
+    val copies = (1L to 1000L).map(i => (i, dupText))
+    val others = (1L to 10L).map(i => (5000L + i, (1 to 30).map(w => s"o${i}w$w").mkString(" ")))
+    val docs = (copies ++ others).toDF("doc_id", "text")
+    val (reps, _) = textops.Dedup.textGroups(docs)
+    val cand = textops.Dedup.ophBandCandidates(reps).count()
+    assert(cand < 100, s"rep-level OPH candidates must be near-linear, got $cand")
+  }
+
   test("simhash_neardup finds planted tail-variant pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = textops.Dedup.simhashPairs(textops.Dedup.plantedTail(docs), 12)
