@@ -740,6 +740,12 @@ object SparkEntry {
     "priority_sample" -> ((s, dir) =>
       graft.textops.Curate.prioritySample(tp(s, dir, "documents"))
         .orderBy("host", "rnk")),
+    "stratified_sample" -> ((s, dir) =>
+      // exact-count proportional sample: Hamilton largest-remainder
+      // apportionment over (lang x length-bucket) strata, within-stratum
+      // pick by salted-FNV variate; constant-B WindowGroupLimit cap before
+      // the per-stratum quota cut
+      graft.textops.Curate.stratifiedSample(tp(s, dir, "documents"))),
     "mixture_manifest" -> ((s, dir) =>
       // the mixing run's audit table: per host, how many documents existed
       // and how many the rate kept (partial-agg rollup of sample_mixture)
@@ -4636,6 +4642,35 @@ object SparkEntry {
         |      FROM p)
         |SELECT host, doc_id, w, priority, CAST(rn AS BIGINT) AS rnk
         |FROM r WHERE rn <= 25 ORDER BY host, rnk""").stripMargin,
+    // stratified_sample: full apportionment replay — (lang x length-bucket)
+    // strata, Hamilton largest-remainder quotas (integer div/mod, remainder
+    // ties by stratum key), within-stratum smallest salted-FNV u32 variates.
+    // Validated against an independent Python recompute
+    // (tools/stratified_oracle_check.py: 100/100 selected rows identical).
+    "stratified_sample" -> ("WITH " + FnvCte("strat") +
+      """,
+        |ks AS (SELECT k.doc_id,
+        |              d.lang || '|' || least(length(d.text)//256, 3) AS stratum,
+        |              (k.h % (1::HUGEINT << 32)) AS priority
+        |       FROM k JOIN documents d USING (doc_id)),
+        |c AS (SELECT stratum, count(*)::BIGINT AS n_stratum FROM ks GROUP BY stratum),
+        |q AS (SELECT stratum, n_stratum,
+        |             (100*n_stratum)//(sum(n_stratum) OVER ()) AS base,
+        |             (100*n_stratum)%(sum(n_stratum) OVER ()) AS rem
+        |      FROM c),
+        |q2 AS (SELECT stratum, n_stratum, base, rem,
+        |              100 - sum(base) OVER () AS leftover,
+        |              row_number() OVER (ORDER BY rem DESC, stratum) AS seat_rank
+        |       FROM q),
+        |q3 AS (SELECT stratum, n_stratum,
+        |              least(base + CASE WHEN seat_rank <= leftover THEN 1 ELSE 0 END, n_stratum) AS quota
+        |       FROM q2),
+        |r AS (SELECT doc_id, stratum,
+        |             row_number() OVER (PARTITION BY stratum ORDER BY priority, doc_id) AS rnk
+        |      FROM ks)
+        |SELECT r.doc_id, r.stratum, CAST(r.rnk AS BIGINT) AS rnk,
+        |       CAST(q3.quota AS BIGINT) AS quota, q3.n_stratum
+        |FROM r JOIN q3 USING (stratum) WHERE r.rnk <= q3.quota""").stripMargin,
     // image_phash_dedup: the oracle rebuilds every pixel arithmetically
     // (generator + clamped brightness plant), the 8x8 pixel-center sample,
     // the strict x64 mean-threshold aHash, the Manku keys (same spec table

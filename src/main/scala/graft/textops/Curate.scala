@@ -248,6 +248,65 @@ object Curate {
       .toDF("doc_id", "host", "bucket", "keep")
   }
 
+  /** Deterministic stratified sampling with EXACT integer allocation — the
+    * "give me exactly B documents, proportionally representative of (lang x
+    * length) strata" stage of corpus construction. [[sampleMixture]] keeps a
+    * RATE per domain (count comes out binomial); evaluation sets, ablation
+    * corpora, and human-review batches need exact COUNTS per stratum.
+    *
+    * Allocation is Hamilton/largest-remainder apportionment, all integer:
+    * base_s = floor(B*n_s/N); the L = B - sum(base) leftover seats go to the
+    * largest remainders (B*n_s mod N), ties broken by stratum key, and the
+    * quota never exceeds the stratum's population. Within a stratum,
+    * selection is the smallest salted-FNV u32 variates (the [[prioritySample]]
+    * move) — a pure function of (doc_id, salt), so the sample is reproducible
+    * on any cluster size and the oracle replays it in SQL.
+    *
+    * Scale shape: the strata table is aggregate grain (#strata ~ langs x
+    * buckets, << corpus), so the apportionment window over it is a 1-task
+    * formality and the quota join broadcasts. The within-stratum selection
+    * asks row_number <= quota — a NON-constant limit, which Spark cannot push
+    * down — so the rank window is first capped with the CONSTANT
+    * `row_number <= B` (plans as WindowGroupLimit: each stratum materializes
+    * at most B rows before the sort) and the exact quota cut filters the
+    * survivors. Returns the selected rows (doc_id, stratum, rnk, quota,
+    * n_stratum). */
+  def stratifiedSample(docs: DataFrame, budget: Long = 100L,
+                       salt: String = "strat"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val len = (if (text == null) 0 else text.length).toLong
+        val stratum = s"$lang|${math.min(len / 256L, 3L)}"
+        val u32 = java.lang.Long.remainderUnsigned(TextHash.fnv64(s"$salt:$id"), 1L << 32)
+        (id, stratum, u32)
+      }.toDF("doc_id", "stratum", "priority")
+    val counts = keyed.groupBy("stratum").agg(count(lit(1)).as("n_stratum"))
+    // Hamilton apportionment over the aggregate-grain strata table: the
+    // empty-frame windows are single-task BY DESIGN (strata count is tiny)
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1))
+      .orderBy(desc("rem"), asc("stratum"))
+    val quotas = counts
+      .withColumn("n_total", sum(col("n_stratum")).over(wAll))
+      .withColumn("base", expr(s"(${budget}L * n_stratum) div n_total")) // integer div, not Spark's float '/'
+      .withColumn("rem", (lit(budget) * col("n_stratum")) % col("n_total"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("seat_rank", row_number().over(wRem))
+      .withColumn("quota",
+        least(col("base") + (col("seat_rank") <= col("leftover")).cast("long"),
+          col("n_stratum")))
+      .select("stratum", "n_stratum", "quota")
+    val wIn = Window.partitionBy("stratum").orderBy(col("priority"), col("doc_id"))
+    keyed.withColumn("rnk", row_number().over(wIn).cast("long"))
+      .filter(col("rnk") <= lit(budget)) // constant cap -> WindowGroupLimit
+      .join(broadcast(quotas), "stratum")
+      .filter(col("rnk") <= col("quota"))
+      .select("doc_id", "stratum", "rnk", "quota", "n_stratum")
+  }
+
   /** Null-safe single-space word split — the corpus contract the other
     * curation ops use. */
   private def words(t: String): Array[String] =

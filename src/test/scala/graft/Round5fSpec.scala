@@ -69,6 +69,46 @@ class MultilingualMiningSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 0L))
   }
 
+  test("stratified_sample: exact budget, per-stratum counts equal Hamilton quotas, reproducible under repartition") {
+    import graft.textops.{Curate, TextHash}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Curate.stratifiedSample(docs, budget = 20L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 20, s"exact allocation: ${got.length}")
+    // independent Scala recompute of the apportionment + selection
+    val rows = docs.select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val strata = rows.groupBy { case (_, t, lang) =>
+      s"$lang|${math.min((if (t == null) 0 else t.length).toLong / 256L, 3L)}" }
+    val n = rows.length.toLong
+    val base = strata.view.mapValues(v => 20L * v.length / n).toMap
+    val rem = strata.view.mapValues(v => 20L * v.length % n).toMap
+    val leftover = 20L - base.values.sum
+    val seats = strata.keys.toSeq.sortBy(s => (-rem(s), s)).zipWithIndex
+      .map { case (s, i) => s -> (if (i < leftover) 1L else 0L) }.toMap
+    val quota = strata.map { case (s, v) => s -> math.min(base(s) + seats(s), v.length.toLong) }
+    val exp = strata.toSeq.flatMap { case (s, v) =>
+      v.toSeq.map { case (id, _, _) =>
+        (java.lang.Long.remainderUnsigned(TextHash.fnv64(s"strat:$id"), 1L << 32), id) }
+        .sorted.take(quota(s).toInt).zipWithIndex
+        .map { case ((_, id), i) => (id, s, i.toLong + 1, quota(s), v.length.toLong) }
+    }.toSet
+    assert(got.toSet == exp)
+    // partitioning must not change the sample
+    val reGot = Curate.stratifiedSample(docs.repartition(7), budget = 20L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(reGot == got.toSet)
+  }
+
+  test("stratified_sample plans the constant-B WindowGroupLimit cap and a broadcast quota join") {
+    import graft.textops.Curate
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fin = Curate.stratifiedSample(docs, budget = 20L)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("WindowGroupLimit"), s"constant cap must push down:\n$fin")
+    assert(fin.contains("BroadcastHashJoin"), s"quota join must broadcast:\n$fin")
+  }
+
   test("bitext_mine plans one narrow-key join — no cartesian, no corpus re-read surprises") {
     val df = SparkEntry.queries("bitext_mine")(spark, sf)
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
