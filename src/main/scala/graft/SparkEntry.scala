@@ -1167,6 +1167,11 @@ object SparkEntry {
       graft.webtext.WebText.tableCells(
           graft.webtext.WebText.tablePages(tp(s, dir, "documents")).toDF()).toDF()
         .orderBy("url", "table_idx", "row_idx", "col_idx")),
+    "microdata_items" -> ((s, dir) =>
+      // attribute-level schema.org mining: nearest-ancestor itemscope
+      // property walk, nested Person scopes as values, decoy scopes skipped
+      graft.webtext.Microdata.articles(
+        graft.webtext.WebText.microdataPages(tp(s, dir, "documents")).toDF()).toDF()),
     "hreflang_clusters" -> ((s, dir) => {
       // translation-family mining: hreflang alternate links -> family rows
       // (cluster = min href, x-default routing hints and malformed links
@@ -3288,6 +3293,16 @@ object SparkEntry {
         |       CAST(row_idx AS BIGINT) AS row_idx, CAST(col_idx AS BIGINT) AS col_idx,
         |       is_header, cell
         |FROM allc ORDER BY url, table_idx, row_idx, col_idx""".stripMargin,
+    // microdata_items: regenerate from doc_id arithmetic (pageWithMicrodata
+    // classes: %11==3 absent, %7==0 entity trap decoded by the extractor,
+    // %3 branches plain-span vs nested-Person author — both resolve to the
+    // same value, so the oracle needs no branch for it).
+    "microdata_items" ->
+      """SELECT 'doc://'||doc_id AS url,
+        |       'document '||doc_id || CASE WHEN doc_id%7=0 THEN ' & co' ELSE '' END AS headline,
+        |       'author '||(doc_id%13) AS author,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS word_count
+        |FROM documents WHERE doc_id%11 <> 3""".stripMargin,
     // hreflang_clusters: regenerate the translation families from doc_id
     // arithmetic (HtmlGen.pageWithHreflang plants 1+doc_id%4 language
     // variants; x-default and the malformed pt link never reach the output,

@@ -133,6 +133,39 @@ object HtmlGen {
     base.substring(0, at) + sb + base.substring(at)
   }
 
+  /** [[page]] plus a schema.org/Article MICRODATA scope spliced after the
+    * charset meta ([[pageWithMeta]] discipline) — the attribute-level twin of
+    * [[pageWithJsonLd]], same class structure so the two extractors are
+    * directly comparable: docId%11==3 plants NO scope (absent-row class);
+    * docId%5==0 prepends a non-Article decoy scope (BreadcrumbList, with its
+    * own itemprop=name the extractor must not leak); author is a PLAIN
+    * itemprop span when docId%3==0, otherwise a NESTED Person itemscope whose
+    * `name` property supplies the value; headline carries an `&amp;` entity
+    * trap when docId%7==0; wordCount rides a `<meta itemprop content=...>`.
+    * All values doc_id/text arithmetic -> plain-SQL oracle. */
+  def pageWithMicrodata(docId: Long, text: String): String = {
+    val base = page(docId, text)
+    if (docId % 11 == 3) return base
+    val sb = new java.lang.StringBuilder(512)
+    if (docId % 5 == 0)
+      sb.append("<div itemscope itemtype=\"https://schema.org/BreadcrumbList\">")
+        .append("<span itemprop=\"name\">crumb ").append(docId % 3).append("</span></div>\n")
+    val headline = "document " + docId + (if (docId % 7 == 0) " &amp; co" else "")
+    val words = (if (text == null) "" else text).split(" ", -1).length
+    sb.append("<div itemscope itemtype=\"https://schema.org/Article\">\n")
+      .append("<span itemprop=\"headline\">").append(headline).append("</span>\n")
+    if (docId % 3 == 0)
+      sb.append("<span itemprop=\"author\">author ").append(docId % 13).append("</span>\n")
+    else
+      sb.append("<span itemprop=\"author\" itemscope itemtype=\"https://schema.org/Person\">")
+        .append("<span itemprop=\"name\">author ").append(docId % 13).append("</span></span>\n")
+    sb.append("<meta itemprop=\"wordCount\" content=\"").append(words).append("\">\n")
+      .append("</div>\n")
+    val anchor = "<meta charset=\"utf-8\">\n"
+    val at = base.indexOf(anchor) + anchor.length
+    base.substring(0, at) + sb + base.substring(at)
+  }
+
   /** [[page]] plus a robots meta directive spliced after the charset meta
     * ([[pageWithMeta]] discipline): the opt-out-governance fixture. Branches
     * by docId%6 — noindex / "noai, noimageai" / explicit allow / ABSENT /

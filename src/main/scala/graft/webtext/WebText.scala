@@ -62,6 +62,22 @@ object WebText {
       })
   }
 
+  /** [[htmlPages]] with [[HtmlGen.pageWithMicrodata]] payloads — the fixture
+    * family for microdata article mining (consumed only by that query). */
+  def microdataPages(docs: DataFrame): Dataset[PageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, lang) =>
+        val t = if (text == null) "" else text
+        PageRow(pageplus.data.PagesFromDocuments.url(id),
+          new java.sql.Timestamp(id * 3600 * 1000L),
+          HtmlGen.pageWithMicrodata(id, t).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text, lang)
+      })
+  }
+
   final case class TableCell(url: String, table_idx: Long, row_idx: Long,
                              col_idx: Long, is_header: Boolean, cell: String)
 

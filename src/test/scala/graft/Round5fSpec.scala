@@ -69,6 +69,43 @@ class MultilingualMiningSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 0L))
   }
 
+  test("microdata scoping: nearest-ancestor rule, nested Person value, decoy skipped, meta content, entity decode") {
+    import graft.webtext.{HtmlDom, Microdata}
+    // decoy BreadcrumbList first; Article with nested Person author; a
+    // deeper anonymous nested scope whose props must NOT leak upward
+    val html =
+      """<div itemscope itemtype="https://schema.org/BreadcrumbList"><span itemprop="name">crumb</span></div>
+        |<div itemscope itemtype="https://schema.org/Article">
+        |<span itemprop="headline">A &amp; B</span>
+        |<span itemprop="author" itemscope itemtype="https://schema.org/Person"><span itemprop="name">jo</span></span>
+        |<div itemscope><span itemprop="name">leak</span></div>
+        |<meta itemprop="wordCount" content="42">
+        |</div>""".stripMargin
+    val root = HtmlDom.parse(html)
+    val scopes = HtmlDom.find(root, e =>
+      e.attr("itemscope").isDefined && e.attr("itemtype").contains("https://schema.org/Article"))
+    assert(scopes.size == 1)
+    val props = Microdata.scopeProps(scopes.head).toMap
+    assert(props == Map("headline" -> "A & B", "author" -> "jo", "wordCount" -> "42"))
+  }
+
+  test("microdata_items matches per-doc arithmetic on both author shapes") {
+    import graft.webtext.{Microdata, WebText}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Microdata.articles(WebText.microdataPages(docs).toDF()).collect()
+      .map(r => (r.url, r.headline, r.author, r.word_count)).toSet
+    val exp = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => id % 11 != 3 }
+      .map { case (id, t) =>
+        (s"doc://$id",
+          s"document $id" + (if (id % 7 == 0) " & co" else ""),
+          s"author ${id % 13}",
+          t.split(" ", -1).length.toLong)
+      }.toSet
+    assert(got == exp)
+  }
+
   test("stratified_sample: exact budget, per-stratum counts equal Hamilton quotas, reproducible under repartition") {
     import graft.textops.{Curate, TextHash}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
