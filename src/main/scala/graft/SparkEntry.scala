@@ -922,6 +922,14 @@ object SparkEntry {
       graft.textops.Dedup.minhashPairs(
         graft.textops.Dedup.planted(tp(s, dir, "documents")))
     }),
+    "cross_corpus_neardup" -> ((s, dir) => {
+      // recrawl near-dup gate: light edits of base-corpus content must not
+      // pass just because their exact hash changed; verdict per incoming doc
+      // (is_neardup + smallest qualifying base id), linear in the snapshot
+      val base = tp(s, dir, "documents")
+      graft.textops.Dedup.crossCorpusNearDup(
+        graft.textops.Dedup.crossSnapshot(base), base)
+    }),
     "oph_minhash" -> ((s, dir) => {
       // one-permutation-hashing twin of minhash_neardup: same planted corpus,
       // same rational threshold, same exact-pairs oracle — candidates come
@@ -2806,6 +2814,35 @@ object SparkEntry {
         |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
         |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
         |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
+    // cross_corpus_neardup: exact bipartite ground truth — per incoming doc,
+    // any base doc at word-shingle Jaccard >= 4/5 flags it, base_match = the
+    // smallest qualifying base id. The engine's band-LSH candidates are
+    // complete on this fixture (360/360 qualifying pairs share a band key —
+    // tools/crossnear_oracle_check.py), so after verify it equals the exact
+    // answer. Validated against an independent Python recompute there too.
+    "cross_corpus_neardup" ->
+      """WITH binc AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         CASE WHEN doc_id%3=0 THEN text
+        |              WHEN doc_id%3=1 THEN substring(text, instr(text,' ')+1)
+        |              ELSE array_to_string(['f'||doc_id||'w'||w for w in range(1,21)], ' ') END AS text
+        |  FROM documents),
+        |shb AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |shi AS (SELECT doc_id, string_split(text,' ') AS w FROM binc),
+        |sb AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+        |                           ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
+        |       FROM shb),
+        |si AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+        |                           ELSE list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) END AS s
+        |       FROM shi),
+        |q AS (SELECT i.doc_id AS a, b.doc_id AS b
+        |      FROM si i, sb b
+        |      WHERE 5*len(list_intersect(i.s, b.s)) >= 4*(len(i.s)+len(b.s)-len(list_intersect(i.s, b.s))))
+        |SELECT i.doc_id,
+        |       CAST(CASE WHEN min(q.b) IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_neardup,
+        |       coalesce(min(q.b), -1) AS base_match
+        |FROM si i LEFT JOIN q ON i.doc_id = q.a
+        |GROUP BY i.doc_id""".stripMargin,
     // Same exact all-pairs ground truth as minhash_neardup: the OPH candidate
     // generator is complete on this fixture (600/600 exact pairs share a band
     // key — verified numerically in tools/oph_oracle_check.py), so after the

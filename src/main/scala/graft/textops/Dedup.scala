@@ -41,6 +41,25 @@ object Dedup {
     base.unionByName(twin)
   }
 
+  /** Deterministic incoming-snapshot fixture for the cross-corpus NEAR-dup
+    * gate: ids offset by 2,000,000 (doc_id spaces must be disjoint across
+    * corpora — the caller contract of [[crossCorpusNearDup]]); doc_id%3==0
+    * exact copy, %3==1 first word dropped (light edit, Jaccard >= 0.8),
+    * %3==2 fresh unique text (genuinely new). */
+  def crossSnapshot(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t0) =>
+        val t = if (t0 == null) "" else t0
+        val text =
+          if (id % 3 == 0) t
+          else if (id % 3 == 1) { val i = t.indexOf(' '); if (i >= 0) t.substring(i + 1) else t }
+          else (1 to 20).map(w => s"f${id}w$w").mkString(" ")
+        (id + 2000000L, text)
+      }.toDF("doc_id", "text")
+  }
+
   /** Same but perturbing the tail (for SimHash). */
   def plantedTail(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
@@ -178,6 +197,43 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** Cross-corpus NEAR-duplicate gate — the recrawl-vs-base stage
+    * [[crossCorpusNew]] cannot cover: an incoming document that is a light
+    * edit of something already in the base corpus (boilerplate shuffle, date
+    * stamp, typo fix) passes the exact-hash gate but still duplicates
+    * training content. Verdict per incoming doc: `is_neardup` 0/1 and
+    * `base_match` = the smallest qualifying base doc_id (-1 when new).
+    *
+    * Shape: textGroups on EACH side (mega-groups collapse before banding),
+    * bipartite MinHash band join between the two representative sets, exact
+    * rational Jaccard verify on candidates only, then a min() rollup to one
+    * row per incoming representative and a member expansion join. The rollup
+    * means output stays LINEAR in the incoming snapshot no matter how many
+    * base docs an incoming doc matches. min-over-reps equals min-over-docs
+    * because a base rep is itself the smallest doc_id of its text group.
+    * Caller contract: doc_id spaces are DISJOINT across the two corpora
+    * (recrawl pipelines namespace ids by snapshot), so the verify join can
+    * resolve texts from one unioned rep table. */
+  def crossCorpusNearDup(incoming: DataFrame, base: DataFrame,
+                         thrNum: Long = 4L, thrDen: Long = 5L): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val (ri, mi) = textGroups(incoming)
+    val (rb, _) = textGroups(base)
+    def bands(reps: DataFrame, idCol: String) = reps.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        TextHash.bandKeys(TextHash.minHashSignature(TextHash.wordShingles(t))).map(b => (id, b))
+      }).toDF(idCol, "band")
+    val cand = bands(ri, "a").join(bands(rb, "b"), "band").select("a", "b").distinct()
+    val verified = verifyJaccard(
+      ri.unionByName(rb).select("doc_id", "text").dropDuplicates("doc_id"), cand, thrNum, thrDen)
+    val hits = verified.groupBy("a").agg(min(col("b")).as("base_match"))
+    mi.join(hits, mi("rep") === hits("a"), "left")
+      .select(mi("doc_id"),
+        col("base_match").isNotNull.cast("long").as("is_neardup"),
+        coalesce(col("base_match"), lit(-1L)).as("base_match"))
   }
 
   /** One-permutation-hashing near-duplicate pairs: [[minhashPairs]] with the

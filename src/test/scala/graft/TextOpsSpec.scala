@@ -138,6 +138,33 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(cand < 100, s"rep-level OPH candidates must be near-linear, got $cand")
   }
 
+  test("cross_corpus_neardup truth table: exact copy and light edit flagged, fresh text passes") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, (1 to 20).map("a" + _).mkString(" ")),
+      (2L, (1 to 20).map("b" + _).mkString(" ")),
+      (3L, (1 to 20).map("c" + _).mkString(" "))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, (1 to 20).map("a" + _).mkString(" ")),          // exact copy of 1
+      (102L, (2 to 20).map("b" + _).mkString(" ")),          // light edit of 2
+      (103L, (1 to 20).map("z" + _).mkString(" "))).toDF("doc_id", "text") // new
+    val got = textops.Dedup.crossCorpusNearDup(incoming, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((101L, 1L, 1L), (102L, 1L, 2L), (103L, 0L, -1L)))
+  }
+
+  test("cross_corpus_neardup: identical incoming mega-group stays linear, every member flagged") {
+    import spark.implicits._
+    val t = (1 to 30).map("m" + _).mkString(" ")
+    val base = Seq((1L, t)).toDF("doc_id", "text")
+    val incoming = (101L to 1100L).map(i => (i, t)).toDF("doc_id", "text")
+    val df = textops.Dedup.crossCorpusNearDup(incoming, base)
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop"), fin)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 1000 && rows.forall(r => r._2 == 1L && r._3 == 1L))
+  }
+
   test("simhash_neardup finds planted tail-variant pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = textops.Dedup.simhashPairs(textops.Dedup.plantedTail(docs), 12)
