@@ -922,6 +922,11 @@ object SparkEntry {
       graft.textops.Dedup.minhashPairs(
         graft.textops.Dedup.planted(tp(s, dir, "documents")))
     }),
+    "shard_checksum" -> ((s, dir) =>
+      // post-movement integrity audit: per-shard row/byte counts + an
+      // order-invariant XOR-of-FNV content checksum (partial-merge-safe, so
+      // any layout of the same logical shard agrees)
+      graft.textops.Integrity.shardChecksums(tp(s, dir, "documents"))),
     "cross_corpus_neardup" -> ((s, dir) => {
       // recrawl near-dup gate: light edits of base-corpus content must not
       // pass just because their exact hash changed; verdict per incoming doc
@@ -2814,6 +2819,21 @@ object SparkEntry {
         |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
         |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
         |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
+    // shard_checksum: full FNV-over-text recompute in SQL (the doc_fingerprint
+    // HUGEINT chain; %128 low-bits XOR is byte-exact for this ASCII corpus),
+    // signed conversion, then the same commutative bit_xor rollup.
+    "shard_checksum" ->
+      """WITH h AS (
+        |  SELECT doc_id % 8 AS shard, CAST(length(text) AS BIGINT) AS bytes,
+        |         list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(c)::HUGEINT for c in string_split(text, '')]),
+        |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS hu
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(bytes) AS BIGINT) AS bytes,
+        |       bit_xor(CAST(CASE WHEN hu >= (1::HUGEINT << 63) THEN hu - (1::HUGEINT << 64) ELSE hu END AS BIGINT)) AS checksum
+        |FROM h GROUP BY shard""".stripMargin,
     // cross_corpus_neardup: exact bipartite ground truth — per incoming doc,
     // any base doc at word-shingle Jaccard >= 4/5 flags it, base_match = the
     // smallest qualifying base id. The engine's band-LSH candidates are

@@ -146,6 +146,21 @@ class MultilingualMiningSpec extends AnyFunSuite {
     assert(fin.contains("BroadcastHashJoin"), s"quota join must broadcast:\n$fin")
   }
 
+  test("shard_checksum is layout-invariant; counts catch the XOR blind spot") {
+    import spark.implicits._
+    import graft.textops.Integrity
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Integrity.shardChecksums(docs)) ==
+      rows(Integrity.shardChecksums(docs.repartition(13))),
+      "checksums must not depend on physical layout")
+    // documented blind spot: an identical pair XOR-cancels — n_docs catches it
+    val dup = Seq((0L, "x"), (8L, "x")).toDF("doc_id", "text")
+    val got = rows(Integrity.shardChecksums(dup))
+    assert(got == Set((0L, 2L, 2L, 0L)), s"got $got")
+  }
+
   test("bitext_mine plans one narrow-key join — no cartesian, no corpus re-read surprises") {
     val df = SparkEntry.queries("bitext_mine")(spark, sf)
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
