@@ -1525,6 +1525,11 @@ object SparkEntry {
       // hash join against the static base key table — verdicts identical
       // under any micro-batching, append-exact
       pageplus.streaming.StreamingExtract.crossCorpusOnce(s, dir)),
+    "stream_bitext" -> ((s, dir) =>
+      // stream-static twin of bitext_mine: source docs segmented in-flight,
+      // static pre-segmented translation side, stateless inner join +
+      // integer ratio gate — bit-identical to the batch answer
+      pageplus.streaming.StreamingExtract.bitextOnce(s, dir)),
     "stream_simhash_candidates" -> ((s, dir) => {
       // incremental near-dup candidate filter: min doc_id per Manku key in
       // the state store (arrival-order-independent), drained then joined
@@ -3423,6 +3428,26 @@ object SparkEntry {
     // coalesce() guards DuckDB's empty-list array_to_string -> NULL quirk
     // (CLAUDE.md); validated in tools/multilingual_oracle_check.py.
     "bitext_mine" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |seg AS (
+        |  SELECT doc_id, (s//12)::BIGINT AS sent_idx,
+        |         coalesce(array_to_string(w[(s+1)::INT:(s+12)::INT], ' '), '') AS sent
+        |  FROM w CROSS JOIN unnest(range(0, len(w), 12)) AS t(s)),
+        |tgt AS (
+        |  SELECT doc_id, sent_idx,
+        |         CASE WHEN sent_idx % 3 = 2
+        |              THEN coalesce(array_to_string(list_reverse(string_split(sent,' '))[1:4], ' '), '')
+        |              ELSE coalesce(array_to_string(list_reverse(string_split(sent,' ')), ' '), '') END AS sent
+        |  FROM seg)
+        |SELECT s.doc_id, s.sent_idx, s.sent AS src_sent, t.sent AS tgt_sent,
+        |       CAST(length(s.sent) AS BIGINT) AS src_chars,
+        |       CAST(length(t.sent) AS BIGINT) AS tgt_chars,
+        |       CAST(CASE WHEN greatest(length(s.sent), length(t.sent)) * 10
+        |                      <= least(length(s.sent), length(t.sent)) * 13 THEN 1 ELSE 0 END AS BIGINT) AS pair_ok
+        |FROM seg s JOIN tgt t USING (doc_id, sent_idx)""".stripMargin,
+    // stream_bitext: identical recompute — the stateless stream-static join
+    // must land the exact batch answer
+    "stream_bitext" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |seg AS (
         |  SELECT doc_id, (s//12)::BIGINT AS sent_idx,

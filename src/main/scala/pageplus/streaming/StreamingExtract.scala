@@ -305,6 +305,26 @@ object StreamingExtract {
       "stream_crosscorpus", "append")
   }
 
+  /** Streaming bitext mining — stream-static twin of
+    * [[graft.textops.Bitext.alignByIndex]]: source-side documents arrive as
+    * a stream and are sentence-segmented in-flight (flatMap, no state); the
+    * target side is a STATIC pre-segmented translation table (the
+    * translation-memory snapshot a mining run joins against). Stream-static
+    * inner joins are STATELESS — each micro-batch hash-joins the static side
+    * — so append mode is exact, verdicts are bit-identical to the batch
+    * query under any micro-batching, and the integer 13/10 ratio gate rides
+    * codegen'd inside the batch plan. */
+  def bitextOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val srcDocs = streamTable(spark, sfDir, "documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    val src = graft.textops.Bitext.segmentWords(srcDocs)
+    val tgt = graft.textops.Bitext.pseudoTranslated(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    drainToTable(graft.textops.Bitext.alignByIndex(src, tgt), "stream_bitext", "append")
+  }
+
   /** Streaming SimHash near-duplicate CANDIDATE filter — the incremental
     * complement of the batch [[graft.textops.Dedup.simhashPairs]]: as docs
     * arrive, each contributes its 20 Manku block keys

@@ -146,6 +146,15 @@ class MultilingualMiningSpec extends AnyFunSuite {
     assert(fin.contains("BroadcastHashJoin"), s"quota join must broadcast:\n$fin")
   }
 
+  test("drained stream_bitext equals the batch bitext_mine answer") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val batch = rows(SparkEntry.queries("bitext_mine")(spark, sf))
+    val stream = rows(SparkEntry.queries("stream_bitext")(spark, sf))
+    assert(stream == batch)
+  }
+
   test("host_lang_audit equals a driver-side recompute (majority tie-break included)") {
     import graft.textops.{Multilingual, TextHash}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
