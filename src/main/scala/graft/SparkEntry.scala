@@ -1362,6 +1362,30 @@ object SparkEntry {
     "optout_gate" -> ((s, dir) =>
       graft.webtext.Metadata.optOutGate(tp(s, dir, "documents")).toDF()
         .orderBy("doc_id")),
+    // rel="license" mining + CC-family verdicts (the rights-clearance twin of
+    // optout_gate): token-wise rel match, head link or body anchor, CC url
+    // parse -> allows_commercial / allows_derivatives routing flags
+    "license_detect" -> ((s, dir) =>
+      graft.webtext.License.licenseGate(tp(s, dir, "documents")).toDF()
+        .orderBy("doc_id")),
+    // code-vs-prose gate over planted source-shaped docs (doc_id%5==0):
+    // integer line-structure features, builtins only, zero shuffle
+    "code_detect" -> ((s, dir) =>
+      graft.textops.Curate.codeDetect(
+        graft.textops.Curate.plantCode(tp(s, dir, "documents")))
+        .orderBy("doc_id")),
+    // character-level verification of dedup candidate pairs: banded (Ukkonen
+    // cutoff) Levenshtein at pair grain — planted sparse-edit twins pass the
+    // 20% gate, successor-twin decoys are rejected at the cap
+    "edit_verify" -> ((s, dir) =>
+      graft.textops.EditDistance.verifyPairs(tp(s, dir, "documents"))
+        .orderBy("a", "b")),
+    // Heaps-law vocabulary growth: cumulative unigram/bigram vocab + token
+    // mass at power-of-two checkpoints (one term-grain first-seen agg per
+    // gram order, then checkpoint-grain bit-arithmetic bucketing + cumsum)
+    "vocab_growth" -> ((s, dir) =>
+      graft.textops.VocabGrowth.growth(tp(s, dir, "documents"))
+        .orderBy("docs_seen")),
     "redirect_resolve" -> ((s, dir) => {
       // frontier redirect-chain resolution via pointer doubling: 3 node-grain
       // self-joins resolve every chain <= 8 hops (O(log) rounds — a 10^6
@@ -3829,6 +3853,98 @@ object SparkEntry {
         |  doc_id%6 = 1 AS noai,
         |  NOT (doc_id%6 IN (0,1,4)) AS keep_for_training
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // license_detect: CASE table over the six planted rel=license branches
+    // (multi-token and uppercase rel both declare; absent/non-CC -> all
+    // clearance flags false). Python-validated 500/500 at sf0.01.
+    "license_detect" ->
+      """SELECT doc_id,
+        |  CASE doc_id%6
+        |    WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'
+        |    WHEN 1 THEN 'https://creativecommons.org/licenses/by-nc-sa/3.0/'
+        |    WHEN 2 THEN 'https://creativecommons.org/licenses/by-nd/4.0/'
+        |    WHEN 4 THEN 'https://example.com/terms-of-use'
+        |    WHEN 5 THEN 'https://creativecommons.org/publicdomain/zero/1.0/'
+        |    ELSE NULL END AS license_url,
+        |  doc_id%6 IN (0,1,2,5) AS is_cc,
+        |  CASE doc_id%6 WHEN 0 THEN 'by' WHEN 1 THEN 'by-nc-sa' WHEN 2 THEN 'by-nd'
+        |       WHEN 5 THEN 'zero' ELSE NULL END AS cc_family,
+        |  CASE doc_id%6 WHEN 0 THEN '4.0' WHEN 1 THEN '3.0' WHEN 2 THEN '4.0'
+        |       WHEN 5 THEN '1.0' ELSE NULL END AS cc_version,
+        |  doc_id%6 IN (0,2,5) AS allows_commercial,
+        |  doc_id%6 IN (0,1,5) AS allows_derivatives,
+        |  doc_id%6 = 1 AS requires_sharealike,
+        |  doc_id%6 IN (0,2,5) AS keep_commercial
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // code_detect: the oracle replants the 8-word-chunk code lines with a
+    // list comprehension (line_dedup's chunk grain) and recomputes every
+    // integer feature; trunc division on the per-1000 density both sides.
+    // Python-validated 500/500 at sf0.01 (planted 100 flagged, prose 0).
+    "code_detect" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN doc_id%5=0 THEN
+        |    array_to_string([ '  let v'||(i-1)||' = ('||coalesce(array_to_string(ws[(i-1)*8+1:(i-1)*8+8],' '),'')||');'
+        |                      for i in range(1, CAST(ceil(len(ws)/8.0) AS BIGINT)+1) ], chr(10))
+        |  ELSE text END AS body FROM w),
+        |f AS (SELECT doc_id, body,
+        |  CAST(length(body) AS BIGINT) AS n_chars,
+        |  string_split(body, chr(10)) AS lns,
+        |  CAST(length(body) - length(regexp_replace(body, '[;(){}=<>\[\]]', '', 'g')) AS BIGINT) AS n_symbols
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(len(lns) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lns, l -> l LIKE '%;')) AS BIGINT) AS n_semicolon_lines,
+        |  CAST(len(list_filter(lns, l -> l LIKE '  %')) AS BIGINT) AS n_indent_lines,
+        |  n_symbols, n_chars,
+        |  CAST(n_symbols*1000 // n_chars AS BIGINT) AS symbol_per_1000,
+        |  (2*len(list_filter(lns, l -> l LIKE '%;')) >= len(lns)
+        |   AND n_symbols*1000 // n_chars >= 10) AS is_code
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // edit_verify: the oracle regrows the sparse-edit twins (every 16th word
+    // -> 'e'||i) with an indexed list comprehension and recomputes the CAPPED
+    // distance via least(levenshtein, maxlen//5 + 1) — bit-equal to the
+    // banded kernel by the cap contract. Python-validated 999/999 at sf0.01
+    // (tools/edit_oracle_check.py: 500 twins dup, 499 decoys rejected).
+    "edit_verify" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tw AS (SELECT doc_id + 1000000 AS doc_id,
+        |  array_to_string([CASE WHEN (i-1)%16 = 3 THEN 'e'||(i-1) ELSE ws[i] END
+        |                   for i in range(1, len(ws)+1)], ' ') AS text FROM w),
+        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+        |cand AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |         UNION ALL SELECT doc_id AS a, doc_id + 1000001 AS b FROM documents),
+        |j AS (SELECT c.a, c.b, x.text AS ta, y.text AS tb
+        |      FROM cand c JOIN corpus x ON x.doc_id = c.a JOIN corpus y ON y.doc_id = c.b)
+        |SELECT a, b,
+        |  CAST(least(levenshtein(ta, tb), greatest(length(ta), length(tb)) // 5 + 1) AS BIGINT) AS edit_dist,
+        |  CAST(greatest(length(ta), length(tb)) AS BIGINT) AS max_len,
+        |  5 * least(levenshtein(ta, tb), greatest(length(ta), length(tb)) // 5 + 1)
+        |    <= greatest(length(ta), length(tb)) AS is_dup
+        |FROM j ORDER BY a, b""".stripMargin,
+    // vocab_growth: cumulative-count correlated subqueries per checkpoint
+    // (tiny), new_* via lag-diff — equal to the engine's first-seen bucket
+    // counts because bucket(fd) = min{cp : cp > fd} (both identities
+    // Python-validated at sf0.01, tools/vocab_oracle_check.py).
+    "vocab_growth" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |cps AS (SELECT DISTINCT cp FROM (
+        |    SELECT (1::BIGINT << p) AS cp FROM range(0, 63) t(p), n WHERE (1::BIGINT << p) < n.n
+        |    UNION ALL SELECT n FROM n)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |big AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS term FROM w),
+        |fs AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+        |fb AS (SELECT term, min(doc_id) AS fd FROM big GROUP BY term),
+        |dt AS (SELECT doc_id, len(ws) AS tc FROM w),
+        |cum AS (SELECT c.cp AS docs_seen,
+        |  CAST((SELECT count(*) FROM fs f WHERE f.fd < c.cp) AS BIGINT) AS vocab_size,
+        |  CAST((SELECT count(*) FROM fb f WHERE f.fd < c.cp) AS BIGINT) AS bigram_vocab,
+        |  CAST((SELECT coalesce(sum(tc), 0) FROM dt WHERE dt.doc_id < c.cp) AS BIGINT) AS token_count
+        |  FROM cps c)
+        |SELECT docs_seen, vocab_size, bigram_vocab, token_count,
+        |  vocab_size - lag(vocab_size, 1, 0) OVER (ORDER BY docs_seen) AS new_terms,
+        |  bigram_vocab - lag(bigram_vocab, 1, 0) OVER (ORDER BY docs_seen) AS new_bigrams
+        |FROM cum ORDER BY docs_seen""".stripMargin,
     "sitemap_urls" ->
       """SELECT 'https://site'||(doc_id%7)||'.example.com/articles/doc'||doc_id||'.html' AS loc,
         |  CAST(DATE '2020-01-01' + CAST(doc_id%365 AS INTEGER) AS VARCHAR) AS lastmod,

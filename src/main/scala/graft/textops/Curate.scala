@@ -718,4 +718,49 @@ object Curate {
       .toDF("doc_id", "span_idx", "start_word", "end_word",
         "start_char", "end_char", "n_grams")
   }
+
+  /** Plant code-shaped documents (the corpus is pure prose, so the class
+    * boundary needs synthetic positives): doc_id % 5 == 0 is rewritten into
+    * source-like lines — the text's 8-word chunks each become
+    * `"  let v<i> = (<chunk>);"`, newline-joined. Pure doc_id + word-slice
+    * arithmetic (the line_dedup oracle's chunk grain), so DuckDB replants it
+    * with a list comprehension. Built-in array expressions only — map-side,
+    * codegen, zero shuffle. */
+  def plantCode(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val nLines = ceil(size(ws).cast("double") / 8.0).cast("int")
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        array_join(transform(sequence(lit(0), nLines - 1), i =>
+          concat(lit("  let v"), i.cast("string"), lit(" = ("),
+            array_join(slice(ws, i * 8 + 1, lit(8)), " "), lit(");"))), "\n"))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** Code-vs-prose gate — the corpus-routing signal an LLM data pipeline
+    * needs before language-ID or quality scoring (code documents fail prose
+    * stopword/repetition gates and belong in a code pipeline with different
+    * dedup grain). Features are exact integers over line structure:
+    * statement-terminator line fraction, indented-line count, and
+    * source-symbol density per 1000 chars (`;(){}[]=<>` — near zero in
+    * prose). The verdict `2*semicolon_lines >= lines AND symbols/1000 >= 10`
+    * is structural, not statistical: planted code scores ~60-70 per-1000
+    * with every line terminated; prose scores 0 on both. All built-in
+    * lambda/regex expressions — whole-stage codegen, zero shuffle; at
+    * 10^12 rows this is one more fused scan projection. */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    val lns = split(col("text"), "\n", -1)
+    val nSymbols = (length(col("text")) -
+      length(regexp_replace(col("text"), "[;(){}=<>\\[\\]]", ""))).cast("long")
+    docs.select(col("doc_id"),
+        size(lns).cast("long").as("n_lines"),
+        size(filter(lns, l => l.endsWith(";"))).cast("long").as("n_semicolon_lines"),
+        size(filter(lns, l => l.startsWith("  "))).cast("long").as("n_indent_lines"),
+        nSymbols.as("n_symbols"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("symbol_per_1000", expr("n_symbols * 1000 div n_chars"))
+      .withColumn("is_code",
+        (lit(2L) * col("n_semicolon_lines") >= col("n_lines")) &&
+          col("symbol_per_1000") >= 10L)
+  }
 }

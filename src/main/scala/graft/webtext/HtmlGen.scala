@@ -190,6 +190,42 @@ object HtmlGen {
       base.substring(at)
   }
 
+  /** [[page]] plus a license declaration — the rights-governance fixture for
+    * CC-license mining (the filter a commercially-trained corpus runs before
+    * the opt-out gate). Branches by docId%6, values pinned so the oracle is a
+    * CASE table:
+    *   0: head `<link rel="license nofollow">` -> CC BY 4.0 (multi-token rel
+    *      trap — rel must be matched token-wise, not string-equal)
+    *   1: head link -> CC BY-NC-SA 3.0
+    *   2: BODY `<a rel="license">` before the comments block -> CC BY-ND 4.0
+    *      (anchor-declared, not head-declared)
+    *   3: ABSENT (no rel=license anywhere; the footer's plain anchors are
+    *      natural decoys)
+    *   4: head `<link rel="LICENSE">` -> a non-CC terms url (uppercase rel
+    *      VALUE trap — attr names lowercase in the parser, values don't)
+    *   5: head link -> CC0 (publicdomain/zero/1.0 path shape) */
+  def pageWithLicense(docId: Long, text: String): String = {
+    val base = page(docId, text)
+    val head = (docId % 6) match {
+      case 0 => "<link rel=\"license nofollow\" href=\"https://creativecommons.org/licenses/by/4.0/\">\n"
+      case 1 => "<link rel=\"license\" href=\"https://creativecommons.org/licenses/by-nc-sa/3.0/\">\n"
+      case 4 => "<link rel=\"LICENSE\" href=\"https://example.com/terms-of-use\">\n"
+      case 5 => "<link rel=\"license\" href=\"https://creativecommons.org/publicdomain/zero/1.0/\">\n"
+      case _ => null
+    }
+    if (head != null) {
+      val anchor = "<meta charset=\"utf-8\">\n"
+      val at = base.indexOf(anchor) + anchor.length
+      base.substring(0, at) + head + base.substring(at)
+    } else if (docId % 6 == 2) {
+      val anchor = "<div class=\"comments\">"
+      val at = base.indexOf(anchor)
+      base.substring(0, at) +
+        "<a rel=\"license\" href=\"https://creativecommons.org/licenses/by-nd/4.0/\">some rights reserved</a>\n" +
+        base.substring(at)
+    } else base
+  }
+
   /** [[page]] plus deterministic data tables spliced right before the
     * comments block (same splice discipline as [[pageWithMeta]]: every other
     * oracle's byte layout is untouched because only the tables query consumes

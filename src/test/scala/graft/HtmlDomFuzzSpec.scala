@@ -40,4 +40,12 @@ object HtmlDomFuzzProps extends Properties("HtmlDomFuzz") {
       HtmlDom.textOf(HtmlDom.parse(v)).length <= v.length + 20
     }
   }
+
+  property("license walker terminates on tag soup; CC parse total on salad urls") =
+    Prop.forAll(taggyGen) { s =>
+      graft.webtext.License.licenseUrl(s) match {
+        case null => true
+        case u => graft.webtext.License.ccParse(u) != null
+      }
+    }
 }
