@@ -1386,6 +1386,17 @@ object SparkEntry {
     "vocab_growth" -> ((s, dir) =>
       graft.textops.VocabGrowth.growth(tp(s, dir, "documents"))
         .orderBy("docs_seen")),
+    // quality-ordered token-budget selection ("data diet"): exact global
+    // prefix sum in (TTR quality desc, doc_id) order via the two-pass
+    // range-partitioned pattern — no corpus-grain Window
+    "token_budget_select" -> ((s, dir) =>
+      graft.textops.TokenBudget.select(tp(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // posting-list delta-gap varbyte sizing (index capacity planning):
+    // term-partitioned lag window + exact bit-arithmetic byte accounting
+    "posting_gaps" -> ((s, dir) =>
+      graft.textops.InvertedIndex.postingGaps(tp(s, dir, "documents"))
+        .orderBy("term")),
     "redirect_resolve" -> ((s, dir) => {
       // frontier redirect-chain resolution via pointer doubling: 3 node-grain
       // self-joins resolve every chain <= 8 hops (O(log) rounds — a 10^6
@@ -3945,6 +3956,36 @@ object SparkEntry {
         |  vocab_size - lag(vocab_size, 1, 0) OVER (ORDER BY docs_seen) AS new_terms,
         |  bigram_vocab - lag(bigram_vocab, 1, 0) OVER (ORDER BY docs_seen) AS new_bigrams
         |FROM cum ORDER BY docs_seen""".stripMargin,
+    // token_budget_select: the oracle's window cumsum (fine at oracle scale;
+    // the engine uses the two-pass prefix sum instead) recomputes the greedy
+    // prefix exactly; HUGEINT window sum cast back to BIGINT (the r2 class).
+    // Python-validated 500/500 at sf0.01 (tools/budget_oracle_check.py,
+    // 328 selected at the 13000-token budget).
+    "token_budget_select" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |      CAST(len(list_distinct(ws)) * 1000 // len(ws) AS BIGINT) AS quality_bp FROM w),
+        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM q)
+        |SELECT doc_id, quality_bp, n_tokens, CAST(cb AS BIGINT) AS cum_before,
+        |  cb < 13000 AS selected
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // posting_gaps: delta-gap + varbyte recompute over the distinct bigram
+    // postings; byte cost is pure bit arithmetic (length(bin(v))), first
+    // posting stored as-is, max_gap NULL for single-posting terms.
+    // Python-validated 916/916 terms at sf0.01 (tools/posting_oracle_check.py,
+    // 25728 B varbyte vs 205672 B raw = 8.0x).
+    "posting_gaps" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS term FROM w),
+        |p AS (SELECT DISTINCT term, doc_id FROM bg),
+        |g AS (SELECT term, doc_id, doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM p),
+        |e AS (SELECT term, coalesce(gap, doc_id) AS v, gap FROM g)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE (length(bin(v)) + 6) // 7 END) AS BIGINT) AS index_bytes,
+        |  CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+        |  CAST(max(gap) AS BIGINT) AS max_gap
+        |FROM e GROUP BY term ORDER BY term""".stripMargin,
     "sitemap_urls" ->
       """SELECT 'https://site'||(doc_id%7)||'.example.com/articles/doc'||doc_id||'.html' AS loc,
         |  CAST(DATE '2020-01-01' + CAST(doc_id%365 AS INTEGER) AS VARCHAR) AS lastmod,

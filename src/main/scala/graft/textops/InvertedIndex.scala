@@ -49,4 +49,37 @@ object InvertedIndex {
     stats.join(top, Seq("term")).filter(col("df") >= minDf)
       .select("term", "df", "cf", "postings")
   }
+
+  /** Posting-list delta-gap compression estimate — the index-planning twin
+    * of [[phraseIndex]]: per term, the exact varbyte size of the delta-gap
+    * encoded posting list (first doc_id stored as-is, then consecutive
+    * doc_id gaps; a value `v` costs `max(1, ceil(bits(v)/7))` bytes — the
+    * classic 7-bits-per-byte continuation code) against the 8-bytes-per-id
+    * raw cost. At web scale this table IS the index capacity plan: gap
+    * distributions decide shard sizes and whether head terms need skipping
+    * structures (`max_gap` exposes the worst seek per list).
+    *
+    * Scale shape: one corpus explode to (term, doc_id) grain, then a
+    * TERM-partitioned lag window (term-grain shuffle, the same key the index
+    * build already uses; head-term skew splits under AQE) and a term-grain
+    * sum — byte math is pure bit arithmetic (`length(bin(v))`, no floats).
+    */
+  def postingGaps(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val bigrams = transform(sequence(lit(0), size(ws) - 2),
+      i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2)))
+    docs.filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("term"))
+      .distinct()
+      .withColumn("gap", col("doc_id") -
+        lag("doc_id", 1).over(Window.partitionBy("term").orderBy("doc_id")))
+      .withColumn("v", coalesce(col("gap"), col("doc_id")))
+      .withColumn("bytes", when(col("v") === 0, lit(1L))
+        .otherwise(expr("(length(bin(v)) + 6) div 7").cast("long")))
+      .groupBy("term").agg(
+        count(lit(1)).cast("long").as("df"),
+        sum("bytes").as("index_bytes"),
+        (count(lit(1)) * lit(8)).cast("long").as("raw_bytes"),
+        max("gap").as("max_gap"))
+  }
 }
