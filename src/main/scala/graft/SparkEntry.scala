@@ -1555,6 +1555,12 @@ object SparkEntry {
       // stateless, append-exact under any micro-batching
       pageplus.streaming.StreamingExtract.rangeJoinOnce(s, dir)
         .orderBy("iv_id", "event_id")),
+    "stream_decontaminate" -> ((s, dir) =>
+      // stream-static twin of decontaminate: static broadcast eval grams,
+      // stateless map-side gram check per micro-batch — append-exact,
+      // bit-identical to the batch query
+      pageplus.streaming.StreamingExtract.decontaminateOnce(s, dir)
+        .orderBy("doc_id")),
     "stream_cross_corpus" -> ((s, dir) =>
       // stream-static twin of cross_corpus_dedup: stateless per-micro-batch
       // hash join against the static base key table — verdicts identical
@@ -5137,6 +5143,20 @@ object SparkEntry {
         |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
         |       coalesce(m.nc, 0) > 0 AS contaminated
         |FROM g LEFT JOIN m ON g.doc_id = m.doc_id""".stripMargin,
+    // stream_decontaminate: stateless stream-static twin — same answer as
+    // the batch decontaminate by construction, same oracle SQL
+    "stream_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |     g AS (SELECT doc_id, CASE WHEN len(ws) >= 13
+        |                  THEN [array_to_string(ws[i:i+12],' ') for i in range(1, len(ws)-11)]
+        |                  ELSE [] END AS grams FROM w),
+        |     bench AS (SELECT DISTINCT grams[1] AS gram FROM g WHERE doc_id%41=0 AND len(grams)>0),
+        |     x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |     m AS (SELECT x.doc_id, count(*) AS nc FROM x JOIN bench USING (gram) GROUP BY x.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
+        |       coalesce(m.nc, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id ORDER BY g.doc_id""".stripMargin,
     // contamination_spans: full recompute — planted eval-head leak, matched
     // gram positions, gaps-and-islands merge (lag + running sum), char
     // offsets via list_sum prefix arithmetic. The engine matches on exact

@@ -305,6 +305,25 @@ object StreamingExtract {
       "stream_crosscorpus", "append")
   }
 
+  /** Streaming decontamination — the stream-static twin of
+    * [[graft.textops.Curate.contamination]]: the eval-gram set is STATIC
+    * (eval suites are fixed artifacts), computed batch-side and broadcast
+    * exactly as in the batch op; corpus documents stream through the same
+    * map-side sliding-gram check. Fully STATELESS — no state store, no
+    * watermark — so append mode is exact and per-doc verdicts are
+    * bit-identical to the batch query under any micro-batching. This is the
+    * production ingest shape: new crawl shards are checked against the
+    * frozen eval set as they land, before they ever join the corpus. */
+  def decontaminateOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val evalDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 41 === 0)
+    val stream = streamTable(spark, sfDir, "documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    drainToTable(graft.textops.Curate.contamination(stream, evalDocs),
+      "stream_decontaminate", "append")
+  }
+
   /** Streaming bitext mining — stream-static twin of
     * [[graft.textops.Bitext.alignByIndex]]: source-side documents arrive as
     * a stream and are sentence-segmented in-flight (flatMap, no state); the
