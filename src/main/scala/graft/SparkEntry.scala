@@ -859,6 +859,16 @@ object SparkEntry {
       graft.textops.Curate.contaminationSpans(
         graft.textops.Curate.plantEvalLeak(docs, eval), eval)
     }),
+    "eval_leak_report" -> ((s, dir) => {
+      // inverse decontamination: rank EVAL items by corpus leakage of their
+      // head 13-gram (planted cross-doc leaks on doc_id%7==3); hit rows are
+      // leak-sized, membership tested inside the corpus scan
+      val docs = tp(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 41 === 0)
+      graft.textops.Curate.evalLeakReport(
+        graft.textops.Curate.plantEvalLeak(docs, eval), eval)
+        .orderBy("eval_doc_id")
+    }),
     "decontaminate_bloom" -> ((s, dir) => {
       // the 100 TB broadcast form of decontaminate: eval grams ride a Bloom
       // sketch (treeAggregate-built, ~3.6 B/gram) instead of an exact string
@@ -5157,6 +5167,30 @@ object SparkEntry {
         |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
         |       coalesce(m.nc, 0) > 0 AS contaminated
         |FROM g LEFT JOIN m ON g.doc_id = m.doc_id ORDER BY g.doc_id""".stripMargin,
+    // eval_leak_report: replant the eval-head leaks (contamination_spans'
+    // CTE), flip the aggregation to per-eval-gram distinct-doc counts.
+    // Python-validated 13/13 at sf0.01 (tools/leak_oracle_check.py:
+    // 2 items leaked beyond self, max 37 hitting docs).
+    "eval_leak_report" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |bench AS (SELECT doc_id AS bid, array_to_string(ws[1:13],' ') AS gram
+        |          FROM w0 WHERE doc_id%41=0 AND len(ws)>=13),
+        |pl AS (SELECT d.doc_id,
+        |         CASE WHEN d.doc_id%7=3 AND b.gram IS NOT NULL
+        |              THEN d.text || ' ' || b.gram ELSE d.text END AS text
+        |       FROM documents d LEFT JOIN bench b ON b.bid = (d.doc_id%2)*41),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM pl),
+        |g AS (SELECT doc_id, CASE WHEN len(ws) >= 13
+        |             THEN [array_to_string(ws[i:i+12],' ') for i in range(1, len(ws)-11)]
+        |             ELSE [] END AS grams FROM w),
+        |ev AS (SELECT bid AS eval_doc_id, gram FROM bench),
+        |x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |hits AS (SELECT DISTINCT x.gram, x.doc_id FROM x JOIN (SELECT DISTINCT gram FROM ev) b USING (gram)),
+        |agg AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs_hit,
+        |        CAST(min(doc_id) AS BIGINT) AS min_hit_doc FROM hits GROUP BY gram)
+        |SELECT ev.eval_doc_id, ev.gram, agg.n_docs_hit, agg.min_hit_doc,
+        |       agg.n_docs_hit > 1 AS leaked_beyond_self
+        |FROM ev JOIN agg USING (gram) ORDER BY ev.eval_doc_id""".stripMargin,
     // contamination_spans: full recompute — planted eval-head leak, matched
     // gram positions, gaps-and-islands merge (lag + running sum), char
     // offsets via list_sum prefix arithmetic. The engine matches on exact

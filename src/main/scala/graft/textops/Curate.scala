@@ -719,6 +719,48 @@ object Curate {
         "start_char", "end_char", "n_grams")
   }
 
+  /** Per-eval-item leak report — the INVERSE view of [[contamination]]:
+    * instead of flagging training docs, rank the EVALUATION items by how
+    * widely their head n-gram has leaked into the corpus (the question an
+    * eval-integrity review actually asks: which benchmark items are
+    * compromised, and how badly). Output per eval doc: the corpus hit count
+    * for its head gram, the smallest hitting doc (an exhibit for the
+    * review), and a leaked-beyond-self verdict (the eval doc itself sits in
+    * the corpus here, so 1 hit = self only).
+    *
+    * Scale shape: the eval-gram set is broadcast (bounded, the
+    * [[contamination]] contract) and membership is tested INSIDE the
+    * corpus-scan flatMap, so only hit rows (leak-sized, not corpus-sized)
+    * ever leave the scan stage; the distinct + per-gram agg shuffle is
+    * leak-grain, and the final join back to eval ids is broadcast. */
+  def evalLeakReport(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ev = benchDocs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = words(t)
+        if (ws.length >= n) Some((id, ws.take(n).mkString(" "))) else None
+      }.toDF("eval_doc_id", "gram")
+    val bc = spark.sparkContext.broadcast(
+      ev.select("gram").as[String].collect().toSet) // bounded: the EVAL set
+    val hits = docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = words(t)
+        val total = math.max(ws.length - n + 1, 0)
+        (0 until total).iterator
+          .map(i => ws.slice(i, i + n).mkString(" "))
+          .filter(bc.value.contains)
+          .map(g => (g, id))
+      }.toDF("gram", "doc_id")
+      .distinct()
+    val agg = hits.groupBy("gram").agg(
+      count(lit(1)).as("n_docs_hit"),
+      min("doc_id").as("min_hit_doc"))
+    ev.join(agg, "gram")
+      .select(col("eval_doc_id"), col("gram"), col("n_docs_hit"),
+        col("min_hit_doc"), (col("n_docs_hit") > 1).as("leaked_beyond_self"))
+  }
+
   /** Plant code-shaped documents (the corpus is pure prose, so the class
     * boundary needs synthetic positives): doc_id % 5 == 0 is rewritten into
     * source-like lines — the text's 8-word chunks each become
