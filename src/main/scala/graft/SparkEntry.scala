@@ -859,6 +859,16 @@ object SparkEntry {
       graft.textops.Curate.contaminationSpans(
         graft.textops.Curate.plantEvalLeak(docs, eval), eval)
     }),
+    "decontaminate_fold" -> ((s, dir) => {
+      // case/punct-insensitive decontamination (the GPT-3 normalization):
+      // catches the planted mangled-leak class (doc_id%7==5, uppercased +
+      // comma-joined eval heads) that exact gram matching misses
+      val docs = tp(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 41 === 0)
+      graft.textops.Curate.contaminationFolded(
+        graft.textops.Curate.plantMangledLeak(docs, eval), eval)
+        .orderBy("doc_id")
+    }),
     "eval_leak_report" -> ((s, dir) => {
       // inverse decontamination: rank EVAL items by corpus leakage of their
       // head 13-gram (planted cross-doc leaks on doc_id%7==3); hit rows are
@@ -5163,6 +5173,36 @@ object SparkEntry {
         |     bench AS (SELECT DISTINCT grams[1] AS gram FROM g WHERE doc_id%41=0 AND len(grams)>0),
         |     x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
         |     m AS (SELECT x.doc_id, count(*) AS nc FROM x JOIN bench USING (gram) GROUP BY x.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
+        |       coalesce(m.nc, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id ORDER BY g.doc_id""".stripMargin,
+    // decontaminate_fold: replant the mangled leaks (upper + comma-join),
+    // fold both sides (lower, strip non-alnum, collapse spaces), then the
+    // decontaminate CTEs. Python-validated 500/500 at sf0.01
+    // (tools/fold_oracle_check.py: 82 flagged incl. the mangled class).
+    "decontaminate_fold" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |bench0 AS (SELECT doc_id AS bid, array_to_string(ws[1:13], ', ') AS mangled
+        |           FROM w0 WHERE doc_id%41=0 AND len(ws)>=13),
+        |pl AS (SELECT d.doc_id,
+        |         CASE WHEN d.doc_id%7=5 AND b.mangled IS NOT NULL
+        |              THEN d.text || ' ' || upper(b.mangled) ELSE d.text END AS text
+        |       FROM documents d LEFT JOIN bench0 b ON b.bid = (d.doc_id%2)*41),
+        |f AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text
+        |      FROM pl),
+        |fe AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text
+        |      FROM documents WHERE doc_id%41=0),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM f),
+        |g AS (SELECT doc_id, CASE WHEN len(ws) >= 13
+        |             THEN [array_to_string(ws[i:i+12],' ') for i in range(1, len(ws)-11)]
+        |             ELSE [] END AS grams FROM w),
+        |we AS (SELECT doc_id, string_split(text,' ') AS ws FROM fe),
+        |bench AS (SELECT DISTINCT array_to_string(ws[1:13],' ') AS gram FROM we WHERE len(ws)>=13),
+        |x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |m AS (SELECT x.doc_id, count(*) AS nc FROM x JOIN bench USING (gram) GROUP BY x.doc_id)
         |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
         |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
         |       coalesce(m.nc, 0) > 0 AS contaminated

@@ -719,6 +719,39 @@ object Curate {
         "start_char", "end_char", "n_grams")
   }
 
+  /** Case/punctuation fold for overlap matching — the GPT-3 decontamination
+    * normalization (Brown et al. 2020 appendix C: lowercase, strip
+    * punctuation, collapse whitespace) applied BEFORE gram comparison, so a
+    * leak that was retyped with different casing or re-punctuated still
+    * matches. Pure builtin column expressions: codegen, map-side. */
+  def foldForOverlap(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Plant MANGLED eval-head leaks (the class exact decontamination misses):
+    * docs with `doc_id % 7 == 5` get eval doc `(doc_id % 2) * 41`'s head
+    * 13 words appended UPPERCASED and comma-joined — byte-wise nothing like
+    * the eval gram, identical after [[foldForOverlap]]. */
+  def plantMangledLeak(docs: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val heads = benchDocs.filter(size(ws) >= 13)
+      .select(col("doc_id").as("bid"),
+        array_join(slice(ws, 1, 13), ", ").as("mangled"))
+    docs.join(broadcast(heads), col("bid") === (col("doc_id") % 2) * 41, "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 5 && col("mangled").isNotNull,
+          concat(col("text"), lit(" "), upper(col("mangled"))))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** [[contamination]] under the [[foldForOverlap]] normalization on BOTH
+    * sides — same broadcast-eval-grams, zero-corpus-shuffle shape, with the
+    * fold fused into the same scan projection. */
+  def contaminationFolded(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
+    def folded(df: DataFrame) =
+      df.select(col("doc_id"), foldForOverlap(col("text")).as("text"))
+    contamination(folded(docs), folded(benchDocs), n)
+  }
+
   /** Per-eval-item leak report — the INVERSE view of [[contamination]]:
     * instead of flagging training docs, rank the EVALUATION items by how
     * widely their head n-gram has leaked into the corpus (the question an
