@@ -859,6 +859,16 @@ object SparkEntry {
       graft.textops.Curate.contaminationSpans(
         graft.textops.Curate.plantEvalLeak(docs, eval), eval)
     }),
+    "decontaminate_neardup" -> ((s, dir) => {
+      // paraphrase-tier decontamination: word-bigram-shingle Jaccard >= 4/5
+      // vs any eval doc (broadcast eval shingle sets, exact-safe size
+      // screen, zero corpus shuffle); planted near-copies on doc_id%7==6
+      val docs = tp(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 41 === 0)
+      graft.textops.Curate.decontaminateNearDup(
+        graft.textops.Curate.plantEvalNearDup(docs, eval), eval)
+        .orderBy("doc_id")
+    }),
     "decontaminate_fold" -> ((s, dir) => {
       // case/punct-insensitive decontamination (the GPT-3 normalization):
       // catches the planted mangled-leak class (doc_id%7==5, uppercased +
@@ -5177,6 +5187,32 @@ object SparkEntry {
         |       CAST(coalesce(m.nc, 0) AS BIGINT) AS n_contaminated,
         |       coalesce(m.nc, 0) > 0 AS contaminated
         |FROM g LEFT JOIN m ON g.doc_id = m.doc_id ORDER BY g.doc_id""".stripMargin,
+    // decontaminate_neardup: replant the near-copies, recompute word-bigram
+    // shingle sets (the inclusive-slice w[i:i+1] = 2 words) and the 4/5
+    // rational Jaccard over the full corpus x eval cross (tiny eval side).
+    // Python-validated 500/500 at sf0.01 (tools/nddecon_oracle_check.py:
+    // 82 contaminated = planted %7==6 near-copies + eval selves).
+    "decontaminate_neardup" ->
+      """WITH ev0 AS (SELECT doc_id AS eid, text FROM documents WHERE doc_id%41=0),
+        |pl AS (SELECT d.doc_id,
+        |         CASE WHEN d.doc_id%7=6 AND e.text IS NOT NULL
+        |              THEN substring(e.text, instr(e.text,' ')+1) ELSE d.text END AS text
+        |       FROM documents d LEFT JOIN ev0 e ON e.eid = (d.doc_id%2)*41),
+        |cw AS (SELECT doc_id, string_split(text,' ') AS w FROM pl),
+        |cs AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+        |            ELSE list_distinct([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) END AS s FROM cw),
+        |ew AS (SELECT eid, string_split(text,' ') AS w FROM ev0),
+        |es AS (SELECT eid, CASE WHEN len(w) < 3 THEN [array_to_string(w,' ')]
+        |            ELSE list_distinct([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) END AS s FROM ew),
+        |pairs AS (SELECT c.doc_id, e.eid, len(list_intersect(c.s, e.s)) AS inter,
+        |                 len(c.s) + len(e.s) - len(list_intersect(c.s, e.s)) AS un
+        |          FROM cs c CROSS JOIN es e),
+        |q AS (SELECT doc_id, eid FROM pairs WHERE inter*5 >= un*4)
+        |SELECT c.doc_id, CAST(count(q.eid) AS BIGINT) AS n_eval_matches,
+        |       CAST(coalesce(min(q.eid), -1) AS BIGINT) AS eval_doc_id,
+        |       count(q.eid) > 0 AS contaminated
+        |FROM cs c LEFT JOIN q ON q.doc_id = c.doc_id
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // decontaminate_fold: replant the mangled leaks (upper + comma-join),
     // fold both sides (lower, strip non-alnum, collapse spaces), then the
     // decontaminate CTEs. Python-validated 500/500 at sf0.01

@@ -719,6 +719,75 @@ object Curate {
         "start_char", "end_char", "n_grams")
   }
 
+  private def wordPairShingles(t: String): Set[String] = {
+    val w = words(if (t == null) "" else t)
+    if (w.length < 3) Set(w.mkString(" "))
+    else (0 until w.length - 1).map(i => w(i) + " " + w(i + 1)).toSet
+  }
+
+  /** Plant PARAPHRASE-level eval leaks: docs with `doc_id % 7 == 6` are
+    * replaced by eval doc `(doc_id % 2) * 41`'s text minus its first word —
+    * near-copies sharing no more than a rewritten fraction with the eval
+    * set at the n-gram level the exact gates use, but word-shingle Jaccard
+    * >= 4/5 (the Llama-3-style fuzzy-decontamination class). */
+  def plantEvalNearDup(docs: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val ev = benchDocs.select(col("doc_id").as("bid"), col("text").as("etext"))
+    docs.join(broadcast(ev), col("bid") === (col("doc_id") % 2) * 41, "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 6 && col("etext").isNotNull,
+          expr("substring(etext, instr(etext, ' ') + 1)"))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** Near-duplicate (fuzzy) decontamination — the paraphrase tier above
+    * [[contamination]]'s exact grams and [[contaminationFolded]]'s folded
+    * grams: flag corpus documents whose word-bigram-shingle Jaccard against
+    * ANY eval document clears `thrNum/thrDen` (integer rational, never
+    * float). Output per doc: qualifying-eval count, the smallest qualifying
+    * eval id (-1 if none), and the verdict.
+    *
+    * Scale shape: the eval side is BROADCAST as (id, shingle set) — eval
+    * suites are bounded — and each corpus doc screens the whole list with an
+    * exact-safe integer size test (`J >= t` is impossible unless
+    * `thrDen * min(|A|,|B|) >= thrNum * max(|A|,|B|)`), so full
+    * intersections run only for size-compatible pairs; one map-side pass,
+    * zero corpus shuffle. For 10^5+ eval items the upgrade path is the
+    * banded cross-corpus join ([[Dedup.crossCorpusNearDup]]); the verdicts
+    * are threshold-exact either way. */
+  def decontaminateNearDup(docs: DataFrame, benchDocs: DataFrame,
+                           thrNum: Long = 4L, thrDen: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evs: Array[(Long, Set[String])] = benchDocs
+      .select("doc_id", "text").as[(Long, String)]
+      .collect() // bounded: the EVAL set
+      .map { case (id, t) => (id, wordPairShingles(t)) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(evs)
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val s = wordPairShingles(t)
+        var hits = 0L
+        var minEid = -1L
+        bc.value.foreach { case (eid, es) =>
+          val lo = math.min(s.size, es.size).toLong
+          val hi = math.max(s.size, es.size).toLong
+          if (thrDen * lo >= thrNum * hi) { // exact-safe size screen
+            val (small, big) = if (s.size <= es.size) (s, es) else (es, s)
+            var inter = 0L
+            small.foreach(x => if (big.contains(x)) inter += 1)
+            val un = s.size.toLong + es.size.toLong - inter
+            if (inter * thrDen >= un * thrNum) {
+              hits += 1
+              if (minEid < 0) minEid = eid
+            }
+          }
+        }
+        (id, hits, minEid, hits > 0)
+      })
+      .toDF("doc_id", "n_eval_matches", "eval_doc_id", "contaminated")
+  }
+
   /** Case/punctuation fold for overlap matching — the GPT-3 decontamination
     * normalization (Brown et al. 2020 appendix C: lowercase, strip
     * punctuation, collapse whitespace) applied BEFORE gram comparison, so a
