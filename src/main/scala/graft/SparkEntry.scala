@@ -759,6 +759,14 @@ object SparkEntry {
       // different PNG bytes but near-identical perception
       graft.textops.Multimodal.imageNearDupPairs(
         graft.textops.Multimodal.mediaWithNearTwins(tp(s, dir, "documents")))),
+    "audio_phash_dedup" -> ((s, dir) =>
+      // perceptual audio dedup: REAL WAV chunk-walk decode -> 64-bit
+      // energy-delta-sign fingerprint -> Manku-key candidate join -> exact
+      // hamming; planted phase-inverted twins are byte-wise different
+      // payloads with bit-identical prints (gain/phase invariance)
+      graft.textops.Multimodal.audioNearDupPairs(
+        graft.textops.Multimodal.mediaWithAudioTwins(tp(s, dir, "documents")))
+        .orderBy("a", "b")),
     "audio_features" -> ((s, dir) => {
       // REAL audio decode: complete valid RIFF/WAVE PCM payloads parsed by
       // chunk walk (a LIST chunk sits before data, so fixed-offset readers
@@ -5037,6 +5045,47 @@ object SparkEntry {
         |WHERE bit_count(xor(
         |         CAST(va - CASE WHEN va >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT),
         |         CAST(vb - CASE WHEN vb >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT))) <= 3""").stripMargin,
+    // audio_phash_dedup: regrow samples (+ sign-flip twins), recompute the
+    // 65-window energy-delta fingerprint, the Manku key CTE (same spec
+    // literal as image_phash_dedup), and exact hamming. Python-validated
+    // 552/552 at sf0.01 against a key-free all-pairs recompute (500 twin
+    // pairs at hamming 0 + 52 cross-doc collisions) — tools/
+    // audio_oracle_check.py.
+    "audio_phash_dedup" ->
+      ("""WITH base AS (SELECT doc_id FROM documents),
+        |clips AS (SELECT doc_id AS clip_id, doc_id AS d, 0 AS flip FROM base
+        |          UNION ALL SELECT doc_id + 1000000, doc_id, 1 FROM base),
+        |s AS (SELECT clip_id, CAST(64 + d%64 AS BIGINT) AS n,
+        |        [ CASE WHEN flip = 1 AND ((d*7919 + 2663*i) % 65536) - 32768 != -32768
+        |               THEN -(((d*7919 + 2663*i) % 65536) - 32768)
+        |               ELSE ((d*7919 + 2663*i) % 65536) - 32768 END
+        |          for i in range(0, 64 + d%64) ] AS sm
+        |      FROM clips),
+        |es AS (SELECT clip_id,
+        |        [ coalesce(list_sum(list_transform(sm[(b*n//65)+1 : ((b+1)*n//65)], v -> v*v)), 0)
+        |          for b in range(0, 65) ] AS e
+        |       FROM s),
+        |ah AS (SELECT clip_id,
+        |              sum(CASE WHEN e[b+2] > e[b+1] THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS v
+        |       FROM es, range(64) r(b) GROUP BY clip_id, e),
+        |spec(t, o0, w0, o1, w1, o2, w2) AS (VALUES """ + SimKeySpecSql + """),
+        |keys AS (SELECT clip_id, v,
+        |                CAST(t * (1::HUGEINT << 34)
+        |                   + ((v // (1::HUGEINT << o0)) % (1::HUGEINT << w0)) * 4194304
+        |                   + ((v // (1::HUGEINT << o1)) % (1::HUGEINT << w1)) * 2048
+        |                   + ((v // (1::HUGEINT << o2)) % (1::HUGEINT << w2)) AS BIGINT) AS key
+        |         FROM ah, spec),
+        |cand AS (SELECT DISTINCT x.clip_id AS a, y.clip_id AS b, x.v AS va, y.v AS vb
+        |         FROM keys x JOIN keys y USING (key) WHERE x.clip_id < y.clip_id)
+        |SELECT a, b, CAST(bit_count(xor(
+        |         CAST(va - CASE WHEN va >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT),
+        |         CAST(vb - CASE WHEN vb >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT)))
+        |       AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(
+        |         CAST(va - CASE WHEN va >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT),
+        |         CAST(vb - CASE WHEN vb >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT))) <= 3
+        |ORDER BY a, b""").stripMargin,
     "audio_features" ->
       """WITH d AS (SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n FROM documents),
         |     s AS (SELECT doc_id, n,

@@ -485,8 +485,20 @@ object Multimodal {
   /** A complete valid RIFF/WAVE file: fmt chunk (PCM, mono, 16-bit, 8 kHz),
     * a LIST metadata chunk (so the reader must genuinely WALK chunks, not
     * assume data starts at a fixed offset), then the data chunk. */
-  def wavPayload(docId: Long): Array[Byte] = {
-    val n = audioSampleCount(docId)
+  def wavPayload(docId: Long): Array[Byte] =
+    wavBytes(audioSampleCount(docId), i => audioSample(docId, i))
+
+  /** Phase-inverted (sign-flipped) twin clip — perceptually identical audio
+    * in byte-wise different payloads (the -32768 sample has no 16-bit
+    * negation and stays fixed; energies are exactly invariant, so the
+    * [[audioFingerprint]] matches bit-for-bit). */
+  def wavPayloadFlipped(docId: Long): Array[Byte] =
+    wavBytes(audioSampleCount(docId), { i =>
+      val s = audioSample(docId, i)
+      if (s == -32768) s else -s
+    })
+
+  private def wavBytes(n: Int, sample: Int => Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(64 + 2 * n)
     def ascii(s: String): Unit = { val b = s.getBytes("US-ASCII"); out.write(b, 0, b.length) }
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -505,7 +517,7 @@ object Multimodal {
     ascii("LIST"); le32(4); ascii("INFO")
     ascii("data"); le32(dataBytes)
     var i = 0
-    while (i < n) { le16(audioSample(docId, i) & 0xffff); i += 1 }
+    while (i < n) { le16(sample(i) & 0xffff); i += 1 }
     out.toByteArray
   }
 
@@ -516,6 +528,73 @@ object Multimodal {
       MediaRow(id, "wav", wavPayload(id),
         meta_width = audioSampleCount(id), meta_height = 1)
     }
+  }
+
+  /** Base clips plus their phase-inverted twins (doc_id + PlantOffset) —
+    * the audio analogue of [[mediaWithNearTwins]]. */
+  def mediaWithAudioTwins(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long].flatMap { id =>
+      val n = audioSampleCount(id)
+      Seq(
+        MediaRow(id, "wav", wavPayload(id), meta_width = n, meta_height = 1),
+        MediaRow(id + Dedup.PlantOffset, "wav", wavPayloadFlipped(id),
+          meta_width = n, meta_height = 1))
+    }
+  }
+
+  /** Haitsma/Kalker-style 64-bit audio fingerprint over decoded PCM: 65
+    * equal windows (integer boundaries `b*n div 65`), window energy = exact
+    * sum of squared samples, bit b set iff `E[b+1] > E[b]` (strict). Sign
+    * comparisons of energies make the print exactly invariant to uniform
+    * gain and phase inversion — the transforms under which byte-level audio
+    * dedup is blind — while any content change flips delta signs. Pure
+    * integer, so the DuckDB oracle recomputes it bit-for-bit. */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var b = 0
+    while (b < 65) {
+      var i = b * n / 65
+      val end = (b + 1) * n / 65
+      var s = 0L
+      while (i < end) { val v = samples(i).toLong; s += v * v; i += 1 }
+      e(b) = s
+      b += 1
+    }
+    var v = 0L
+    b = 0
+    while (b < 64) { if (e(b + 1) > e(b)) v |= (1L << b); b += 1 }
+    v
+  }
+
+  /** Audio near-duplicate pairs — the audio twin of [[imageNearDupPairs]]:
+    * REAL RIFF/WAVE chunk-walk decode ([[parseWav]]) → [[audioFingerprint]]
+    * → Manku 3-of-6-block candidate keys (lossless at hamming ≤ 3) → exact
+    * hamming verify. Candidate generation never compares samples pairwise;
+    * the one shuffle carries 20 (key, id, print) rows per clip. Undecodable
+    * payloads drop out. Output: (a, b, hamming), a < b. */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hashed = media.mapPartitions(_.flatMap { m =>
+      parseWav(m.payload).map { case (_, samples) =>
+        (m.doc_id, audioFingerprint(samples))
+      }
+    })
+    val keyed = hashed.flatMap { case (id, v) =>
+      TextHash.simHashKeys(v).map(k => (k, id, v))
+    }.toDF("key", "clip_id", "v")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.key") === col("y.key") && col("x.clip_id") < col("y.clip_id"))
+      .select(col("x.clip_id").as("a"), col("y.clip_id").as("b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("va").bitwiseXOR(col("vb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** REAL audio features from parsed PCM samples: energy (exact sum of
