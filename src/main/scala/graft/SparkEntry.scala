@@ -1088,6 +1088,12 @@ object SparkEntry {
       graft.textops.Ann.withBruteForceHits(
         graft.textops.Ann.ivfTopK(emb, queries, k = 5), emb, queries, k = 5)
     }),
+    "cluster_balanced_sample" -> ((s, dir) =>
+      // topic-balanced sampling: IVF-cell assignment (integer fixed-point)
+      // + Hamilton-exact per-cell quotas + FNV-salted within-cell priority;
+      // the diversity counterpart of quality-ranked selection
+      graft.textops.Ann.clusterBalancedSample(tp(s, dir, "embeddings"))
+        .orderBy("vec_id")),
     "pq_codes" -> ((s, dir) =>
       // product quantization code table: 16 subspaces × 64 codes over the
       // fixed-point vectors (codebook = bounded id-stride sample, broadcast;
@@ -4431,6 +4437,47 @@ object SparkEntry {
         |       CASE WHEN bf.neighbor_id IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END AS hit
         |FROM ranked r LEFT JOIN bf USING (query_id, neighbor_id)
         |WHERE r.rank <= 5""".stripMargin,
+    // cluster_balanced_sample: ann_ivf's assignment CTEs composed with
+    // stratified_sample's Hamilton CTEs, FNV priority over 'cbal:'||vec_id.
+    // Python-validated 100/100 at sf0.01 (tools/cbal_oracle_check.py:
+    // quotas 4-9 across the 16 cells).
+    "cluster_balanced_sample" ->
+      """WITH e AS (SELECT vec_id, [trunc(x*4096)::BIGINT for x in CAST(embedding AS DOUBLE[])] AS q FROM embeddings),
+        |head AS (SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM e QUALIFY pos < 10000),
+        |n AS (SELECT count(*) AS ns FROM head),
+        |cent AS (SELECT CAST(pos // (ns // 16) AS BIGINT) AS list_id, q AS cq
+        |         FROM head, n WHERE pos % (ns // 16) = 0 AND pos // (ns // 16) < 16),
+        |dists AS (SELECT e.vec_id, c.list_id,
+        |                 list_sum([(e.q[d]-c.cq[d])*(e.q[d]-c.cq[d]) for d in range(1,65)]) AS dist
+        |          FROM e, cent c),
+        |asn AS (SELECT vec_id, list_id FROM (
+        |          SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS r
+        |          FROM dists) WHERE r = 1),
+        |k AS (SELECT vec_id, list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |                        [unicode(c)::HUGEINT for c in string_split('cbal:' || vec_id, '')]),
+        |           (h, b) -> ((h - h % 128 + xor((h % 128)::BIGINT, b::BIGINT)::HUGEINT)
+        |                      * 1099511628211::HUGEINT) % (1::HUGEINT << 64)) AS h
+        |      FROM embeddings),
+        |ks AS (SELECT a.vec_id, a.list_id, (k.h % (1::HUGEINT << 32)) AS priority
+        |       FROM asn a JOIN k USING (vec_id)),
+        |c AS (SELECT list_id, count(*)::BIGINT AS n_cell FROM ks GROUP BY list_id),
+        |q AS (SELECT list_id, n_cell,
+        |             (100*n_cell)//(sum(n_cell) OVER ()) AS base,
+        |             (100*n_cell)%(sum(n_cell) OVER ()) AS rem
+        |      FROM c),
+        |q2 AS (SELECT list_id, n_cell, base, rem,
+        |              100 - sum(base) OVER () AS leftover,
+        |              row_number() OVER (ORDER BY rem DESC, list_id) AS seat_rank
+        |       FROM q),
+        |q3 AS (SELECT list_id, n_cell,
+        |              least(base + CASE WHEN seat_rank <= leftover THEN 1 ELSE 0 END, n_cell) AS quota
+        |       FROM q2),
+        |r AS (SELECT vec_id, list_id, row_number() OVER (PARTITION BY list_id ORDER BY priority, vec_id) AS rnk
+        |      FROM ks)
+        |SELECT r.vec_id, r.list_id, CAST(r.rnk AS BIGINT) AS rnk,
+        |       CAST(q3.quota AS BIGINT) AS quota, q3.n_cell
+        |FROM r JOIN q3 USING (list_id) WHERE r.rnk <= q3.quota ORDER BY vec_id""".stripMargin,
     // pq_codes: the oracle recomputes the 16×64 stride-seeded codebook and
     // the integer-L2 assignment bit-for-bit (the ann_oracle_check pattern).
     // Python-validated 0/8000 before wiring.

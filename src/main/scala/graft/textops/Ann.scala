@@ -563,6 +563,57 @@ object Ann {
     * exemplar choice and flips with the centroid array, and the Lloyd
     * refinement buys no candidate-pair reduction worth losing the
     * sample-independent oracle determinism for at this corpus shape). */
+  /** Topic-balanced corpus sampling — Hamilton-exact quotas over IVF cells:
+    * assign every vector to its nearest stride-seeded coarse centroid (the
+    * same integer fixed-point assignment [[ivfTopK]]/[[semanticDedup]] use,
+    * so "topic" = the embedding space's own coarse structure), then sample
+    * exactly `budget` vectors apportioned to cells by largest remainder,
+    * deterministic FNV-salted priority within each cell. This is the
+    * diversity-preserving counterpart of quality-ranked selection: a corpus
+    * cut that keeps every embedding region represented proportionally
+    * instead of letting one dominant topic fill the budget.
+    *
+    * Scale shape: centroids are a bounded driver-side sample (broadcast);
+    * assignment is map-side; the quota table is nlist rows (the single-task
+    * windows over it are cell-count-sized BY DESIGN, the stratifiedSample
+    * precedent); the per-cell rank is a constant-`budget` WindowGroupLimit
+    * cap followed by a broadcast quota join. */
+  def clusterBalancedSample(embeddings: DataFrame, nlist: Int = 16,
+                            budget: Long = 100L, salt: String = "cbal"): DataFrame = {
+    require(budget > 0 && nlist > 0)
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = seededCentroids(embeddings, nlist)
+    val bc = spark.sparkContext.broadcast(cents)
+    val keyed = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val list = nearestListQ(quantize(v.toArray), bc.value).toLong
+        val u32 = java.lang.Long.remainderUnsigned(
+          TextHash.fnv64(s"$salt:$id"), 1L << 32)
+        (id, list, u32)
+      }.toDF("vec_id", "list_id", "priority")
+    val counts = keyed.groupBy("list_id").agg(count(lit(1)).as("n_cell"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1)).orderBy(desc("rem"), asc("list_id"))
+    val quotas = counts
+      .withColumn("n_total", sum(col("n_cell")).over(wAll))
+      .withColumn("base", expr(s"(${budget}L * n_cell) div n_total"))
+      .withColumn("rem", (lit(budget) * col("n_cell")) % col("n_total"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("seat_rank", row_number().over(wRem))
+      .withColumn("quota",
+        least(col("base") + (col("seat_rank") <= col("leftover")).cast("long"),
+          col("n_cell")))
+      .select("list_id", "n_cell", "quota")
+    val wIn = Window.partitionBy("list_id").orderBy(col("priority"), col("vec_id"))
+    keyed.withColumn("rnk", row_number().over(wIn).cast("long"))
+      .filter(col("rnk") <= lit(budget)) // constant cap -> WindowGroupLimit
+      .join(broadcast(quotas), "list_id")
+      .filter(col("rnk") <= col("quota"))
+      .select("vec_id", "list_id", "rnk", "quota", "n_cell")
+  }
+
   def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
                     thresholdNum: Long = 4L, thresholdDen: Long = 5L): DataFrame =
     semanticDedupWith(embeddings, seededCentroids(embeddings, nlist),
