@@ -1418,6 +1418,11 @@ object SparkEntry {
       graft.textops.Curate.codeDetect(
         graft.textops.Curate.plantCode(tp(s, dir, "documents")))
         .orderBy("doc_id")),
+    // streaming twin of license_detect: stateless map-side DOM walk per
+    // micro-batch — append-exact, bit-identical to batch, same oracle
+    "stream_license_detect" -> ((s, dir) =>
+      pageplus.streaming.StreamingExtract.licenseGateOnce(s, dir)
+        .orderBy("doc_id")),
     // character-level verification of dedup candidate pairs: banded (Ukkonen
     // cutoff) Levenshtein at pair grain — planted sparse-edit twins pass the
     // 20% gate, successor-twin decoys are rejected at the cap
@@ -3918,6 +3923,27 @@ object SparkEntry {
     // (multi-token and uppercase rel both declare; absent/non-CC -> all
     // clearance flags false). Python-validated 500/500 at sf0.01.
     "license_detect" ->
+      """SELECT doc_id,
+        |  CASE doc_id%6
+        |    WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'
+        |    WHEN 1 THEN 'https://creativecommons.org/licenses/by-nc-sa/3.0/'
+        |    WHEN 2 THEN 'https://creativecommons.org/licenses/by-nd/4.0/'
+        |    WHEN 4 THEN 'https://example.com/terms-of-use'
+        |    WHEN 5 THEN 'https://creativecommons.org/publicdomain/zero/1.0/'
+        |    ELSE NULL END AS license_url,
+        |  doc_id%6 IN (0,1,2,5) AS is_cc,
+        |  CASE doc_id%6 WHEN 0 THEN 'by' WHEN 1 THEN 'by-nc-sa' WHEN 2 THEN 'by-nd'
+        |       WHEN 5 THEN 'zero' ELSE NULL END AS cc_family,
+        |  CASE doc_id%6 WHEN 0 THEN '4.0' WHEN 1 THEN '3.0' WHEN 2 THEN '4.0'
+        |       WHEN 5 THEN '1.0' ELSE NULL END AS cc_version,
+        |  doc_id%6 IN (0,2,5) AS allows_commercial,
+        |  doc_id%6 IN (0,1,5) AS allows_derivatives,
+        |  doc_id%6 = 1 AS requires_sharealike,
+        |  doc_id%6 IN (0,2,5) AS keep_commercial
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // stream_license_detect: stateless stream twin — same answer as the
+    // batch license gate by construction, same oracle SQL
+    "stream_license_detect" ->
       """SELECT doc_id,
         |  CASE doc_id%6
         |    WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'

@@ -324,6 +324,19 @@ object StreamingExtract {
       "stream_decontaminate", "append")
   }
 
+  /** Streaming rights-clearance gate — the license twin of
+    * [[decontaminateOnce]]'s ingest shape: pages stream through the same
+    * map-side rel="license" DOM walk and CC-family routing
+    * ([[graft.webtext.License.licenseGate]]); stateless, so append mode is
+    * exact and verdicts are bit-identical to the batch query. New crawl
+    * shards get their commercial-use clearance as they land. */
+  def licenseGateOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = streamTable(spark, sfDir, "documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    drainToTable(graft.webtext.License.licenseGate(stream).toDF(),
+      "stream_license", "append")
+  }
+
   /** Streaming bitext mining — stream-static twin of
     * [[graft.textops.Bitext.alignByIndex]]: source-side documents arrive as
     * a stream and are sentence-segmented in-flight (flatMap, no state); the
