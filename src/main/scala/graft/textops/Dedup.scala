@@ -418,18 +418,23 @@ object Dedup {
     * convergence within `maxRounds`, or None (caller falls back to
     * large-star/small-star). */
   private[graft] def minLabelPropagation(edges: DataFrame, maxRounds: Int): Option[DataFrame] = {
+    // Round state is localCheckpoint'ed, NOT cache()+unpersist()'ed: the r5
+    // form unpersisted round k-1 right after materializing round k, which
+    // makes the CacheManager re-register round k's entry with the uncached
+    // subtree INLINED (the HostRank 2-GB-plan-string trap) — measured here as
+    // the ENTIRE candidate pipeline (window + signatures + band join +
+    // verify, ~20 s executor CPU at sf0.1) re-executing EVERY round. The
+    // checkpointed round output instead pins each round's plan at
+    // edges(cached) join LogicalRDD — constant depth, upstream runs once.
+    //
+    // Convergence witness: labels only ever DECREASE under min-propagation,
+    // so carrying the previous label as a column makes max(prev - cluster_id)
+    // a zero-iff-converged witness computed by the SAME action that
+    // materializes the round (lazy checkpoint) — one job per round instead of
+    // a separate old-vs-new comparison. Null-safe: an empty edge set yields
+    // an empty label table whose max() is null -> converged immediately.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
-    // labels only ever DECREASE under min-propagation, so the label sum is a
-    // monotone convergence witness — one cheap aggregate per iteration instead
-    // of an old-vs-new join (decimal sum: 10^12 BIGINT ids would overflow a
-    // BIGINT accumulator at corpus scale)
-    // null-safe: a duplicate-free corpus has NO edges, so the label table is
-    // empty and sum() is null — that must read as converged-at-zero, not NPE
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
@@ -442,18 +447,17 @@ object Dedup {
       // kept as belt-and-braces)
       val next = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      val newSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
+        .localCheckpoint(false)
+      val delta = Option(next.agg(max(col("prev") - col("cluster_id"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      converged = delta == 0L
       i += 1
     }
     if (converged) Some(labels)
-    else { labels.unpersist(); None }
+    else None
   }
 
   /** Connected components by the alternating large-star/small-star algorithm

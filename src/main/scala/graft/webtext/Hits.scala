@@ -38,7 +38,15 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   /** Run `iters` full HITS rounds. Returns (host, hub, auth) in `scale`
-    * max-normalized fixed-point units. */
+    * max-normalized fixed-point units.
+    *
+    * r6 shape (VERDICT r5 item 3): ONE score table (host, hub, auth) flows
+    * through the whole loop — each half-round left-joins its raw sums onto
+    * the carried table and overwrites one column, so there is a single
+    * lineage chain (one lazy localCheckpoint per round, not two interleaved
+    * chains) and the final hub ⋈ auth join disappears. The arithmetic is
+    * unchanged: identical per-half max-norm renormalization, identical
+    * integer trunc divisions, bit-identical output. */
   def hubsAuths(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && scale > 0)
     val nodes = edges.select(col("src").as("host"))
@@ -46,33 +54,30 @@ object Hits {
       .distinct().cache()
     val e = edges.select("src", "dst", "weight").cache()
 
+    /** One half-round: raw sums of `scoreCol` over `joinSide`-incident edges,
+      * max-norm renormalized into `outCol`, carried on the full score table
+      * (the OTHER score column rides along untouched). */
     def half(scores: DataFrame, scoreCol: String, joinSide: String,
              outSide: String, outCol: String): DataFrame = {
       val raw = e
-        .join(scores.withColumnRenamed("host", joinSide), joinSide)
+        .join(scores.select(col("host").as(joinSide), col(scoreCol)), joinSide)
         .groupBy(col(outSide).as("host"))
         .agg(sum(col(scoreCol) * col("weight")).as("raw"))
       val mx = raw.agg(max("raw").as("mx"))
-      nodes.join(raw, Seq("host"), "left")
+      val keep = if (outCol == "auth") "hub" else "auth"
+      scores.select(col("host"), col(keep))
+        .join(raw, Seq("host"), "left")
         .crossJoin(broadcast(mx))
-        .select(col("host"),
+        .select(col("host"), col(keep),
           coalesce(expr(s"(raw * ${scale}L) div mx"), lit(0L)).as(outCol))
     }
 
-    var hub = nodes.withColumn("hub", lit(scale))
-    var auth = nodes.withColumn("auth", lit(0L))
+    var scores = nodes.select(col("host"), lit(scale).as("hub"), lit(0L).as("auth"))
     for (k <- 1 to iters) {
-      auth = half(hub, "hub", "src", "dst", "auth")
-      hub = half(auth, "auth", "dst", "src", "hub")
-      // Unlike HostRank's single chain, the hub plan EMBEDS the auth plan
-      // (two half-rounds nest per round), so lineage doubles per half-round
-      // — truncate BOTH chains every round, not every 3 (lazy, node-grain
-      // RDDs, so each truncation is one tiny job at materialization time).
-      if (k < iters) {
-        auth = auth.localCheckpoint(false)
-        hub = hub.localCheckpoint(false)
-      }
+      scores = half(scores, "hub", "src", "dst", "auth")
+      scores = half(scores, "auth", "dst", "src", "hub")
+      if (k < iters) scores = scores.localCheckpoint(false)
     }
-    hub.join(auth, "host").select("host", "hub", "auth")
+    scores.select("host", "hub", "auth")
   }
 }

@@ -148,17 +148,12 @@ object HostRank {
     * at any scale factor whose fixed point arrives within M — no sf-pinned
     * constants (the bpe_train caveat does not apply here).
     *
-    * Each round materializes (the witness is an action); lineage is truncated
-    * round-by-round via eager localCheckpoint (see the in-loop comment for
-    * why cache+unpersist is a trap here), and the loop-invariant caches are
-    * released before returning the checkpointed result.
-    *
-    * Latency note: the ~29-round sf run costs ~0.35 s/round of FIXED
-    * overhead — per-round broadcast build + job scheduling on a tiny
-    * host-grain graph, not compute. Batching rounds (lazy 3-round blocks,
-    * lazy checkpoints, strided witnesses) was A/B-measured at parity or
-    * worse, so the simple per-round form stays; on a web-scale host table
-    * the same fixed overhead amortizes against real per-round work.
+    * Each round is ONE job (r6, VERDICT r5 item 3): the round output carries
+    * its input rank as `prev`, a lazy localCheckpoint truncates lineage, and
+    * the max|rank - prev| convergence witness is the aggregate action that
+    * materializes the round — no separate checkpoint job and no witness
+    * join. See the in-loop comment for why cache+unpersist is a trap here;
+    * loop-invariant caches are released before returning.
     */
   def rankConverged(edges: DataFrame, maxIters: Int = 50, dampBp: Long = 8500L,
                     scale: Long = 1000000L): DataFrame = {
@@ -171,31 +166,34 @@ object HostRank {
     val outW = edges.groupBy("src").agg(sum("weight").as("outw"))
     val edgesN = edges.join(outW, "src").cache()
     val teleport = ((10000L - dampBp) * scale / 10000L) / n
+    // One job per round, not checkpoint + witness-join (VERDICT r5 item 3):
+    // the round carries the INPUT rank along as `prev` — the rank table it
+    // joins for contributions is the same table the old delta join re-read —
+    // so the convergence witness max|rank - prev| is an aggregate over the
+    // round's own output. A LAZY localCheckpoint makes that aggregate the
+    // materializing action: each round is exactly one job over
+    // (edgesN(cached) ⋈ LogicalRDD), constant plan depth. The r4 warning
+    // still holds: cache+unpersist here compounds uncached subtrees into the
+    // CacheManager's re-registered entries (2 GB plan strings); checkpoint
+    // blocks are host-grain and GC-collectable once the loop drops them.
     def step(r: DataFrame): DataFrame = {
       val contrib = edgesN
         .join(r.select(col("host").as("src"), col("rank").as("prev")), "src")
         .select(col("dst").as("host"),
           expr(s"(prev * weight * ${dampBp}L) div (outw * 10000L)").as("c"))
         .groupBy("host").agg(sum("c").as("in_rank"))
-      nodes.join(contrib, Seq("host"), "left")
-        .select(col("host"),
+      r.select(col("host"), col("rank").as("prev"))
+        .join(contrib, Seq("host"), "left")
+        .select(col("host"), col("prev"),
           (lit(teleport) + coalesce(col("in_rank"), lit(0L))).as("rank"))
     }
-    // Per-round EAGER localCheckpoint, not cache+unpersist: each round's plan
-    // is then (nodes ⋈ edgesN ⋈ LogicalRDD) — constant size. The cache/
-    // unpersist loop variant was measured to blow the plan string to the 2 GB
-    // cap here: unpersisting round k-1 makes the CacheManager re-cache round
-    // k's dependent entry with the uncached subtree INLINED, and the
-    // substitution compounds round over round. Checkpoint blocks are tiny
-    // (host-grain) and GC-collectable once the loop drops the reference.
     var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = step(ranks).localCheckpoint(true)
-      val delta = next.join(ranks.select(col("host"), col("rank").as("prev")), "host")
-        .agg(max(abs(col("rank") - col("prev"))).as("d")).head().getLong(0)
-      ranks = next
+      val next = step(ranks).localCheckpoint(false)
+      val delta = next.agg(max(abs(col("rank") - col("prev"))).as("d")).head().getLong(0)
+      ranks = next.select(col("host"), col("rank"))
       converged = delta == 0L
       i += 1
     }
