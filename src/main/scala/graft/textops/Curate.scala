@@ -838,13 +838,17 @@ object Curate {
   def evalLeakReport(docs: DataFrame, benchDocs: DataFrame, n: Int = 13): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ev = benchDocs.select("doc_id", "text").as[(Long, String)]
+    // collect the (eval_doc_id, gram) pairs ONCE and derive both the
+    // broadcast membership set and the join-side frame from the array
+    // (ADVICE r5: the eval-side flatMap used to execute twice — once for the
+    // broadcast collect, once as the join input). Bounded: the EVAL set.
+    val evPairs = benchDocs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, t) =>
         val ws = words(t)
         if (ws.length >= n) Some((id, ws.take(n).mkString(" "))) else None
-      }.toDF("eval_doc_id", "gram")
-    val bc = spark.sparkContext.broadcast(
-      ev.select("gram").as[String].collect().toSet) // bounded: the EVAL set
+      }.collect()
+    val ev = evPairs.toSeq.toDF("eval_doc_id", "gram")
+    val bc = spark.sparkContext.broadcast(evPairs.map(_._2).toSet)
     val hits = docs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, t) =>
         val ws = words(t)

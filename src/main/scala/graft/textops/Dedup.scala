@@ -353,7 +353,14 @@ object Dedup {
       .select(col("a"), col("b"))
     val dupEdges = members.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("a"), col("rep").as("b"))
-    val pairs = repPairs.unionByName(dupEdges)
+    // Materialize the pair table ONCE before the symmetric union: `pairs`
+    // appears under BOTH union branches, and with no exchange at its top the
+    // whole candidate pipeline (window + signatures + band join + verify)
+    // would otherwise execute twice — ReuseExchange can only dedup exchange
+    // subtrees (measured r6: two ~15 s-CPU stages for one pipeline). The
+    // checkpoint is pair-grain (candidate edges), the table a production
+    // dedup pipeline persists at this boundary anyway.
+    val pairs = repPairs.unionByName(dupEdges).localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")

@@ -42,12 +42,17 @@ object License {
       .iterator.flatMap(_.attr("href")).nextOption().orNull
   }
 
+  // compiled once per JVM — ccParse runs once per document row inside
+  // licenseGate's mapPartitions (ADVICE r5: a per-row Pattern.compile on a
+  // path documented as running at 10^12 rows)
+  private val CcUrlRe =
+    "^https?://creativecommons\\.org/(licenses/([a-z-]+)|publicdomain/(zero))/([0-9.]+)/?$".r
+
   /** (family, version) for a CC url, null fields otherwise. */
   def ccParse(url: String): (String, String) = {
     if (url == null) return (null, null)
-    val m = "^https?://creativecommons\\.org/(licenses/([a-z-]+)|publicdomain/(zero))/([0-9.]+)/?$".r
     url match {
-      case m(_, code, zero, ver) => (if (code != null) code else zero, ver)
+      case CcUrlRe(_, code, zero, ver) => (if (code != null) code else zero, ver)
       case _ => (null, null)
     }
   }

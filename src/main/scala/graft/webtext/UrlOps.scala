@@ -245,9 +245,17 @@ object UrlOps {
         when(single, lit("")).otherwise(regexp_extract(h, "\\.([^.]+)$", 1))))
     // one label + the (escaped) suffix, anchored at the end; built per list
     // branch so every regexp pattern is a literal (compiled once); NULL when
-    // the suffix came from the prevailing rule -> last-two-labels fallback
+    // the suffix came from the prevailing rule -> last-two-labels fallback.
+    // Each branch repeats the MATCH CONDITION instead of comparing against
+    // `matched`: the chains share branch order, so first-hit-wins picks the
+    // same suffix — but `matched === s` would inline the whole 37-branch
+    // `matched` tree into every branch (~1.4k nested CASEs), which overflows
+    // Janino's 64 KB method limit and silently drops the scan to interpreted
+    // eval (measured: whole-stage codegen disabled on registered_domain /
+    // domain_pareto). The linear form stays codegen-compiled.
     val listReg = ordered.foldLeft(when(lit(false), lit("")): Column) { (acc, s) =>
-      acc.when(matched === s, regexp_extract(h, "([^.]+\\." + rx(s) + ")$", 1))
+      acc.when(h === s || h.endsWith("." + s),
+        regexp_extract(h, "([^.]+\\." + rx(s) + ")$", 1))
     }
     val reg = when(isIp, h)
       .when(h === suffix, lit("")) // bare public suffix (any label count)

@@ -46,7 +46,11 @@ import math
 rows = con.sql("SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id").fetchall()
 def quant(v): return [math.trunc(x*4096) for x in v]
 qs = {vid: quant(v) for vid, v in rows}
-ids = sorted(qs)
+# match the engine's seededCentroids sampleCap=10000 (and the SQL oracle's
+# QUALIFY pos < 10000): centroids come from the first 10000 vec_ids only —
+# ADVICE r5: without the cap this recompute only agrees at sf0.01 by luck
+# (8000 vectors) and would report a spurious mismatch on larger datasets
+ids = sorted(qs)[:10000]
 stride = len(ids) // 16
 cents = [qs[ids[i*stride]] for i in range(16)]
 def nearest(q):
