@@ -32,14 +32,17 @@ object Dedup {
     * (n-3)/(n-2), well above threshold for realistic docs. */
   val PlantOffset = 1000000L
 
-  def planted(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    val twin = docs.select(
-      (col("doc_id") + PlantOffset).as("doc_id"),
-      // drop first word: substring after the first space (docs are single-spaced)
-      expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    base.unionByName(twin)
-  }
+  def planted(docs: DataFrame): DataFrame =
+    // ONE scan pass emitting (doc, twin) per input row, not a self-union:
+    // the union form doubled the map-side partition count of every
+    // downstream exchange (2x the scan work and 2x the M*R shuffle-file
+    // count for each consumer). Rows are identical.
+    docs.select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + PlantOffset).as("doc_id"),
+          // drop first word: substring after the first space (single-spaced)
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
 
   /** Deterministic incoming-snapshot fixture for the cross-corpus NEAR-dup
     * gate: ids offset by 2,000,000 (doc_id spaces must be disjoint across
@@ -61,13 +64,13 @@ object Dedup {
   }
 
   /** Same but perturbing the tail (for SimHash). */
-  def plantedTail(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    val twin = docs.select(
-      (col("doc_id") + PlantOffset).as("doc_id"),
-      expr("substring(text, 1, length(text) - instr(reverse(text), ' '))").as("text"))
-    base.unionByName(twin)
-  }
+  def plantedTail(docs: DataFrame): DataFrame =
+    docs.select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + PlantOffset).as("doc_id"),
+          expr("substring(text, 1, length(text) - instr(reverse(text), ' '))").as("text"))))
+        .as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
 
   /** Exact-duplicate grouping: one representative (min doc_id) per distinct
     * text. Returns (reps, members): `reps(doc_id, text)` carries one row per
@@ -278,6 +281,12 @@ object Dedup {
     val tb = docs.select(col("doc_id").as("b"), col("text").as("text_b"))
     candidates.join(ta, "a").join(tb, "b")
       .select(col("a"), col("b"), col("text_a"), col("text_b"))
+      // spread the shingle recompute across the cluster: AQE coalesces
+      // post-join partitions by BYTE size, and candidate rows are narrow
+      // enough that the CPU-heavy exact-Jaccard map otherwise lands in 1-2
+      // tasks (measured 1.5 s single-threaded tail at sf0.1); candidate
+      // tables are bounded (band-bucketed), so the extra exchange is small
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, Long, String, String)]
       .map { case (a, b, x, y) =>
         val sa = TextHash.wordShingles(x)
@@ -585,6 +594,9 @@ object Dedup {
     val tb = reps.select(col("doc_id").as("b"), col("text").as("text_b"))
     val repPairs = candidates.join(ta, "a").join(tb, "b")
       .select(col("a"), col("b"), col("text_a"), col("text_b"))
+      // same CPU-vs-bytes spread as verifyJaccard: char-shingle reranking is
+      // far more expensive per row than the rows are wide
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, String, String)]
       .map { case (a, b, x, y) =>
         val sa = TextHash.charShingles(x, n)
