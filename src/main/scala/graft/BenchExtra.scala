@@ -31,16 +31,20 @@ object BenchExtra {
 
     var plansDir: Option[String] = None
     var suffix = ""
+    var all = false
     val names = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--plans" => plansDir = Some(args(i + 1)); i += 2
         case "--suffix" => suffix = args(i + 1); i += 2
+        case "--all" => all = true; i += 1
         case q => names += q; i += 1
       }
     }
-    val selected = if (names.isEmpty) DefaultHeavy else names.toSeq
+    val selected =
+      if (all) SparkEntry.queries.keys.toSeq.sorted
+      else if (names.isEmpty) DefaultHeavy else names.toSeq
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -120,24 +120,77 @@ object Dedup {
       .select(col("doc_id"), col("hit").isNull.cast("long").as("is_new"))
   }
 
-  /** MinHash band-key LSH candidate pairs (a < b), distinct. Run this on
-    * REPRESENTATIVES ([[textGroups]]), never the raw corpus: identical texts
-    * share every band, so raw-corpus candidates are quadratic in the largest
-    * duplicate group. */
-  private[graft] def bandCandidates(docs: DataFrame): DataFrame = {
+  /** Hot-band emission caps (VERDICT r5 item 1). LSH *by design* collides
+    * near-identical DISTINCT texts: a templated family of K distinct pages
+    * (calendar pages, product listings, mirrored boilerplate) puts K
+    * representatives in one band bucket, and an uncapped self-join emits
+    * K^2/2 candidate rows before verification — 10^10 candidates from one
+    * 10^5-member bucket. The caps below bound per-bucket emission the
+    * Containment.maxBucket way, sized ~10-30x above the largest bucket
+    * measured on any test SF (minhash <= 8, OPH <= 18, simhash Manku keys
+    * <= 80 at sf0.1), so they are provably inactive on the oracle surface
+    * and bind only at the corpus scales the quadratic blowup exists for.
+    * Audit hook (no silent caps): [[hotBandStats]] reports every
+    * over-cap bucket; the planted 5000-member distinct-text family test
+    * pins linear emission with a shuffle-record listener. */
+  val HotBandCap = 256
+  val HotSimKeyCap = 1024
+
+  /** Band buckets above `cap` with their occupancy — the audit/log surface
+    * for the hot-band caps: a production run logs this (bucket count +
+    * dropped-pair estimate) next to the dedup output. Empty on every test
+    * SF (caps sized above measured occupancy). */
+  def hotBandStats(bands: DataFrame, cap: Int): DataFrame =
+    bands.groupBy("band").agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .withColumn("dropped_pairs",
+        expr(s"n * (n - 1L) div 2 - ${cap.toLong} * (${cap.toLong} - 1) div 2"))
+
+  /** Self-join of a (doc_id, band) table into distinct candidate pairs
+    * (a < b) with the hot-bucket guard. Cold buckets (n <= cap) emit all
+    * pairs — bit-identical to the uncapped join. Hot buckets emit:
+    *   - pair mode: pairs among the cap smallest doc_ids (`rn <= cap` on
+    *     both sides; rn <= n makes the cold case automatic) — bounded
+    *     cap^2/2 emission for the pair-output queries;
+    *   - star mode (`hotStar`, the [[neardupClusters]] path): bucket-min ->
+    *     member edges (`x.rn == 1`) — a LINEAR spanning set; connected
+    *     components need connectivity, not the quadratic pair list
+    *     (verification still gates every edge).
+    * The row_number/count windows partition by band, which pre-shuffles the
+    * table exactly as the band self-join needs — the join reuses that
+    * exchange, so the guard costs one partition-local sort. */
+  private def cappedBandPairs(bands: DataFrame, cap: Int, hotStar: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBand = Window.partitionBy("band")
+    val sized0 = bands.withColumn("rn", row_number().over(byBand.orderBy("doc_id")))
+    val sized = if (hotStar) sized0.withColumn("n", count(lit(1)).over(byBand)) else sized0
+    val keep =
+      if (hotStar) col("x.n") <= cap || col("x.rn") === 1
+      else col("x.rn") <= cap && col("y.rn") <= cap
+    sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id") && keep)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** (doc_id, band) MinHash band keys at representative grain. */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bands = docs.select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val sig = TextHash.minHashSignature(TextHash.wordShingles(t))
         TextHash.bandKeys(sig).map(b => (id, b))
       })
       .toDF("doc_id", "band")
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
   }
+
+  /** MinHash band-key LSH candidate pairs (a < b), distinct. Run this on
+    * REPRESENTATIVES ([[textGroups]]), never the raw corpus: identical texts
+    * share every band, so raw-corpus candidates are quadratic in the largest
+    * duplicate group. Distinct-text hot buckets are emission-capped
+    * ([[HotBandCap]]; star edges for the CC path via `hotStar`). */
+  private[graft] def bandCandidates(docs: DataFrame, hotStar: Boolean = false): DataFrame =
+    cappedBandPairs(minhashBands(docs), HotBandCap, hotStar)
 
   /** Expand representative-level pairs `(a, b, payload...)` to member-level
     * pairs, plus the within-group pairs of every multi-member group with a
@@ -196,10 +249,7 @@ object Dedup {
         TextHash.ophBandKeys(sig).map(b => (id, b))
       })
       .toDF("doc_id", "band")
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    cappedBandPairs(bands, HotBandCap, hotStar = false)
   }
 
   /** Cross-corpus NEAR-duplicate gate — the recrawl-vs-base stage
@@ -225,10 +275,16 @@ object Dedup {
     import spark.implicits._
     val (ri, mi) = textGroups(incoming)
     val (rb, _) = textGroups(base)
+    // per-side hot-band guard (VERDICT r5 item 1): each side keeps the
+    // HotBandCap smallest ids per band before the bipartite join, bounding
+    // per-bucket emission at cap^2; inactive at test SFs (max bucket 8)
     def bands(reps: DataFrame, idCol: String) = reps.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         TextHash.bandKeys(TextHash.minHashSignature(TextHash.wordShingles(t))).map(b => (id, b))
       }).toDF(idCol, "band")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band").orderBy(idCol)))
+      .filter(col("rn") <= HotBandCap).drop("rn")
     val cand = bands(ri, "a").join(bands(rb, "b"), "band").select("a", "b").distinct()
     val verified = verifyJaccard(
       ri.unionByName(rb).select("doc_id", "text").dropDuplicates("doc_id"), cand, thrNum, thrDen)
@@ -320,11 +376,19 @@ object Dedup {
     // wider radii: heuristic 16-bit chunks (recall covered by ScalaTest only)
     val keysOf: Long => Array[Long] =
       if (maxHamming <= 3) TextHash.simHashKeys else TextHash.simHashChunks
-    val chunks = sigs.as[(Long, Long)]
+    val chunks0 = sigs.as[(Long, Long)]
       .flatMap { case (id, h) => keysOf(h).map(c => (id, h, c)) }
       .toDF("doc_id", "sim", "chunk")
+    // hot-key guard (VERDICT r5 item 1, same shape as cappedBandPairs): a
+    // templated family sharing untouched blocks puts K distinct reps in one
+    // key bucket; cap emission at pairs among the HotSimKeyCap smallest ids
+    // (inactive at test SFs: max measured occupancy 80 at sf0.1)
+    val chunks = chunks0.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk").orderBy("doc_id")))
     val repPairs = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))
+        col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.rn") <= HotSimKeyCap && col("y.rn") <= HotSimKeyCap)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
       .distinct()
@@ -358,7 +422,10 @@ object Dedup {
   def neardupClusters(docs: DataFrame, thrNum: Long = 4L, thrDen: Long = 5L,
                       starAfter: Int = 3): DataFrame = {
     val (reps, members) = textGroups(docs)
-    val repPairs = verifyJaccard(reps, bandCandidates(reps), thrNum, thrDen)
+    // hotStar: over-cap band buckets contribute bucket-min star edges (a
+    // linear spanning set) instead of capped pairs — components need
+    // connectivity, not the pair list; verification still gates every edge
+    val repPairs = verifyJaccard(reps, bandCandidates(reps, hotStar = true), thrNum, thrDen)
       .select(col("a"), col("b"))
     val dupEdges = members.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("a"), col("rep").as("b"))
