@@ -24,8 +24,13 @@ object AudienceOverlap {
   /** events (event_type, v) -> one row per unordered type pair
     * (type_a < type_b) with the full estimate column set. */
   def overlapMatrix(events: DataFrame, k: Int = 256): DataFrame = {
-    val sk = events.groupBy("event_type").agg(kmvSketch(col("v"), k).as("s"))
+    // r6: the sketch is built from the distinct (type, v) table, not a
+    // second corpus pass — KMV state is the k smallest DISTINCT hashes (a
+    // TreeSet), so duplicates never change it and the sketch is
+    // bit-identical; dv's distinct exchange is now shared by the sketch,
+    // exact and counts branches via ReuseExchange (one corpus scan total).
     val dv = events.select("event_type", "v").distinct()
+    val sk = dv.groupBy("event_type").agg(kmvSketch(col("v"), k).as("s"))
     val exact = dv.as("x").join(dv.as("y"), col("x.v") === col("y.v"))
       .filter(col("x.event_type") < col("y.event_type"))
       .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))

@@ -98,6 +98,16 @@ object HllSketchAgg {
   val AlphaNum = 709343L
   val AlphaDen = 1000000L
 
+  /** rho of the low `restBits` bits of an already-splitmixed hash —
+    * rho = restBits - bit_length(rest) + 1, rest == 0 -> restBits + 1.
+    * Shared by [[HllSketchAgg.update]] and the codegen
+    * [[graft.expr.HllRhoExpr]] so both paths are the same bytecode. */
+  def rho(h: Long, restBits: Int): Int = {
+    val rest = h & ((1L << restBits) - 1)
+    if (rest == 0L) restBits + 1
+    else restBits - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+  }
+
   /** splitmix64 finalizer — Java Long overflow IS mod-2^64, so this matches
     * the oracle's HUGEINT formulation (32-bit-split multiplication) exactly. */
   def splitmix64(x: Long): Long = {

@@ -50,8 +50,15 @@ object BpeTrain {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
+    // Round state rides a LAZY localCheckpoint chain (r6): the re-tokenized
+    // vocab is materialized by the NEXT round's argmax job instead of a
+    // dedicated count() pin — 1 job per round, not 2, with the cache+
+    // unpersist bookkeeping (and its CacheManager re-registration trap)
+    // gone. Plan depth stays constant (each round plans against the previous
+    // round's LogicalRDD); checkpoint blocks are host-local and freed by the
+    // ContextCleaner when the loop drops them. Bit-identical merges.
     var vocab: Dataset[(List[String], Long)] =
-      wordFreq.map { case (w, f) => (w.toList.map(_.toString), f) }.cache()
+      wordFreq.map { case (w, f) => (w.toList.map(_.toString), f) }.localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       val counts = vocab.flatMap { case (toks, f) =>
@@ -61,10 +68,9 @@ object BpeTrain {
       if (top.nonEmpty) {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, c))
-        val prev = vocab
-        vocab = vocab.map { case (toks, f) => (foldMerge(toks, a, b), f) }.cache()
-        vocab.count() // pin before dropping the predecessor
-        prev.unpersist()
+        if (r < rounds)
+          vocab = vocab.map { case (toks, f) => (foldMerge(toks, a, b), f) }
+            .localCheckpoint(false)
       }
     }
     merges.result().toDF("rank", "left_tok", "right_tok", "freq")

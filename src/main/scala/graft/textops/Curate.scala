@@ -898,8 +898,11 @@ object Curate {
     * 10^12 rows this is one more fused scan projection. */
   def codeDetect(docs: DataFrame): DataFrame = {
     val lns = split(col("text"), "\n", -1)
+    // r6: translate() deletes the same 10-char class as the old
+    // regexp_replace char class without running a regex engine per row —
+    // identical counts, plain char-table codegen
     val nSymbols = (length(col("text")) -
-      length(regexp_replace(col("text"), "[;(){}=<>\\[\\]]", ""))).cast("long")
+      length(translate(col("text"), ";(){}=<>[]", ""))).cast("long")
     docs.select(col("doc_id"),
         size(lns).cast("long").as("n_lines"),
         size(filter(lns, l => l.endsWith(";"))).cast("long").as("n_semicolon_lines"),

@@ -516,6 +516,13 @@ object Dedup {
     // materializes the round (lazy checkpoint) — one job per round instead of
     // a separate old-vs-new comparison. Null-safe: an empty edge set yields
     // an empty label table whose max() is null -> converged immediately.
+    // Blocked witness (r6, the rankConverged move): min-propagation at its
+    // fixed point is the identity, so the zero-iff-converged delta only needs
+    // checking at block boundaries — 1 job per `witnessEvery` rounds instead
+    // of 1 per round, bit-identical labels. Lazy per-round checkpoints keep
+    // plan depth constant; the block witness materializes the short RDD chain.
+    // The maxRounds cap is exact: the last block is cut short.
+    val witnessEvery = math.min(3, maxRounds)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     var converged = false
@@ -533,11 +540,13 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(false)
-      val delta = Option(next.agg(max(col("prev") - col("cluster_id"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = next.select(col("doc_id"), col("cluster_id"))
-      converged = delta == 0L
       i += 1
+      if (i % witnessEvery == 0 || i >= maxRounds) {
+        val delta = Option(next.agg(max(col("prev") - col("cluster_id"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        converged = delta == 0L
+      }
+      labels = next.select(col("doc_id"), col("cluster_id"))
     }
     if (converged) Some(labels)
     else None

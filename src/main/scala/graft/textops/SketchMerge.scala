@@ -43,19 +43,14 @@ object SketchMerge {
     * corpus-sized shuffle in every consumer: a partial-aggregated groupBy
     * down to (type, day, 64) grain. */
   private def registerMaxima(vals: DataFrame): DataFrame = {
-    val spark = vals.sparkSession
-    import spark.implicits._
-    vals.as[(String, Long, Long)]
-      .map { case (t, day, v) =>
-        val h = HllSketchAgg.splitmix64(v)
-        val idx = (h >>> RestBits).toInt
-        val rest = h & ((1L << RestBits) - 1)
-        val rho =
-          if (rest == 0L) RestBits + 1
-          else RestBits - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
-        (t, day, idx, rho)
-      }
-      .toDF("event_type", "day", "idx", "rho")
+    // r6: the hash runs as codegen expressions (graft.expr.HashBits calls
+    // the same static JVM helpers as HllSketchAgg, so the arithmetic is the
+    // identical bytecode) instead of a corpus-grain typed Dataset.map that
+    // deserialized every row and broke the WholeStageCodegen span (guide §4).
+    val h = graft.expr.HashBits.splitmix64(col("v"))
+    vals.select(col("event_type"), col("day"),
+        shiftrightunsigned(h, RestBits).cast("int").as("idx"),
+        graft.expr.HashBits.hllRho(h, RestBits).as("rho"))
       .groupBy("event_type", "day", "idx").agg(max("rho").as("rho"))
   }
 
@@ -97,7 +92,11 @@ object SketchMerge {
     // z2(day) = m * 2^(restBits+1) + cumulative sum of increase deltas;
     // estimate = alpha * m^2 * 2^(restBits+1) div (alphaDen * z2), evaluated
     // in BigInt exactly like HllSketchAgg.eval (rows here are sketch-grain)
-    val grid = vals.select("event_type", "day").distinct()
+    // r6: the active (type, day) grid comes from sketch-grain `regs` (every
+    // (type, day) with >= 1 event contributes >= 1 register row, so the sets
+    // are identical) instead of a third corpus-grain scan+distinct of `vals`;
+    // the regs groupBy exchange is shared with firstDay via ReuseExchange.
+    val grid = regs.select("event_type", "day").distinct()
     val perDay = increases.groupBy("event_type", "day")
       .agg(sum("dz2").as("dz2"))
     val wDay = Window.partitionBy("event_type").orderBy("day")
@@ -142,7 +141,9 @@ object SketchMerge {
   def slidingDailyDistinct(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val vals = dayVals(events)
     val regs = registerMaxima(vals)
-    val grid = vals.select("event_type", "day").distinct()
+    // r6: grid from sketch-grain regs, not a second corpus scan (see
+    // cumulativeDailyDistinct) — identical (type, day) set.
+    val grid = regs.select("event_type", "day").distinct()
 
     // full (type, active day, 64) register grid; registers with no update in
     // the trailing window stay 0 (the empty-sketch value)

@@ -49,6 +49,9 @@ object Hits {
     * integer trunc divisions, bit-identical output. */
   def hubsAuths(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && scale > 0)
+    // NOTE (r6): not head-checkpointed — the nodes/e caches stay keyed on
+    // the stable input plan so repeat evaluations in one session reuse them
+    // (see HostRank.rank).
     val nodes = edges.select(col("src").as("host"))
       .unionByName(edges.select(col("dst").as("host")))
       .distinct().cache()
