@@ -32,6 +32,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // rate and mirror per-executor GC sizing on a real cluster (an 8-core
   // executor JVM defaults to 8 GC threads). Neutral at local[8] and below.
   "-XX:ParallelGCThreads=8",
+  // Shuffle/block-manager scratch on tmpfs (r6, guide §2.1: local disk
+  // bandwidth is a shuffle limit). Every exchange writes M x R shuffle
+  // files; on this VM's virtio /tmp the file create/write/close chain
+  // measured 4-6 s of summed shuffle-write time for 3 MB exchanges —
+  // pure fixed overhead at 1024 files per exchange. Query-scale shuffle
+  // data here is MBs against a 126 GB tmpfs; production twin: NVMe/ramdisk
+  // spark.local.dir, standard cluster practice. Parameterised: honor an
+  // explicit SPARK_LOCAL_DIRS, fall back to /dev/shm when present.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_LOCAL_DIRS",
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp")}",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -96,6 +96,14 @@ object Dedup {
       .withColumn("rep",
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("tkey", "tlen")))
     val members = withRep.select(col("doc_id"), col("rep"))
+    // NOTE (r6): reps is read >= 3 times by every pair op (signature bands +
+    // both sides of the candidate->text verify join); ReuseExchange writes
+    // the text-carrying shuffle once and each reader re-runs only the
+    // post-shuffle window. An eager checkpoint here was measured at bench
+    // scale to cost MORE than it saves (one extra execution per query on a
+    // job-count-dominated surface) — at true 100 TB scale, materializing
+    // reps at this boundary (the standard persist-after-exact-dedup point)
+    // becomes the right trade; left plan-stable deliberately.
     val reps = withRep.filter(col("doc_id") === col("rep")).select(col("doc_id"), col("text"))
     (reps, members)
   }
@@ -162,14 +170,24 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val byBand = Window.partitionBy("band")
     val sized0 = bands.withColumn("rn", row_number().over(byBand.orderBy("doc_id")))
-    val sized = if (hotStar) sized0.withColumn("n", count(lit(1)).over(byBand)) else sized0
-    val keep =
-      if (hotStar) col("x.n") <= cap || col("x.rn") === 1
-      else col("x.rn") <= cap && col("y.rn") <= cap
-    sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id") && keep)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    // star mode (r6): the keep condition reads ONLY x-side columns, so the
+    // y side is the plain bands table — the per-band rank/count windows run
+    // once instead of on both join sides (measured ~20 s executor CPU per
+    // side at sf0.1; both sides still share the band exchange).
+    if (hotStar) {
+      val sized = sized0.withColumn("n", count(lit(1)).over(byBand))
+      sized.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id") &&
+            (col("x.n") <= cap || col("x.rn") === 1))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+    } else {
+      sized0.as("x").join(sized0.as("y"),
+          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.rn") <= cap && col("y.rn") <= cap)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+    }
   }
 
   /** (doc_id, band) MinHash band keys at representative grain. */
@@ -178,7 +196,7 @@ object Dedup {
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
-        val sig = TextHash.minHashSignature(TextHash.wordShingles(t))
+        val sig = TextHash.minHashSignature(TextHash.wordShingleArr(t))
         TextHash.bandKeys(sig).map(b => (id, b))
       })
       .toDF("doc_id", "band")
@@ -229,7 +247,7 @@ object Dedup {
     // within-group pairs: identical texts, Jaccard 1 — inter = un = shingle
     // cardinality, computed once per multi-member group (never 0: wordShingles
     // returns a singleton set even for short/empty texts).
-    val withinCard = multiGroupCard(reps, members)(t => TextHash.wordShingles(t).size.toLong)
+    val withinCard = multiGroupCard(reps, members)(t => TextHash.wordShingleArr(t).length.toLong)
       .select(col("rep"), col("card").as("inter"), col("card").as("un"))
     expandPairs(repPairs, members, withinCard)
   }
@@ -245,7 +263,7 @@ object Dedup {
     import spark.implicits._
     val bands = docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
-        val sig = TextHash.ophSignature(TextHash.wordShingles(t))
+        val sig = TextHash.ophSignature(TextHash.wordShingleArr(t))
         TextHash.ophBandKeys(sig).map(b => (id, b))
       })
       .toDF("doc_id", "band")
@@ -280,7 +298,7 @@ object Dedup {
     // per-bucket emission at cap^2; inactive at test SFs (max bucket 8)
     def bands(reps: DataFrame, idCol: String) = reps.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
-        TextHash.bandKeys(TextHash.minHashSignature(TextHash.wordShingles(t))).map(b => (id, b))
+        TextHash.bandKeys(TextHash.minHashSignature(TextHash.wordShingleArr(t))).map(b => (id, b))
       }).toDF(idCol, "band")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("band").orderBy(idCol)))
@@ -306,7 +324,7 @@ object Dedup {
   def ophPairs(docs: DataFrame, thrNum: Long = 4L, thrDen: Long = 5L): DataFrame = {
     val (reps, members) = textGroups(docs)
     val repPairs = verifyJaccard(reps, ophBandCandidates(reps), thrNum, thrDen)
-    val withinCard = multiGroupCard(reps, members)(t => TextHash.wordShingles(t).size.toLong)
+    val withinCard = multiGroupCard(reps, members)(t => TextHash.wordShingleArr(t).length.toLong)
       .select(col("rep"), col("card").as("inter"), col("card").as("un"))
     expandPairs(repPairs, members, withinCard)
   }
@@ -345,10 +363,12 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, Long, String, String)]
       .map { case (a, b, x, y) =>
-        val sa = TextHash.wordShingles(x)
-        val sb = TextHash.wordShingles(y)
-        val inter = sa.intersect(sb).size.toLong
-        (a, b, inter, sa.size + sb.size - inter)
+        // r6: sorted-array shingles + merge intersect — identical hash set
+        // and counts, no per-pair Set boxing (TextHash.wordShingleArr)
+        val sa = TextHash.wordShingleArr(x)
+        val sb = TextHash.wordShingleArr(y)
+        val inter = TextHash.intersectSize(sa, sb)
+        (a, b, inter, sa.length + sb.length - inter)
       }
       .toDF("a", "b", "inter", "un")
       .filter(col("inter") * thrDen >= col("un") * thrNum)
@@ -675,14 +695,14 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, String, String)]
       .map { case (a, b, x, y) =>
-        val sa = TextHash.charShingles(x, n)
-        val sb = TextHash.charShingles(y, n)
-        val inter = sa.intersect(sb).size.toLong
-        (a, b, inter, sa.size + sb.size - inter)
+        val sa = TextHash.charShingleArr(x, n)
+        val sb = TextHash.charShingleArr(y, n)
+        val inter = TextHash.intersectSize(sa, sb)
+        (a, b, inter, sa.length + sb.length - inter)
       }
       .toDF("a", "b", "inter", "un")
       .filter(col("inter") * thrDen >= col("un") * thrNum)
-    val withinCard = multiGroupCard(reps, members)(t => TextHash.charShingles(t, n).size.toLong)
+    val withinCard = multiGroupCard(reps, members)(t => TextHash.charShingleArr(t, n).length.toLong)
       .select(col("rep"), col("card").as("inter"), col("card").as("un"))
     expandPairs(repPairs, members, withinCard)
   }

@@ -32,16 +32,78 @@ object TextHash {
   }
 
   /** Word k-shingles hashed to Long (k consecutive tokens joined). */
-  def wordShingles(text: String, k: Int = 3): Set[Long] = {
-    val toks = PyStr.split(text)
-    if (toks.size < k) Set(fnv64(toks.mkString(" ")))
-    else toks.sliding(k).map(w => fnv64(w.mkString(" "))).toSet
+  def wordShingles(text: String, k: Int = 3): Set[Long] = wordShingleArr(text, k).toSet
+
+  /** [[wordShingles]] as a sorted DISTINCT Array[Long] — the r6 hot path for
+    * the dedup family (signatures + verify run this per document/candidate):
+    * the hash VALUES are bit-identical (the FNV streams over each token's
+    * UTF-8 bytes plus a single 0x20 separator, which is exactly the byte
+    * stream of the joined string), but tokens are encoded once instead of k
+    * times, no joined String is built per shingle, and no Long is boxed into
+    * a Set. Consumers use [[intersectSize]] / `.length` — same set algebra. */
+  def wordShingleArr(text: String, k: Int = 3): Array[Long] = {
+    val toks = PyStr.split(text).toArray
+    val n = toks.length
+    if (n < k) return Array(fnv64(toks.mkString(" ")))
+    val enc = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      enc(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        val b = enc(i + j)
+        var p = 0
+        while (p < b.length) { h ^= (b(p) & 0xffL); h *= 0x100000001b3L; p += 1 }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    sortedDistinct(out)
   }
 
   /** Character n-gram shingles hashed to Long. */
-  def charShingles(text: String, n: Int = 3): Set[Long] = {
-    if (text.length < n) return Set(fnv64(text))
-    (0 to text.length - n).iterator.map(i => fnv64(text.substring(i, i + n))).toSet
+  def charShingles(text: String, n: Int = 3): Set[Long] = charShingleArr(text, n).toSet
+
+  /** [[charShingles]] as a sorted distinct Array[Long] (same values). */
+  def charShingleArr(text: String, n: Int = 3): Array[Long] = {
+    if (text.length < n) return Array(fnv64(text))
+    val out = new Array[Long](text.length - n + 1)
+    var i = 0
+    while (i <= text.length - n) { out(i) = fnv64(text.substring(i, i + n)); i += 1 }
+    sortedDistinct(out)
+  }
+
+  /** In-place sort + dedup; returns the (possibly shortened) array. */
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** Intersection size of two sorted distinct arrays (merge walk) — equals
+    * `setA.intersect(setB).size` on the equivalent sets. */
+  def intersectSize(sa: Array[Long], sb: Array[Long]): Long = {
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) < sb(j)) i += 1
+      else if (sa(i) > sb(j)) j += 1
+      else { inter += 1L; i += 1; j += 1 }
+    }
+    inter
   }
 
   // ---- MinHash ---------------------------------------------------------------
@@ -66,6 +128,25 @@ object TextHash {
         if (h < sig(i)) sig(i) = h
         i += 1
       }
+    }
+    sig
+  }
+
+  /** [[minHashSignature]] over a shingle array (r6 unboxed hot path) —
+    * per-permutation min is order/duplicate-insensitive, so the signature is
+    * identical for the equivalent set. */
+  def minHashSignature(shingles: Array[Long]): Array[Long] = {
+    val sig = Array.fill(MinHashPerms)(Long.MaxValue)
+    var j = 0
+    while (j < shingles.length) {
+      val s = shingles(j)
+      var i = 0
+      while (i < MinHashPerms) {
+        val h = permA(i) * s + permB(i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
     }
     sig
   }
@@ -119,6 +200,34 @@ object TextHash {
         while (d < OphBins && !filled((b + d) % OphBins)) d += 1
         // d == OphBins impossible for a non-empty shingle set (wordShingles
         // never returns empty); guard stays total for safety
+        out(b) =
+          if (d == OphBins) 0L
+          else sig((b + d) % OphBins) + 0x9e3779b97f4a7c15L * d
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** [[ophSignature]] over a shingle array (r6 unboxed hot path) — per-bin
+    * signed min is order/duplicate-insensitive: identical signature. */
+  def ophSignature(shingles: Array[Long]): Array[Long] = {
+    val sig = new Array[Long](OphBins)
+    val filled = new Array[Boolean](OphBins)
+    var j = 0
+    while (j < shingles.length) {
+      val h = splitmix64(shingles(j))
+      val b = java.lang.Math.floorMod(h, OphBins.toLong).toInt
+      if (!filled(b) || h < sig(b)) { sig(b) = h; filled(b) = true }
+      j += 1
+    }
+    val out = new Array[Long](OphBins)
+    var b = 0
+    while (b < OphBins) {
+      if (filled(b)) out(b) = sig(b)
+      else {
+        var d = 1
+        while (d < OphBins && !filled((b + d) % OphBins)) d += 1
         out(b) =
           if (d == OphBins) 0L
           else sig((b + d) % OphBins) + 0x9e3779b97f4a7c15L * d
