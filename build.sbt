@@ -42,6 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // explicit SPARK_LOCAL_DIRS, fall back to /dev/shm when present.
   s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_LOCAL_DIRS",
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp")}",
+  // Same rationale for every other scratch surface: java.io.tmpdir feeds
+  // streaming temp checkpoints (per-batch WAL/commit fsyncs), the Bench
+  // replicate dir, xml_dir_ingest's file tree; the warehouse dir takes the
+  // bucketed/partitioned saveAsTable writes + Hadoop commit renames.
+  s"-Djava.io.tmpdir=${if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"}",
+  s"-Dspark.sql.warehouse.dir=${if (new java.io.File("/dev/shm").isDirectory)
+    "/dev/shm/spark-warehouse" else "spark-warehouse"}",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

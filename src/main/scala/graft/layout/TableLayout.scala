@@ -22,7 +22,7 @@ object TableLayout {
     * would otherwise broadcast.
     */
   def bucketedJoin(s: SparkSession, docs: DataFrame, buckets: Int = 8,
-                   baseDir: String = "/tmp/graft_buckets"): DataFrame = {
+                   baseDir: String = s"${sys.props("java.io.tmpdir")}/graft_buckets"): DataFrame = {
     val words = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_words"), col("lang"))
     val chars = docs.select(col("doc_id"),
@@ -50,7 +50,7 @@ object TableLayout {
     * reaches row-level filtering.
     */
   def partitionPrunedScan(s: SparkSession, docs: DataFrame, lang: String,
-                          baseDir: String = "/tmp/graft_partitioned"): DataFrame = {
+                          baseDir: String = s"${sys.props("java.io.tmpdir")}/graft_partitioned"): DataFrame = {
     val path = s"$baseDir/docs_by_lang"
     docs.select(col("doc_id"), col("text"), col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(path)

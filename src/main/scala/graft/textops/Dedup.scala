@@ -543,10 +543,20 @@ object Dedup {
     // plan depth constant; the block witness materializes the short RDD chain.
     // The maxRounds cap is exact: the last block is cut short.
     val witnessEvery = math.min(3, maxRounds)
+    // AQE off while round plans compile (restored in finally; lazy
+    // checkpoints execute the static plans): post-rep-collapse label tables
+    // are edge-node-grain rows under uniform 64-bit keys — no skew for AQE
+    // to fix, and every per-round exchange otherwise becomes its own
+    // query-stage job (the rankConverged rationale).
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     var converged = false
     var i = 0
+    spark.conf.set(aqeKey, "false")
+    try {
     while (!converged && i < maxRounds) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
@@ -568,6 +578,7 @@ object Dedup {
       }
       labels = next.select(col("doc_id"), col("cluster_id"))
     }
+    } finally spark.conf.set(aqeKey, prevAqe)
     if (converged) Some(labels)
     else None
   }
