@@ -1720,7 +1720,9 @@ object SparkEntry {
       // snap_t <= event_t (inclusive tie: snapshots sort before events) —
       // one key shuffle + a running-last window, no range explosion
       val docs = tp(s, dir, "documents")
-      val nDocs = docs.count()
+      // r6: row count from the plain reader — counting the salted reader
+      // paid its repartition shuffle for a number the parquet footer knows
+      val nDocs = t(s, dir, "documents").count()
       val ev = tp(s, dir, "events").select(
         (col("event_id") % nDocs).as("k"),
         TimeCols.ntzEpochSeconds(col("ts")).as("t"),
@@ -1740,7 +1742,8 @@ object SparkEntry {
       // an O(1)-state streaming merge, instead of the union+window's
       // combined-stream sort — must match snapshot_asof's oracle bit-for-bit
       val docs = tp(s, dir, "documents")
-      val nDocs = docs.count()
+      // r6: same plain-reader count as snapshot_asof
+      val nDocs = t(s, dir, "documents").count()
       val ev = tp(s, dir, "events").select(
         (col("event_id") % nDocs).as("k"),
         TimeCols.ntzEpochSeconds(col("ts")).as("t"),
