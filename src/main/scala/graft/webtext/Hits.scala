@@ -75,23 +75,17 @@ object Hits {
           coalesce(expr(s"(raw * ${scale}L) div mx"), lit(0L)).as(outCol))
     }
 
-    // AQE is disabled while the round plans are COMPILED (restored in
-    // finally; execution of the lazy checkpoints inherits the static plans):
-    // the per-half-round exchanges are host-grain rows that AQE
-    // coalescing/skew handling cannot improve, and each would otherwise
-    // become its own query-stage job (the rankConverged rationale).
-    val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.get(aqeKey, "true")
+    // NOTE (r6): AQE stays ON here, unlike rankConverged/minLabelPropagation
+    // — HITS interleaves node-grain joins with 1-row max-norm broadcasts per
+    // half-round, and AQE's runtime SMJ->broadcast conversions on those
+    // joins outweigh the query-stage scheduling it adds (A/B-measured:
+    // static plans were ~1.3 s SLOWER warm at sf0.1).
     var scores = nodes.select(col("host"), lit(scale).as("hub"), lit(0L).as("auth"))
-    spark.conf.set(aqeKey, "false")
-    try {
-      for (k <- 1 to iters) {
-        scores = half(scores, "hub", "src", "dst", "auth")
-        scores = half(scores, "auth", "dst", "src", "hub")
-        if (k < iters) scores = scores.localCheckpoint(false)
-      }
-    } finally spark.conf.set(aqeKey, prevAqe)
+    for (k <- 1 to iters) {
+      scores = half(scores, "hub", "src", "dst", "auth")
+      scores = half(scores, "auth", "dst", "src", "hub")
+      if (k < iters) scores = scores.localCheckpoint(false)
+    }
     scores.select("host", "hub", "auth")
   }
 }
